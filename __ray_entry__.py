@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init()`` / ``ray.shutdown()`` anywhere in this module or the
+library it imports — the caller owns the session.
 """
 
 from __future__ import annotations
@@ -18,27 +13,142 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship link-graph pipeline on sf0.001 (degree table + entropy scalars)."""
+    from graph_computing_go_ray.pipelines.linkgraph import flagship_summary
+
+    return flagship_summary(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graph_computing_go_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
+        "in_degree": R.in_degree,
+        "out_degree": R.out_degree,
+        "degree_histogram": R.degree_histogram,
+        "distinct_edges": R.distinct_edges,
+        # rank / percent slice (T2/T3)
+        "top_in_degree": R.top_in_degree,
+        "percent_slice_top20": R.percent_slice_top20,
+        # joins / shrink (J4-J5, A3)
+        "semi_join_shrink": R.semi_join_shrink,
+        "orders_by_nation": R.orders_by_nation,
+        "hash_join_orders_customer": R.hash_join_orders_customer,
+        # grouped aggregation (A1-at-scale combiner pattern)
+        "pricing_summary": R.pricing_summary,
+        # M2 yearly snapshot selection
+        "order_year_snapshot": R.order_year_snapshot,
+        # entropies (A4/A5 + north-rule link entropy)
+        "link_entropy_per_vertex": R.link_entropy_per_vertex,
+        "entropy_report": R.entropy_report,
+        # co-occurrence pair generation (A9/triangle primitive)
+        "cooccur_edges": R.cooccur_edges,
+        # windowed aggregate over the event stream
+        "events_daily_user": R.events_daily_user,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "in_degree": (
+            "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem GROUP BY l_partkey"
+        ),
+        "out_degree": (
+            "SELECT l_orderkey AS src, count(*) AS out_degree FROM lineitem GROUP BY l_orderkey"
+        ),
+        "degree_histogram": (
+            "WITH d AS (SELECT count(*) AS degree FROM lineitem GROUP BY l_partkey) "
+            "SELECT degree, count(*) AS n_vertices FROM d GROUP BY degree"
+        ),
+        "distinct_edges": (
+            "SELECT l_orderkey AS src, l_partkey AS dst, count(*) AS multiplicity "
+            "FROM lineitem GROUP BY 1, 2"
+        ),
+        "top_in_degree": (
+            "WITH d AS (SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem GROUP BY 1) "
+            "SELECT dst, in_degree FROM d ORDER BY in_degree DESC, dst LIMIT 100"
+        ),
+        "percent_slice_top20": (
+            "WITH d AS (SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem GROUP BY 1) "
+            "SELECT dst, in_degree FROM ("
+            "  SELECT dst, in_degree, row_number() OVER (ORDER BY in_degree DESC, dst) AS rn, "
+            "         count(*) OVER () AS n FROM d) "
+            "WHERE rn <= ceil(n * 20 / 100.0)"
+        ),
+        "semi_join_shrink": (
+            "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey WHERE p_size >= 25 GROUP BY 1"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS order_count, round(sum(o_totalprice), 6) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "hash_join_orders_customer": (
+            "SELECT c_custkey, c_mktsegment, count(*) AS order_count, "
+            "round(sum(o_totalprice), 6) AS total_price "
+            "FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
+            "round(sum(l_extendedprice), 6) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        "order_year_snapshot": (
+            "SELECT o_custkey, year, o_orderkey FROM ("
+            "  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS year, o_orderkey, "
+            "    row_number() OVER (PARTITION BY o_custkey, year(o_orderdate) "
+            "      ORDER BY abs(epoch(make_timestamp(CAST(year(o_orderdate) AS BIGINT), 12, 31, "
+            "                    23, 59, 59.0)) - epoch(o_orderdate)), o_orderkey) AS rn "
+            "  FROM orders) WHERE rn = 1"
+        ),
+        "link_entropy_per_vertex": (
+            "SELECT l_orderkey AS src, round(log2(sum(l_quantity)) - "
+            "sum(l_quantity * log2(l_quantity)) / sum(l_quantity), 6) AS link_entropy "
+            "FROM lineitem GROUP BY 1"
+        ),
+        "entropy_report": (
+            "WITH e AS (SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem), "
+            "roles AS (SELECT src AS id, 0 AS ind, 1 AS outd FROM e "
+            "          UNION ALL SELECT dst, 1, 0 FROM e), "
+            "deg AS (SELECT id, sum(ind) AS ind, sum(outd) AS outd FROM roles GROUP BY id), "
+            "s AS (SELECT "
+            "  sum(ind) AS s_in, "
+            "  sum(CASE WHEN ind > 0 THEN ind * log2(ind) ELSE 0 END) AS s1_in, "
+            "  count(*) FILTER (ind > 0) AS n_in, "
+            "  sum(outd) AS s_out, "
+            "  sum(CASE WHEN outd > 0 THEN outd * log2(outd) ELSE 0 END) AS s1_out, "
+            "  count(*) FILTER (outd > 0) AS n_out, "
+            "  sum(ind + outd) AS s_all, "
+            "  sum((ind + outd) * log2(ind + outd)) AS s1_all, "
+            "  count(*) AS node_count FROM deg), "
+            "hin AS (SELECT count(*) AS c FROM deg GROUP BY ind), "
+            "hout AS (SELECT count(*) AS c FROM deg GROUP BY outd), "
+            "dde_in AS (SELECT log2(sum(c)) - sum(c * log2(c)) / sum(c) AS v FROM hin), "
+            "dde_out AS (SELECT log2(sum(c)) - sum(c * log2(c)) / sum(c) AS v FROM hout) "
+            "SELECT round(log2(s_in) - s1_in / s_in, 6) AS entropy_in, "
+            "  round(log2(s_out) - s1_out / s_out, 6) AS entropy_out, "
+            "  round(log2(s_all) - s1_all / s_all, 6) AS entropy_all, "
+            "  round(dde_in.v, 6) AS degree_dist_entropy_in, "
+            "  round(dde_out.v, 6) AS degree_dist_entropy_out, "
+            "  node_count, n_in AS node_in_count, n_out AS node_out_count "
+            "FROM s, dde_in, dde_out"
+        ),
+        "cooccur_edges": (
+            "SELECT u, v, count(*) AS n_orders FROM ("
+            "  SELECT DISTINCT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+            "GROUP BY u, v"
+        ),
+        "events_daily_user": (
+            "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events, "
+            "round(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+    }

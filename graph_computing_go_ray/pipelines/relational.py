@@ -1,0 +1,308 @@
+"""SQL-checkable operator pipelines over the driver harness tables
+(FIXTURES.md F7). Each function here backs one ``queries()`` entry in
+``__ray_entry__.py`` with a DuckDB ``oracle_sql()`` twin — column names must
+match the SQL exactly (driver hashes values after sorting columns by name).
+
+Graph kernels run against the bipartite lineitem edge table
+(src=l_orderkey, dst=l_partkey); joins/windows run against the TPC-H-ish
+tables. Reference-operator provenance is cited per function.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ..engine import degrees as deg_k
+from ..engine import entropy as ent_k
+from ..engine import rank as rank_k
+from ..sources.readers import lineitem_edges, read_table
+
+ROUND = 6  # float rounding applied identically on Ray and SQL sides
+
+
+# ---------------------------------------------------------------- degrees (A1/A2)
+def in_degree(sf_dir: str) -> Dataset:
+    """A1 in-degree count (wikiEntropy.go:74-83)."""
+    return deg_k.in_degree(lineitem_edges(sf_dir))
+
+
+def out_degree(sf_dir: str) -> Dataset:
+    return deg_k.out_degree(lineitem_edges(sf_dir))
+
+
+def degree_histogram(sf_dir: str) -> Dataset:
+    """A2 degree histogram over in-degrees (degreeStats.go:28-40)."""
+    d = deg_k.in_degree(lineitem_edges(sf_dir))
+    d = d.rename_columns({"in_degree": "degree"})
+    return deg_k.degree_histogram(d, "degree")
+
+
+def distinct_edges(sf_dir: str) -> Dataset:
+    """D6 parallel-edge dedup with multiplicity (wikipediaGoogleDistance.go:84-88)."""
+    return deg_k.distinct_edges(lineitem_edges(sf_dir))
+
+
+# ---------------------------------------------------------------- rank/slice (T2/T3)
+def top_in_degree(sf_dir: str) -> Dataset:
+    """T2 rank by in-degree desc + top-k, deterministic tie-break (-deg, id)."""
+    d = deg_k.in_degree(lineitem_edges(sf_dir))
+    return rank_k.rank_desc(d, "in_degree", "dst").limit(100)
+
+
+def percent_slice_top20(sf_dir: str) -> Dataset:
+    """T3 percent slice [0%, 20%) of vertices ranked by (-in_degree, dst)
+    (wikiEntropy.go:297-310, ceil indexing)."""
+    d = deg_k.in_degree(lineitem_edges(sf_dir))
+    return rank_k.percent_slice(d, "in_degree", "dst", 0, 20)
+
+
+# ---------------------------------------------------------------- semi-join shrink (J4/A3)
+def semi_join_shrink(sf_dir: str) -> Dataset:
+    """J4/A3: keep edges whose dst is in a vertex set (parts with p_size>=25),
+    then re-aggregate in-degree (openAlexEntropy.go:341-363 worksShrink).
+
+    The vertex set is broadcast via ray.put and applied as a vectorized
+    membership filter inside map_batches — the small-side semi-join pattern
+    (no shuffle)."""
+    part_ids = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    keep = part_ids.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], 25)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    keep_arr = np.sort(keep.to_pandas()["p_partkey"].to_numpy())  # small dim table
+    keep_ref = ray.put(keep_arr)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, dst)
+        idx[idx >= len(ks)] = len(ks) - 1
+        mask = ks[idx] == dst
+        return batch.filter(pa.array(mask))
+
+    edges = lineitem_edges(sf_dir).map_batches(flt, batch_format="pyarrow")
+    return deg_k.in_degree(edges)
+
+
+# ---------------------------------------------------------------- joins (J1/J5-style)
+def orders_by_nation(sf_dir: str) -> Dataset:
+    """Broadcast dimension join: orders → customer → nation, then grouped agg.
+    Mirrors J5 (small-dim taxonomy joins broadcast via ray.put,
+    openAlexTopDsiplineDistanceComplexity.go:53-90)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "n_name"]]
+    ref = ray.put(
+        dict(zip(cust_to_nation["c_custkey"].to_numpy(), cust_to_nation["n_name"]))
+    )
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        batch["n_name"] = batch["o_custkey"].map(m)
+        g = (
+            batch.groupby("n_name", as_index=False)
+            .agg(order_count=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+        )
+        return g
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    partial = orders.map_batches(tag, batch_format="pandas")
+    out = partial.groupby("n_name").aggregate(
+        Sum("order_count", alias_name="order_count"),
+        Sum("total_price", alias_name="total_price"),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_price"),
+            "total_price",
+            pc.round(t["total_price"], ROUND),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hash_join_orders_customer(sf_dir: str) -> Dataset:
+    """Large-large hash join via Dataset.join (hash-partitioned on the key):
+    per-customer order stats joined back to customer attributes."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="order_count"), Sum("o_totalprice", alias_name="total_price")
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        per_cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    out = joined.select_columns(["c_custkey", "c_mktsegment", "order_count", "total_price"])
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_price"),
+            "total_price",
+            pc.round(t["total_price"], ROUND),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- groupby agg (TPC-H Q1 shape)
+def pricing_summary(sf_dir: str) -> Dataset:
+    """Wide grouped aggregation with per-block partial aggregation (combiner
+    before the shuffle — the A1-at-scale pattern)."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    li = read_table(sf_dir, "lineitem", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "count_order"]
+        )
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    out = p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], ROUND))
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- M2 yearly snapshot
+def order_year_snapshot(sf_dir: str) -> Dataset:
+    """M2: per (customer, year) keep the order closest to Dec 31 23:59:59 of
+    that year (extractWikipediaDump.go:152-201); tie-break smaller o_orderkey
+    (deterministic deviation, SURVEY §7.4.2)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        years = g["o_orderdate"].dt.year
+        anchors = pd.to_datetime(
+            {"year": years, "month": 12, "day": 31, "hour": 23, "minute": 59, "second": 59}
+        )
+        g["year"] = years.astype("int32")
+        g["dist"] = (g["o_orderdate"] - anchors).abs()
+        g = g.sort_values(["year", "dist", "o_orderkey"])
+        out = g.groupby("year", as_index=False).first()
+        return out[["o_custkey", "year", "o_orderkey"]]
+
+    return orders.groupby("o_custkey").map_groups(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- entropy (A4/A5) + link entropy
+def link_entropy_per_vertex(sf_dir: str) -> Dataset:
+    """[north-rule] per-vertex entropy of the weighted out-neighbor
+    distribution (SURVEY §2.10), weight = l_quantity; log-sum kernel of A5/A7."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        src = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        wl = w * np.log2(w)
+        df = pd.DataFrame({"src": src, "s": w, "s1": wl})
+        g = df.groupby("src", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    agg = p.groupby("src").aggregate(Sum("s", alias_name="s"), Sum("s1", alias_name="s1"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        s1 = t["s1"].to_numpy(zero_copy_only=False)
+        h = np.round(np.log2(s) - s1 / s, ROUND)
+        return pa.table({"src": t["src"], "link_entropy": h})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def entropy_report(sf_dir: str) -> pd.DataFrame:
+    """A4/A5 scalars over the bipartite edge table, one row (wikiEntropy.go:102-106)."""
+    rep = ent_k.entropy_report(lineitem_edges(sf_dir))
+    row = {
+        "entropy_in": round(rep["entropy_in"], ROUND),
+        "entropy_out": round(rep["entropy_out"], ROUND),
+        "entropy_all": round(rep["entropy_all"], ROUND),
+        "degree_dist_entropy_in": round(rep["degree_dist_entropy_in"], ROUND),
+        "degree_dist_entropy_out": round(rep["degree_dist_entropy_out"], ROUND),
+        "node_count": int(rep["node_count"]),
+        "node_in_count": int(rep["node_in_count"]),
+        "node_out_count": int(rep["node_out_count"]),
+    }
+    return pd.DataFrame([row])
+
+
+# ---------------------------------------------------------------- co-occurrence edges
+def cooccur_edges(sf_dir: str) -> Dataset:
+    """Distinct undirected co-occurrence pairs of parts within an order —
+    the wedge/self-join primitive behind NGD (A9) and triangles."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                                 "v": pd.Series([], dtype=np.int64)})
+        iu, iv = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"u": parts[iu], "v": parts[iv]})
+
+    cand = li.groupby("l_orderkey").map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["u", "v"]).aggregate(Count(alias_name="n_orders"))
+
+
+# ---------------------------------------------------------------- events window
+def events_daily_user(sf_dir: str) -> Dataset:
+    """Tumbling 1-day window per user (streaming-shaped workload as batch:
+    groupby(user, window) — ray_guide 'Streaming-shaped workloads')."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        t = t.append_column("day", day)
+        df = t.select(["user_id", "day", "value"]).to_pandas()
+        g = df.groupby(["user_id", "day"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ev.map_batches(win, batch_format="pyarrow")
+    out = p.groupby(["user_id", "day"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value",
+            pc.round(t["sum_value"], ROUND),
+        ),
+        batch_format="pyarrow",
+    )
