@@ -1,0 +1,135 @@
+"""Explicit partitioned hash-join primitives.
+
+Ray 2.49.2 ships ``Dataset.join``, but its hash-shuffle aggregator fails on
+partitions that receive an empty side (schema is lost before the per-
+partition Arrow join). These helpers implement the portable pattern from the
+Ray Data guidance instead: add ``bucket = hash(key) % B`` to both sides,
+co-group by bucket, and merge each bucket locally — one shuffle per side,
+deterministic, skew-controllable by raising B.
+
+Two variants:
+- ``bucket_join``        — both sides shuffled (union + groupby(bucket));
+- ``write_bucketed`` + ``bucket_lookup`` — the right side is bucketed ONCE
+  to Parquet (bucket=N subdirs) and each left bucket-group reads only its
+  bucket file: the repeated-lookup pattern the redirect chase needs (the
+  resolution table is shuffled once, the shrinking actives every round).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.types as patypes
+
+from ray.data import Dataset
+
+from ..functions.hashing import hash_strings, splitmix64
+
+
+def _bucket_of(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
+    if patypes.is_string(arr.type) or patypes.is_large_string(arr.type):
+        h = hash_strings(arr.to_pylist()).view(np.uint64)
+    else:
+        h = splitmix64(arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def add_bucket(ds: Dataset, key_col: str, num_buckets: int,
+               out_col: str = "bucket") -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, pa.array(_bucket_of(t[key_col], num_buckets)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def write_bucketed(ds: Dataset, key_col: str, num_buckets: int, out_dir: str) -> str:
+    """Bucket a table by key hash and write one Parquet subdir per bucket
+    (hive layout bucket=N) — the reusable side of a repeated lookup join."""
+    add_bucket(ds, key_col, num_buckets).write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def read_bucket(bucket_dir: str, bucket: int) -> pa.Table | None:
+    path = os.path.join(bucket_dir, f"bucket={bucket}")
+    if not os.path.isdir(path):
+        return None
+    return pq.read_table(path)
+
+
+def bucket_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str,
+    how: str = "left",
+    num_buckets: int = 8,
+) -> Dataset:
+    """Generic co-grouped hash join (one shuffle per side).
+
+    Output columns: left columns then right columns minus the join key.
+    Integer columns survive outer joins as nullable int64 (not float)."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    keep_r = [c for c in r_cols if c != right_on]
+    assert not set(l_cols) & set(keep_r), "column collision between join sides"
+
+    l2 = add_bucket(left, on, num_buckets).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    r2 = add_bucket(right, right_on, num_buckets).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+
+    # align schemas for union: full column set, nulls for the other side
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    full_fields = [(c, l_types.get(c, r_types.get(c))) for c in all_cols]
+    full_fields += [("bucket", pa.int64()), ("__side", pa.int8())]
+    full_schema = pa.schema(full_fields)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in full_fields:
+            if name in t.column_names:
+                cols[name] = t[name].cast(typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        return pa.table(cols, schema=full_schema)
+
+    both = l2.map_batches(pad, batch_format="pyarrow").union(
+        r2.map_batches(pad, batch_format="pyarrow")
+    )
+
+    pd_how = {"left": "left", "left_outer": "left", "inner": "inner"}[how]
+    out_fields = [(c, l_types[c]) for c in l_cols] + [(c, r_types[c]) for c in keep_r]
+    out_schema = pa.schema(out_fields)
+
+    def merge(g: pa.Table) -> pa.Table:
+        # sides split in Arrow and converted with ArrowDtype so int64 columns
+        # with nulls never degrade to float64 (which silently corrupts the
+        # low bits of 63-bit hash ids)
+        import pyarrow.compute as pc
+
+        lg = g.filter(pc.equal(g["__side"], 0)).select(l_cols).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
+        rg = (
+            g.filter(pc.equal(g["__side"], 1)).select(r_cols)
+            .rename_columns([on if c == right_on else c for c in r_cols])
+            .to_pandas(types_mapper=pd.ArrowDtype)
+        )
+        out = lg.merge(rg, on=on, how=pd_how)[l_cols + keep_r]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")

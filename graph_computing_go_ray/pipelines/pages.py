@@ -1,0 +1,101 @@
+"""End-to-end link-graph build: pages parquet → extract (actor pool) →
+resolution joins → canonical edges/vertices parquet.
+
+Ray shape of the reference's wiki-extract + pageLinkHandle stages
+(SURVEY §3.1-3.2): read_parquet → map_batches(ExtractorActor) → J1/J2/J3
+bucketed joins → write_parquet. Outputs go to deterministic subdirs with a
+marker so a rerun skips finished work (K3 task-ledger analog,
+/root/reference/internal/extractWikipediadump/mongoClient.go:65-79)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..engine.join import bucket_join
+from ..stages.extract import ExtractorActor
+from ..stages.resolve import (
+    resolve_edges,
+    resolve_redirect_ids,
+    vertices_from_extracted,
+    write_resolution_buckets,
+)
+
+
+def build_link_graph(
+    pages_dir: str,
+    out_dir: str,
+    num_buckets: int = 8,
+    extract_concurrency: int | tuple[int, int] = (1, 8),
+    extract_batch_size: int = 1024,
+    force: bool = False,
+) -> dict[str, str]:
+    """Returns dict of output parquet dirs: extracted, failed, vertices, edges."""
+    paths = {k: os.path.join(out_dir, k) for k in ("extracted", "failed", "vertices", "edges")}
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return paths
+
+    # Stage 1: extraction (stateful actor pool); ok/fail split (K1/K2 sinks)
+    # is written from one materialized pass — html is never read twice.
+    # concurrency is an autoscaling (min,max) so the pool can never reserve
+    # every CPU and starve the upstream read (deadlocks a small cluster).
+    pages = rd.read_parquet(pages_dir, columns=["url", "html"])
+    extracted_all = pages.map_batches(
+        ExtractorActor, batch_format="pyarrow", batch_size=extract_batch_size,
+        concurrency=extract_concurrency,
+    ).materialize()
+    extracted_all.filter(expr="ok == True").drop_columns(["ok"]).write_parquet(
+        paths["extracted"]
+    )
+    extracted_all.filter(expr="ok == False").select_columns(["url"]).write_parquet(
+        paths["failed"]
+    )
+
+    # Stage 2: resolution tables bucketed once; chase shuffles only actives
+    extracted = rd.read_parquet(
+        paths["extracted"], columns=["url", "links_out", "redirect"]
+    )
+    vertices = vertices_from_extracted(extracted).materialize()
+    origin_dir, norm_dir = write_resolution_buckets(vertices, out_dir, num_buckets)
+
+    red_ids = resolve_redirect_ids(vertices, origin_dir, norm_dir, num_buckets)
+    vert_out = bucket_join(
+        vertices.select_columns(["id", "url", "redirect"]),
+        red_ids.rename_columns({"id": "rid"}),
+        on="id", right_on="rid", how="left", num_buckets=num_buckets,
+    )
+    vert_out.write_parquet(paths["vertices"])
+
+    edges = resolve_edges(vertices, origin_dir, norm_dir, num_buckets)
+    edges.write_parquet(paths["edges"])
+
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def graph_edges(paths: dict[str, str]) -> Dataset:
+    return rd.read_parquet(paths["edges"], columns=["src", "dst"])
+
+
+def graph_vertices(paths: dict[str, str]) -> Dataset:
+    return rd.read_parquet(paths["vertices"])
+
+
+def non_redirect_edges(paths: dict[str, str], num_buckets: int = 8) -> Dataset:
+    """Edges whose source is a non-redirect vertex — the edge set every
+    degree/entropy stage consumes (reference skips redirect sources,
+    wikiEntropy.go:77-79)."""
+    verts = rd.read_parquet(paths["vertices"], columns=["id", "redirect"])
+    keep = verts.map_batches(
+        lambda t: t.filter(pc.is_null(t["redirect"])).select(["id"]),
+        batch_format="pyarrow",
+    ).rename_columns({"id": "vid"})
+    return bucket_join(
+        graph_edges(paths), keep, on="src", right_on="vid", how="inner",
+    ).select_columns(["src", "dst"])

@@ -1,0 +1,265 @@
+"""J1-J3: url/title resolution — dual-index dedup, ≤3-hop redirect chase,
+out-link resolution → canonical edge table.
+
+Reference semantics (/root/reference/internal/wikiEntropy/wikiEntropy.go:156-279):
+
+- J1: two hash indexes over the snapshot's pages: exact key and normalized
+  key (title_filter); on conflict prefer non-redirect, else "later arrival"
+  (we use max id — deterministic deviation, SURVEY §7.4.2).
+- J2: redirect chase, ≤3 iterations. QUIRK replicated: when the exact-index
+  lookup misses and the normalized-index lookup finds ANOTHER redirect, the
+  chase does NOT advance (shadowed variable at wikiEntropy.go:209 /
+  wikipediaGoogleDistance.go:210) — it burns the iteration.
+- J3: out-link resolution, ≤3 iterations; in the normalized branch the chase
+  DOES advance (wikiEntropy.go:253-262). Unresolved links and self-links are
+  dropped (wikiEntropy.go:266).
+
+Ray shape: the two resolution tables are hash-BUCKETED ONCE to Parquet
+(bucket=N subdirs); each chase round shuffles only the shrinking actives by
+key-hash bucket and every bucket group merges against its bucket file — the
+repeated-lookup join of engine/join.py. Shuffle key = target url; partition
+count = num_buckets (the partitioning assumption this operator relies on).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..engine.join import add_bucket, read_bucket, write_bucketed
+from ..functions.hashing import hash_strings
+from ..functions.text import title_filter, title_filter_py
+
+
+def _with_id(batch: pa.Table) -> pa.Table:
+    ids = hash_strings(batch["url"].to_pylist())
+    return batch.append_column("id", pa.array(ids, pa.int64()))
+
+
+def vertices_from_extracted(extracted: Dataset) -> Dataset:
+    """(url, links_out, redirect, id) with id = stable hash of url."""
+    return extracted.map_batches(_with_id, batch_format="pyarrow")
+
+
+def _priority_pick(g: pd.DataFrame) -> pd.DataFrame:
+    """D2: prefer non-redirect over redirect, then max id (deterministic)."""
+    nonred = g[g["redirect"].isna()]
+    cand = nonred if len(nonred) else g
+    return cand.sort_values("id").tail(1)
+
+
+_RES_SCHEMA = pa.schema(
+    [("key", pa.large_string()), ("id", pa.int64()), ("redirect", pa.large_string())]
+)
+
+
+def resolution_table(vertices: Dataset, normalized: bool) -> Dataset:
+    """key → (id, redirect) resolution table; key = exact url or
+    title_filter(url) (J1)."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = title_filter(batch["url"]) if normalized else batch["url"]
+        return pa.table(
+            {"key": pc.cast(key, pa.large_string()), "id": batch["id"],
+             "redirect": pc.cast(batch["redirect"], pa.large_string())}
+        )
+
+    ds = vertices.select_columns(["url", "id", "redirect"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    picked = ds.groupby("key").map_groups(_priority_pick, batch_format="pandas")
+    return picked.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False)
+        .select(["key", "id", "redirect"]).cast(_RES_SCHEMA),
+        batch_format="pandas",
+    )
+
+
+def write_resolution_buckets(
+    vertices: Dataset, out_dir: str, num_buckets: int = 8
+) -> tuple[str, str]:
+    """Build + bucket both resolution tables once; returns (origin_dir, norm_dir)."""
+    origin_dir = os.path.join(out_dir, "origin_buckets")
+    norm_dir = os.path.join(out_dir, "norm_buckets")
+    write_bucketed(resolution_table(vertices, False), "key", num_buckets, origin_dir)
+    write_bucketed(resolution_table(vertices, True), "key", num_buckets, norm_dir)
+    return origin_dir, norm_dir
+
+
+# status codes inside a chase round
+_HIT, _ADV, _MISS = 0, 1, 2
+
+
+def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
+    """Per-bucket lookup: merge the group against its bucket file.
+
+    Output: (src, key, dst, status) — key is the NEXT key for status=_ADV
+    rows when next_key='redirect'; unchanged when next_key='key' (the J2
+    normalized-branch quirk)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        t = read_bucket(bucket_dir, b)
+        out = pd.DataFrame(
+            {"src": g["src"].to_numpy(), "key": g["key"].astype(object),
+             "lookup": g[join_col].astype(object)}
+        )
+        if t is None:
+            out["dst"] = pd.array([pd.NA] * len(out), dtype="Int64")
+            out["status"] = np.int8(_MISS)
+            return out[["src", "key", "dst", "status"]]
+        rt = t.to_pandas().rename(
+            columns={"key": "lookup", "id": "rid", "redirect": "rred"}
+        )
+        # nullable Int64 BEFORE the left-merge: a post-merge astype from
+        # float64 would corrupt the low bits of 63-bit hash ids
+        rt["rid"] = rt["rid"].astype("Int64")
+        m = out.merge(rt, on="lookup", how="left")
+        hit = m["rid"].notna() & m["rred"].isna()
+        adv = m["rred"].notna()
+        status = np.where(hit, _HIT, np.where(adv, _ADV, _MISS)).astype(np.int8)
+        if next_key == "redirect":
+            key = np.where(adv, m["rred"].astype(object), m["key"].astype(object))
+        else:
+            key = m["key"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {"src": m["src"].to_numpy(), "key": key,
+             "dst": m["rid"].astype("Int64"), "status": status}
+        )
+
+    return fn
+
+
+_STEP_SCHEMA = pa.schema(
+    [("src", pa.int64()), ("key", pa.large_string()),
+     ("dst", pa.int64()), ("status", pa.int8())]
+)
+
+
+def _as_step(ds: Dataset) -> Dataset:
+    return ds.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(_STEP_SCHEMA),
+        batch_format="pandas",
+    )
+
+
+def _take(step: Dataset, status: int, cols: dict[str, pa.DataType]) -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["status"], status))
+        return pa.table({c: f[c].cast(typ) for c, typ in cols.items()})
+
+    return step.map_batches(fn, batch_format="pyarrow")
+
+
+def chase(
+    candidates: Dataset,
+    origin_dir: str,
+    norm_dir: str,
+    advance_on_norm_redirect: bool,
+    rounds: int = 3,
+    num_buckets: int = 8,
+) -> Dataset:
+    """Resolve (src, key) candidates to (src, dst) through ≤`rounds` redirect
+    hops (J2/J3). Unresolved candidates are dropped."""
+    edge_cols = {"src": pa.int64(), "dst": pa.int64()}
+    key_cols = {"src": pa.int64(), "key": pa.large_string()}
+    resolved: list[Dataset] = []
+    active = candidates
+    for _ in range(rounds):
+        a = add_bucket(active, "key", num_buckets)
+        step1 = _as_step(
+            a.groupby("bucket").map_groups(
+                _lookup_fn(origin_dir, "key", next_key="redirect"),
+                batch_format="pandas",
+            )
+        ).materialize()
+        resolved.append(_take(step1, _HIT, edge_cols))
+        adv1 = _take(step1, _ADV, key_cols)
+        miss = _take(step1, _MISS, key_cols).map_batches(
+            lambda t: t.append_column(
+                "nkey",
+                pa.array(
+                    [title_filter_py(k) for k in t["key"].to_pylist()],
+                    pa.large_string(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        m = add_bucket(miss, "nkey", num_buckets)
+        step2 = _as_step(
+            m.groupby("bucket").map_groups(
+                _lookup_fn(
+                    norm_dir, "nkey",
+                    next_key="redirect" if advance_on_norm_redirect else "key",
+                ),
+                batch_format="pandas",
+            )
+        ).materialize()
+        resolved.append(_take(step2, _HIT, edge_cols))
+        adv2 = _take(step2, _ADV, key_cols)
+        active = adv1.union(adv2).materialize()
+        if active.count() == 0:
+            break
+    out = resolved[0]
+    for r in resolved[1:]:
+        out = out.union(r)
+    return out
+
+
+def resolve_redirect_ids(
+    vertices: Dataset, origin_dir: str, norm_dir: str, num_buckets: int = 8
+) -> Dataset:
+    """J2: (id, redirect_id) for redirect vertices; self-redirects dropped
+    (wikiEntropy.go:226)."""
+
+    def cands(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_valid(t["redirect"]))
+        return pa.table(
+            {"src": f["id"], "key": pc.cast(f["redirect"], pa.large_string())}
+        )
+
+    c = vertices.map_batches(cands, batch_format="pyarrow")
+    res = chase(c, origin_dir, norm_dir,
+                advance_on_norm_redirect=False, num_buckets=num_buckets)
+    return res.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"]))
+        .rename_columns(["id", "redirect_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def resolve_edges(
+    vertices: Dataset, origin_dir: str, norm_dir: str, num_buckets: int = 8
+) -> Dataset:
+    """J3: canonical edge table (src, dst); unresolved + self-links dropped.
+
+    Edge sources are the origin-table winners (the reference iterates
+    PageOriginNameMap, wikiEntropy.go:234). Web-crawl input has unique urls
+    (upstream crawl dedup), so the vertices ARE the winners; parallel edges
+    are kept (multigraph, matching the reference's append semantics)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        links = t["links_out"]
+        flat = pc.list_flatten(links)
+        lens = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        src = np.repeat(t["id"].to_numpy(zero_copy_only=False), lens)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()),
+             "key": pc.cast(flat, pa.large_string())}
+        )
+
+    cands = vertices.select_columns(["id", "links_out"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    res = chase(cands, origin_dir, norm_dir,
+                advance_on_norm_redirect=True, num_buckets=num_buckets)
+    return res.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow",
+    )

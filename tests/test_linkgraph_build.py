@@ -1,0 +1,73 @@
+"""End-to-end link-graph build vs the pure-Python reference-semantics oracle:
+byte-identical text per url, exact redirect-id map, exact edge multiset."""
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+from graph_computing_go_ray.functions.hashing import hash_strings
+from graph_computing_go_ray.pipelines.pages import build_link_graph
+from graph_computing_go_ray.sources.pages_gen import generate_pages
+from tests.oracle_linkgraph import build_graph_oracle
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    pages_dir = str(tmp_path_factory.mktemp("pages"))
+    out_dir = str(tmp_path_factory.mktemp("graph"))
+    generate_pages(pages_dir, n_pages=400, seed=42, n_files=3)
+    paths = build_link_graph(pages_dir, out_dir, num_buckets=4)
+    raw = pq.read_table(pages_dir).to_pylist()
+    oracle = build_graph_oracle(raw, id_of=lambda u: int(hash_strings([u])[0]))
+    return paths, raw, oracle
+
+
+def test_extraction_byte_identical(built):
+    paths, raw, oracle = built
+    got = {
+        r["url"]: r["text"]
+        for r in pq.read_table(paths["extracted"], columns=["url", "text"]).to_pylist()
+    }
+    stored = {r["url"]: r["text"] for r in raw}
+    assert len(got) > 0
+    for url, text in got.items():
+        v = oracle["vertices"][url]
+        # redirect pages extract to title-only text; content pages must be
+        # byte-identical to the generator's stored text column
+        if v["redirect"] is None:
+            assert text == stored[url], f"text mismatch for {url}"
+
+
+def test_failed_side_output(built):
+    paths, raw, oracle = built
+    got = sorted(r["url"] for r in pq.read_table(paths["failed"]).to_pylist())
+    assert got == sorted(oracle["failed"])
+    assert len(got) > 0  # generator plants malformed pages
+
+
+def test_redirect_ids_exact(built):
+    paths, _, oracle = built
+    vt = pq.read_table(paths["vertices"]).to_pylist()
+    got = {r["id"]: r["redirect_id"] for r in vt if r["redirect_id"] is not None}
+    assert got == oracle["redirect_ids"]
+    # redirect rows that did NOT resolve exist (chains of length 4 give up)
+    unresolved = [
+        r for r in vt if r["redirect"] is not None and r["redirect_id"] is None
+    ]
+    assert len(unresolved) > 0
+
+
+def test_edges_exact_multiset(built):
+    paths, _, oracle = built
+    et = pq.read_table(paths["edges"]).to_pylist()
+    got = collections.Counter((r["src"], r["dst"]) for r in et)
+    want = collections.Counter(oracle["edges"])
+    assert got == want
+    assert sum(want.values()) > 100
+
+
+def test_no_self_edges(built):
+    paths, _, _ = built
+    et = pq.read_table(paths["edges"]).to_pylist()
+    assert all(r["src"] != r["dst"] for r in et)
