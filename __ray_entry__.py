@@ -24,6 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from graph_computing_go_ray.pipelines import graphalgos as G
     from graph_computing_go_ray.pipelines import relational as R
 
     return {
@@ -50,6 +51,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_edges": R.cooccur_edges,
         # windowed aggregate over the event stream
         "events_daily_user": R.events_daily_user,
+        # [north-rule] iterative graph algorithms (SURVEY §2.10); PageRank /
+        # CC / LPA have pytest numpy-oracle goldens (tests/test_superstep.py),
+        # triangles has a SQL oracle
+        "triangle_count": G.triangles_cooccur,
+        "pagerank_bipartite": G.pagerank_bipartite,
+        "connected_components": G.components_cooccur,
+        "label_propagation": G.labelprop_cooccur,
+        "component_sizes": G.component_sizes,
     }
 
 
@@ -150,5 +159,13 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_user": (
             "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events, "
             "round(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "triangle_count": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+            "SELECT count(*) AS n_triangles FROM e a "
+            "JOIN e b ON b.u = a.u AND b.v > a.v "
+            "JOIN e c ON c.u = a.v AND c.v = b.v"
         ),
     }

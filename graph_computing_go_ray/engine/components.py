@@ -1,0 +1,78 @@
+"""[north-rule] Connected components via hash-min label propagation to
+fixpoint on the symmetrized edge set. Component id = min vertex id in the
+component (exact, deterministic). Converges when no label changes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+
+
+class HashMinProgram(VertexProgram):
+    name = "connected_components"
+    message_schema = pa.schema(
+        [("part_dst", pa.int64()), ("dst", pa.int64()), ("label", pa.int64())]
+    )
+
+    def __init__(self):
+        self.params = {}
+
+    def init_state(self, ids, out_degree, in_degree, n_total):
+        return pd.DataFrame({"id": ids, "label": ids})
+
+    def gather(self, edges, state_of, global_vals):
+        outs = []
+        for p, g in edges.groupby("part", sort=False):
+            st = state_of[int(p)]
+            sid = st["id"].to_numpy()
+            pos = np.searchsorted(sid, g["src"].to_numpy())
+            lab = st["label"].to_numpy()[pos]
+            part = pd.DataFrame({"dst": g["dst"].to_numpy(), "label": lab})
+            outs.append(part.groupby("dst", as_index=False)["label"].min())
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_apply(self, state, msgs, global_vals):
+        sid = state["id"].to_numpy()
+        new_label = state["label"].to_numpy().copy()
+        if len(msgs):
+            agg = msgs.groupby("dst", as_index=False)["label"].min()
+            pos = np.searchsorted(sid, agg["dst"].to_numpy())
+            new_label[pos] = np.minimum(new_label[pos], agg["label"].to_numpy())
+        changed = int((new_label != state["label"].to_numpy()).sum())
+        out = state.copy()
+        out["label"] = new_label
+        return out, {"changed": changed, "n": len(out)}
+
+    def init_metrics(self, state):
+        return {"changed": len(state)}  # force at least one superstep
+
+    def converged(self, metrics):
+        return "changed" in metrics.columns and int(metrics["changed"].sum()) == 0
+
+
+def connected_components(
+    edges: Dataset, workdir: str, max_iters: int = 100,
+    num_parts: int = 8, resume: bool = True,
+) -> tuple[Dataset, dict]:
+    """Edges are symmetrized at partition-build time (undirected CC)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    graph_meta = os.path.join(workdir, "GRAPH.json")
+    if os.path.exists(graph_meta):
+        info = json.load(open(graph_meta))
+    else:
+        info = build_graph_partitions(edges, workdir, num_parts, symmetrize=True)
+    prog = HashMinProgram()
+    edges_ds = rd.read_parquet(os.path.join(workdir, "edges")).materialize()
+    run = run_supersteps(edges_ds, workdir, prog, info,
+                         max_iters=max_iters, resume=resume)
+    labels = final_state(workdir).select_columns(["id", "label"])
+    return labels, {**run, **info}

@@ -1,0 +1,90 @@
+"""[north-rule] Synchronous label propagation (community detection).
+
+Per superstep every vertex adopts the most frequent label among its
+in-neighbors on the symmetrized edge set; ties break to the SMALLEST label
+(deterministic, SURVEY §2.10). Vertices with no neighbors keep their label.
+Synchronous LPA can oscillate on bipartite-ish structures, so the driver
+caps iterations (max_iters) in addition to the no-change fixpoint.
+
+Messages are pre-aggregated per block as (dst, label, cnt) partial counts —
+the combiner keeps hot vertices from fanning in raw edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+
+
+class LabelPropProgram(VertexProgram):
+    name = "label_propagation"
+    message_schema = pa.schema(
+        [("part_dst", pa.int64()), ("dst", pa.int64()),
+         ("label", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def __init__(self, max_stable: int = 1):
+        self.params = {}
+
+    def init_state(self, ids, out_degree, in_degree, n_total):
+        return pd.DataFrame({"id": ids, "label": ids})
+
+    def gather(self, edges, state_of, global_vals):
+        outs = []
+        for p, g in edges.groupby("part", sort=False):
+            st = state_of[int(p)]
+            sid = st["id"].to_numpy()
+            pos = np.searchsorted(sid, g["src"].to_numpy())
+            lab = st["label"].to_numpy()[pos]
+            part = pd.DataFrame({"dst": g["dst"].to_numpy(), "label": lab})
+            cnt = part.groupby(["dst", "label"], as_index=False).size()
+            outs.append(cnt.rename(columns={"size": "cnt"}))
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_apply(self, state, msgs, global_vals):
+        sid = state["id"].to_numpy()
+        new_label = state["label"].to_numpy().copy()
+        if len(msgs):
+            agg = msgs.groupby(["dst", "label"], as_index=False)["cnt"].sum()
+            # argmax count, tie -> min label: sort by (dst, -cnt, label), first
+            agg = agg.sort_values(
+                ["dst", "cnt", "label"], ascending=[True, False, True]
+            ).groupby("dst", as_index=False).first()
+            pos = np.searchsorted(sid, agg["dst"].to_numpy())
+            new_label[pos] = agg["label"].to_numpy()
+        changed = int((new_label != state["label"].to_numpy()).sum())
+        out = state.copy()
+        out["label"] = new_label
+        return out, {"changed": changed, "n": len(out)}
+
+    def init_metrics(self, state):
+        return {"changed": len(state)}
+
+    def converged(self, metrics):
+        return "changed" in metrics.columns and int(metrics["changed"].sum()) == 0
+
+
+def label_propagation(
+    edges: Dataset, workdir: str, max_iters: int = 20,
+    num_parts: int = 8, resume: bool = True,
+) -> tuple[Dataset, dict]:
+    import json
+    import os
+
+    import ray.data as rd
+
+    graph_meta = os.path.join(workdir, "GRAPH.json")
+    if os.path.exists(graph_meta):
+        info = json.load(open(graph_meta))
+    else:
+        info = build_graph_partitions(edges, workdir, num_parts, symmetrize=True)
+    prog = LabelPropProgram()
+    edges_ds = rd.read_parquet(os.path.join(workdir, "edges")).materialize()
+    run = run_supersteps(edges_ds, workdir, prog, info,
+                         max_iters=max_iters, resume=resume)
+    labels = final_state(workdir).select_columns(["id", "label"])
+    return labels, {**run, **info}

@@ -1,0 +1,122 @@
+"""[north-rule] PageRank as a partitioned gather-scatter superstep program.
+
+Formulation (standard power iteration with dangling redistribution):
+    r_{k+1}(v) = (1-d)/N + d * ( sum_{u->v} r_k(u)/outdeg(u) + D_k/N )
+where D_k = sum of r_k over dangling vertices (outdeg 0). Convergence:
+L1 delta below tol. Per-vertex parity target: allclose 1e-6 against a numpy
+power iteration of the same formulation (tests/test_pagerank.py).
+
+Multigraph semantics: parallel edges contribute multiple times (out_degree
+counts parallel edges) — consistent with the engine's degree kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+
+
+class PageRankProgram(VertexProgram):
+    name = "pagerank"
+    message_schema = pa.schema(
+        [("part_dst", pa.int64()), ("dst", pa.int64()), ("contrib", pa.float64())]
+    )
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-9):
+        self.damping = damping
+        self.tol = tol
+        self.params = {"damping": damping, "tol": tol}
+
+    def init_state(self, ids, out_degree, in_degree, n_total):
+        return pd.DataFrame(
+            {"id": ids, "rank": np.full(len(ids), 1.0 / n_total),
+             "out_degree": out_degree}
+        )
+
+    def gather(self, edges, state_of, global_vals):
+        outs = []
+        for p, g in edges.groupby("part", sort=False):
+            st = state_of[int(p)]
+            sid = st["id"].to_numpy()
+            pos = np.searchsorted(sid, g["src"].to_numpy())
+            contrib = (
+                st["rank"].to_numpy()[pos]
+                / np.maximum(st["out_degree"].to_numpy()[pos], 1)
+            )
+            part = pd.DataFrame({"dst": g["dst"].to_numpy(), "contrib": contrib})
+            outs.append(part.groupby("dst", as_index=False)["contrib"].sum())
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_apply(self, state, msgs, global_vals):
+        sid = state["id"].to_numpy()
+        sums = np.zeros(len(sid))
+        if len(msgs):
+            agg = msgs.groupby("dst", as_index=False)["contrib"].sum()
+            pos = np.searchsorted(sid, agg["dst"].to_numpy())
+            sums[pos] = agg["contrib"].to_numpy()
+        d = self.damping
+        n = global_vals["n_total"]
+        dang = global_vals["dangling_mass"]
+        new_rank = (1.0 - d) / n + d * (sums + dang / n)
+        old = state["rank"].to_numpy()
+        out = state.copy()
+        out["rank"] = new_rank
+        dangling = state["out_degree"].to_numpy() == 0
+        return out, {
+            "delta": float(np.abs(new_rank - old).sum()),
+            "dangling_next": float(new_rank[dangling].sum()),
+            "rank_sum": float(new_rank.sum()),
+            "n": len(out),
+        }
+
+    def init_metrics(self, state):
+        dangling = state["out_degree"].to_numpy() == 0
+        return {"dangling_next": float(state["rank"].to_numpy()[dangling].sum())}
+
+    def globals_from_metrics(self, metrics, n_total):
+        dang = (
+            float(metrics["dangling_next"].fillna(0.0).sum())
+            if "dangling_next" in metrics.columns else 0.0
+        )
+        return {"n_total": n_total, "dangling_mass": dang}
+
+    def converged(self, metrics):
+        return "delta" in metrics.columns and float(metrics["delta"].sum()) < self.tol
+
+
+def pagerank(
+    edges: Dataset,
+    workdir: str,
+    damping: float = 0.85,
+    tol: float = 1e-9,
+    max_iters: int = 100,
+    num_parts: int = 8,
+    resume: bool = True,
+    info: dict | None = None,
+) -> tuple[Dataset, dict]:
+    """Build partitions (if absent), run to convergence; returns
+    ((id, rank) Dataset, run info with per-superstep timings/edges-per-sec)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    graph_meta = os.path.join(workdir, "GRAPH.json")
+    if info is None:
+        if os.path.exists(graph_meta):
+            info = json.load(open(graph_meta))
+        else:
+            info = build_graph_partitions(edges, workdir, num_parts)
+    prog = PageRankProgram(damping, tol)
+    edges_ds = rd.read_parquet(
+        os.path.join(workdir, "edges")
+    ).materialize()
+    run = run_supersteps(edges_ds, workdir, prog, info,
+                         max_iters=max_iters, resume=resume)
+    ranks = final_state(workdir).select_columns(["id", "rank"])
+    return ranks, {**run, **info}

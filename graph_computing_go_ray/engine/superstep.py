@@ -1,0 +1,269 @@
+"""Partitioned gather-scatter superstep engine — the [north-rule] iterative
+core shared by PageRank, connected components and label propagation.
+
+Design (north_star wording from BASELINE.json):
+- Edges are hash-partitioned by ``src`` into per-partition CSR blocks
+  (Arrow/Parquet, sorted by src within each partition).
+- Vertex state lives as per-partition Parquet, one shard per partition,
+  re-written every superstep (checkpoint + exchange medium in one).
+- Each superstep is ONE Ray Data pipeline:
+    edges.map_batches(gather)  — reads the state shard(s) for the source
+      partitions in the block, computes per-edge messages, PRE-AGGREGATES
+      them per destination inside the block (combiner), and tags each
+      message row with part_dst = hash(dst) % P;
+    .groupby("part_dst").map_groups(reduce)  — the single all-to-all
+      shuffle; each group sums messages per dst, applies the vertex program
+      against the old state shard, writes the new shard, and returns one
+      metrics row.
+- Skew: a hot dst receives at most (#edge blocks) partial rows, not
+  (#in-edges) rows, because of the block-level combiner; the groupby key is
+  part_dst (P uniform groups), so no single reducer sees a hot vertex's raw
+  fan-in. This is the skew-aware salting of the north rule with the block
+  id acting as the salt.
+- The driver only sums tiny metrics frames and decides convergence; it
+  writes a lineage manifest per superstep (state/checkpoint.py) so a killed
+  job resumes mid-iteration.
+
+At 256 nodes / 100 TB: P scales with cluster size (state shard ≈ |V|/P rows
+must fit one worker), the state exchange becomes S3 instead of local disk,
+and the edge Dataset stays materialized in the object store across
+supersteps (the standard iterative-graph working set).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions.hashing import part_of
+from ..state import checkpoint as ckpt
+
+
+class VertexProgram:
+    """Interface for a superstep program. All frames are pandas with exact
+    int64 ids; state shards are sorted by id."""
+
+    name = "program"
+    message_schema: pa.Schema  # includes part_dst:int64, dst:int64 + payload
+
+    def init_state(self, ids: np.ndarray, out_degree: np.ndarray,
+                   in_degree: np.ndarray, n_total: int) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def gather(self, edges: pd.DataFrame, state_of: dict[int, pd.DataFrame],
+               global_vals: dict) -> pd.DataFrame:
+        """edges: (src, dst, part) for one block; state_of: part -> shard."""
+        raise NotImplementedError
+
+    def reduce_apply(self, state: pd.DataFrame, msgs: pd.DataFrame,
+                     global_vals: dict) -> tuple[pd.DataFrame, dict]:
+        """Returns (new_state, metrics). msgs excludes seed rows (dst==-1)."""
+        raise NotImplementedError
+
+    def globals_from_metrics(self, metrics: pd.DataFrame, n_total: int) -> dict:
+        return {}
+
+    def init_metrics(self, state: pd.DataFrame) -> dict:
+        """Extra metrics recorded with the iteration-0 checkpoint (e.g. the
+        initial dangling mass for PageRank)."""
+        return {}
+
+    def converged(self, metrics: pd.DataFrame) -> bool:
+        raise NotImplementedError
+
+
+def _read_state(workdir: str, iteration: int, part: int) -> pd.DataFrame:
+    return pq.read_table(ckpt.part_file(workdir, iteration, part)).to_pandas()
+
+
+def build_graph_partitions(
+    edges: Dataset, workdir: str, num_parts: int, symmetrize: bool = False,
+) -> dict:
+    """Write CSR edge partitions + degree-annotated vertex shards (iter-less
+    base layout). Returns {n_vertices, n_edges, num_parts}."""
+    os.makedirs(workdir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+             "part": pa.array(part_of(src, num_parts).astype(np.int64))}
+        )
+
+    tagged = edges.select_columns(["src", "dst"]).map_batches(tag, batch_format="pyarrow")
+
+    def csr_sort(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["src", "dst"], ignore_index=True)
+
+    tagged.groupby("part").map_groups(csr_sort, batch_format="pandas").write_parquet(
+        os.path.join(workdir, "edges"), partition_cols=["part"]
+    )
+
+    # vertex shards with degrees (multigraph counts, matching engine/entropy)
+    from .entropy import degree_table
+
+    e = rd.read_parquet(os.path.join(workdir, "edges"), columns=["src", "dst"])
+    deg = degree_table(e)
+
+    def vtag(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(ids, num_parts).astype(np.int64)))
+
+    vparts = deg.map_batches(vtag, batch_format="pyarrow")
+
+    def vwrite(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        g = g.sort_values("id", ignore_index=True)
+        os.makedirs(os.path.join(workdir, "base"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                g[["id", "in_degree", "out_degree"]], preserve_index=False
+            ),
+            os.path.join(workdir, "base", f"part-{p:05d}.parquet"),
+        )
+        return pd.DataFrame({"part": [p], "n": [len(g)]})
+
+    stats = vparts.groupby("part").map_groups(vwrite, batch_format="pandas").to_pandas()
+    n_vertices = int(stats["n"].sum())
+    n_edges = e.count()
+    info = {"n_vertices": n_vertices, "n_edges": n_edges, "num_parts": num_parts,
+            "parts": sorted(int(p) for p in stats["part"])}
+    import json
+
+    with open(os.path.join(workdir, "GRAPH.json"), "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def _init_state(workdir: str, program: VertexProgram, info: dict) -> None:
+    os.makedirs(ckpt.state_dir(workdir, 0), exist_ok=True)
+    metrics_rows = []
+    for p in info["parts"]:
+        base = pq.read_table(os.path.join(workdir, "base", f"part-{p:05d}.parquet"))
+        df = base.to_pandas()
+        st = program.init_state(
+            df["id"].to_numpy(), df["out_degree"].to_numpy(),
+            df["in_degree"].to_numpy(), info["n_vertices"],
+        )
+        pq.write_table(
+            pa.Table.from_pandas(st, preserve_index=False),
+            ckpt.part_file(workdir, 0, p),
+        )
+        m0 = {"part": p, "n": len(st)}
+        m0.update(program.init_metrics(st))
+        metrics_rows.append(m0)
+    ckpt.write_manifest(
+        workdir, 0,
+        {"iteration": 0, "parent": None, "program": program.name,
+         "metrics": metrics_rows, "converged": False},
+    )
+
+
+def run_supersteps(
+    edges_ds: Dataset,
+    workdir: str,
+    program: VertexProgram,
+    info: dict,
+    max_iters: int = 50,
+    resume: bool = True,
+) -> dict:
+    """Run the program to convergence (or max_iters). Returns run info with
+    per-superstep wall-times and edges/sec. Resumes from the latest complete
+    checkpoint when `resume`."""
+    num_parts = info["num_parts"]
+    parts = info["parts"]
+    n_total = info["n_vertices"]
+    n_edges = info["n_edges"]
+
+    start_iter = ckpt.latest_complete_iteration(workdir) if resume else None
+    if start_iter is None:
+        _init_state(workdir, program, info)
+        start_iter = 0
+
+    seed = pa.Table.from_pydict(
+        {name: pa.array(
+            [p if name == "part_dst" else (-1 if name == "dst" else 0)
+             for p in parts],
+            typ)
+         for name, typ in zip(program.message_schema.names, program.message_schema.types)},
+        schema=program.message_schema,
+    )
+
+    manifest = ckpt.read_manifest(workdir, start_iter)
+    metrics = pd.DataFrame(manifest["metrics"])
+    global_vals = program.globals_from_metrics(metrics, n_total)
+    timings = []
+    k = start_iter
+    converged = manifest.get("converged", False)
+    while not converged and k < max_iters:
+        t0 = time.time()
+        msg_schema = program.message_schema
+
+        def gather_fn(t: pa.Table, _k=k, _gv=global_vals) -> pa.Table:
+            df = t.to_pandas()
+            state_of = {
+                int(p): _read_state(workdir, _k, int(p))
+                for p in df["part"].unique()
+            }
+            out = program.gather(df, state_of, _gv)
+            out["part_dst"] = part_of(out["dst"].to_numpy(), num_parts).astype(np.int64)
+            return pa.Table.from_pandas(
+                out[msg_schema.names], preserve_index=False
+            ).cast(msg_schema)
+
+        msgs = edges_ds.map_batches(gather_fn, batch_format="pyarrow")
+        msgs = msgs.union(rd.from_arrow(seed))
+
+        def reduce_fn(g: pd.DataFrame, _k=k, _gv=global_vals) -> pd.DataFrame:
+            p = int(g["part_dst"].iloc[0])
+            real = g[g["dst"] != -1]
+            state = _read_state(workdir, _k, p)
+            new_state, m = program.reduce_apply(state, real, _gv)
+            os.makedirs(ckpt.state_dir(workdir, _k + 1), exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(new_state, preserve_index=False),
+                ckpt.part_file(workdir, _k + 1, p),
+            )
+            m["part"] = p
+            return pd.DataFrame([m])
+
+        metrics = (
+            msgs.groupby("part_dst").map_groups(reduce_fn, batch_format="pandas")
+            .to_pandas()
+        )
+        dt = time.time() - t0
+        k += 1
+        global_vals = program.globals_from_metrics(metrics, n_total)
+        converged = program.converged(metrics)
+        timings.append(
+            {"iteration": k, "sec": dt, "edges_per_sec": n_edges / dt if dt > 0 else None}
+        )
+        ckpt.write_manifest(
+            workdir, k,
+            {"iteration": k, "parent": k - 1, "program": program.name,
+             "params": getattr(program, "params", {}),
+             "metrics": metrics.to_dict("records"),
+             "sec": dt, "edges_per_sec": n_edges / max(dt, 1e-9),
+             "converged": bool(converged)},
+        )
+    return {
+        "iterations": k, "converged": bool(converged), "timings": timings,
+        "final_iter": k, "n_edges": n_edges, "n_vertices": n_total,
+    }
+
+
+def final_state(workdir: str, iteration: int | None = None) -> Dataset:
+    it = iteration if iteration is not None else ckpt.latest_complete_iteration(workdir)
+    return rd.read_parquet(ckpt.state_dir(workdir, it), file_extensions=["parquet"])

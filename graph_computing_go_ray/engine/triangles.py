@@ -1,0 +1,137 @@
+"""[north-rule] Triangle counting by degree-ordered edge orientation.
+
+Classic compact-forward scheme: orient every undirected edge from the
+endpoint with smaller (degree, id) to the larger; every triangle is counted
+exactly once as a wedge (a→b, a→c) closed by the oriented edge b→c.
+Orientation bounds out-degree by O(sqrt(m)), so wedge generation is
+polynomial-safe even with heavy-hitter vertices (the orientation IS the
+skew handling; SURVEY §2.10).
+
+Ray shape: distinct-edge dedup (groupby) → degree table (groupby) → two
+bucketed joins to attach endpoint degrees → per-src wedge generation
+(map_groups) → bucketed semi-join count against the oriented edge set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..functions.hashing import splitmix64
+from .join import bucket_join
+
+
+def undirected_distinct(edges: Dataset) -> Dataset:
+    """Canonical (u=min, v=max) distinct edge set; self-loops dropped."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()  # block-level combiner
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        )
+
+    c = edges.map_batches(canon, batch_format="pyarrow")
+    # distinct via the aggregate path (no per-group Python)
+    return c.groupby(["u", "v"]).aggregate(Sum("u", alias_name="_s")).drop_columns(["_s"])
+
+
+def _degrees(und: Dataset) -> Dataset:
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [t["u"].to_numpy(zero_copy_only=False), t["v"].to_numpy(zero_copy_only=False)]
+        )
+        vals, cnts = np.unique(ids, return_counts=True)
+        return pa.table({"id": vals.astype(np.int64), "deg": cnts.astype(np.int64)})
+
+    p = und.map_batches(partial, batch_format="pyarrow")
+    return p.groupby("id").aggregate(Sum("deg", alias_name="deg"))
+
+
+def triangle_count(edges: Dataset, num_buckets: int = 8) -> int:
+    und = undirected_distinct(edges).materialize()
+    deg = _degrees(und).materialize()
+
+    with_u = bucket_join(
+        und, deg.rename_columns({"id": "uid", "deg": "udeg"}),
+        on="u", right_on="uid", how="inner", num_buckets=num_buckets,
+    )
+    with_uv = bucket_join(
+        with_u, deg.rename_columns({"id": "vid", "deg": "vdeg"}),
+        on="v", right_on="vid", how="inner", num_buckets=num_buckets,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ud = t["udeg"].to_numpy(zero_copy_only=False)
+        vd = t["vdeg"].to_numpy(zero_copy_only=False)
+        u_first = (ud < vd) | ((ud == vd) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddeg = np.where(u_first, vd, ud)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+             "ddeg": pa.array(ddeg, pa.int64())}
+        )
+
+    oriented = with_uv.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedge generation: bucket by src, one vectorized task per bucket
+    # (numpy allpairs kernel — no per-group Python over |V| groups)
+    from ..functions.pairs import allpairs_by_group
+    from .join import add_bucket
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["src", "ddeg", "dst"])  # neighbor order = orientation order
+        a, b = allpairs_by_group(df["src"].to_numpy(), df["dst"].to_numpy())
+        return pd.DataFrame({"src": a, "dst": b})
+
+    cand = add_bucket(oriented, "src", num_buckets, out_col="wbucket").groupby(
+        "wbucket"
+    ).map_groups(wedges, batch_format="pandas")
+    cand = cand.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        ),
+        batch_format="pandas",
+    )
+
+    # bucketed semi-join count: candidates ∩ oriented edges on (src, dst)
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"src": t["src"].combine_chunks() if hasattr(t["src"], "combine_chunks") else t["src"],
+                 "dst": t["dst"],
+                 "bucket": pa.array(
+                     (splitmix64(s.astype(np.int64).view(np.uint64))
+                      % np.uint64(num_buckets)).astype(np.int64)),
+                 "side": pa.array(np.full(t.num_rows, side, dtype=np.int8))}
+            )
+
+        return fn
+
+    both = oriented.select_columns(["src", "dst"]).map_batches(
+        tag(0), batch_format="pyarrow"
+    ).union(cand.map_batches(tag(1), batch_format="pyarrow"))
+
+    def count_matches(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0][["src", "dst"]]
+        c = g[g["side"] == 1][["src", "dst"]]
+        if len(e) == 0 or len(c) == 0:
+            return pd.DataFrame({"n": [0]})
+        m = c.merge(e.drop_duplicates(), on=["src", "dst"], how="inner")
+        return pd.DataFrame({"n": [len(m)]})
+
+    counts = both.groupby("bucket").map_groups(count_matches, batch_format="pandas")
+    return int(counts.to_pandas()["n"].sum())

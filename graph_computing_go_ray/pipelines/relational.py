@@ -266,18 +266,11 @@ def entropy_report(sf_dir: str) -> pd.DataFrame:
 def cooccur_edges(sf_dir: str) -> Dataset:
     """Distinct undirected co-occurrence pairs of parts within an order —
     the wedge/self-join primitive behind NGD (A9) and triangles."""
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    from .graphalgos import cooccur_pairs
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["l_partkey"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"u": pd.Series([], dtype=np.int64),
-                                 "v": pd.Series([], dtype=np.int64)})
-        iu, iv = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"u": parts[iu], "v": parts[iv]})
-
-    cand = li.groupby("l_orderkey").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["u", "v"]).aggregate(Count(alias_name="n_orders"))
+    return cooccur_pairs(sf_dir).groupby(["u", "v"]).aggregate(
+        Count(alias_name="n_orders")
+    )
 
 
 # ---------------------------------------------------------------- events window

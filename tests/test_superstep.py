@@ -1,0 +1,131 @@
+"""PageRank / CC / LPA vs independent numpy oracles on seeded random graphs,
+plus the mid-iteration resume contract."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graph_computing_go_ray.engine.components import connected_components
+from graph_computing_go_ray.engine.labelprop import label_propagation
+from graph_computing_go_ray.engine.pagerank import pagerank
+from graph_computing_go_ray.state import checkpoint as ckpt
+
+
+def random_edges(n=300, m=1200, seed=7):
+    rng = np.random.RandomState(seed)
+    # zipf-ish dst skew so heavy hitters exist; drop self loops
+    src = rng.randint(0, n, size=m)
+    dst = (rng.zipf(1.3, size=m) - 1) % n
+    keep = src != dst
+    return pd.DataFrame({"src": src[keep].astype(np.int64),
+                         "dst": dst[keep].astype(np.int64)})
+
+
+def numpy_pagerank(edges: pd.DataFrame, d=0.85, tol=1e-9, iters=200):
+    ids = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    s = np.array([idx[v] for v in edges["src"]])
+    t = np.array([idx[v] for v in edges["dst"]])
+    outdeg = np.bincount(s, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, r[s] / outdeg[s])
+        new = (1 - d) / n + d * (contrib + dang / n)
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta < tol:
+            break
+    return dict(zip(ids, r))
+
+
+def numpy_cc(edges: pd.DataFrame):
+    ids = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+    parent = {v: v for v in ids}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in zip(edges["src"], edges["dst"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in ids}
+
+
+@pytest.fixture(scope="module")
+def graph(tmp_path_factory):
+    edges = random_edges()
+    return edges, rd.from_pandas(edges), str(tmp_path_factory.mktemp("ss"))
+
+
+def test_pagerank_matches_numpy(graph):
+    edges_pd, edges_ds, root = graph
+    wd = os.path.join(root, "pr")
+    ranks, info = pagerank(edges_ds, wd, tol=1e-10, max_iters=200, num_parts=4)
+    got = ranks.to_pandas().set_index("id")["rank"].to_dict()
+    want = numpy_pagerank(edges_pd, tol=1e-10)
+    assert info["converged"]
+    assert set(got) == set(want)
+    ids = sorted(got)
+    np.testing.assert_allclose(
+        [got[i] for i in ids], [want[i] for i in ids], rtol=0, atol=1e-6
+    )
+    assert abs(sum(got.values()) - 1.0) < 1e-8
+
+
+def test_pagerank_resume_mid_iteration(graph):
+    edges_pd, edges_ds, root = graph
+    wd_full = os.path.join(root, "pr_full")
+    wd_res = os.path.join(root, "pr_res")
+    ranks_full, _ = pagerank(edges_ds, wd_full, tol=1e-10, max_iters=200, num_parts=4)
+    # phase 1: stop after 3 supersteps
+    pagerank(edges_ds, wd_res, tol=1e-10, max_iters=3, num_parts=4)
+    assert ckpt.latest_complete_iteration(wd_res) == 3
+    # simulate a crash mid-iteration 4: partial state dir without manifest
+    os.makedirs(ckpt.state_dir(wd_res, 4), exist_ok=True)
+    open(os.path.join(ckpt.state_dir(wd_res, 4), "part-00000.parquet"), "wb").close()
+    # resume to convergence; must match the uninterrupted run exactly
+    ranks_res, info = pagerank(edges_ds, wd_res, tol=1e-10, max_iters=200, num_parts=4)
+    a = ranks_full.to_pandas().sort_values("id")["rank"].to_numpy()
+    b = ranks_res.to_pandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+    # lineage manifests recorded per superstep
+    m = ckpt.read_manifest(wd_res, info["final_iter"])
+    assert m["parent"] == info["final_iter"] - 1
+    assert "edges_per_sec" in m
+
+
+def test_connected_components_exact(graph):
+    edges_pd, edges_ds, root = graph
+    wd = os.path.join(root, "cc")
+    labels, info = connected_components(edges_ds, wd, num_parts=4)
+    got = labels.to_pandas().set_index("id")["label"].to_dict()
+    want = numpy_cc(edges_pd)
+    assert info["converged"]
+    assert got == want
+
+
+def test_label_propagation_deterministic(graph):
+    edges_pd, edges_ds, root = graph
+    wd1 = os.path.join(root, "lpa1")
+    wd2 = os.path.join(root, "lpa2")
+    l1, _ = label_propagation(edges_ds, wd1, max_iters=10, num_parts=4)
+    l2, _ = label_propagation(edges_ds, wd2, max_iters=10, num_parts=2)
+    a = l1.to_pandas().sort_values("id")["label"].to_numpy()
+    b = l2.to_pandas().sort_values("id")["label"].to_numpy()
+    # deterministic across partition counts
+    assert (a == b).all()
+    # labels coarsen communities: fewer labels than vertices
+    assert len(np.unique(a)) < len(a)
