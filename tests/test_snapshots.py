@@ -1,0 +1,130 @@
+"""Per-year snapshot pipelines (wiki-style) and the citation fold vs
+pure-python oracles on the deterministic synthetic tables."""
+
+import collections
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from graph_computing_go_ray.pipelines.citations import yearly_fold
+from graph_computing_go_ray.pipelines.pages import build_link_graph
+from graph_computing_go_ray.pipelines.snapshots import (
+    build_yearly_graphs,
+    degree_stats,
+    entropy_slices,
+    in_degree_export,
+)
+from graph_computing_go_ray.sources.pages_gen import generate_pages
+from graph_computing_go_ray.sources.works_gen import generate_works
+
+
+@pytest.fixture(scope="module")
+def yearly(tmp_path_factory):
+    pages_dir = str(tmp_path_factory.mktemp("pages"))
+    out_dir = str(tmp_path_factory.mktemp("graph"))
+    generate_pages(pages_dir, n_pages=600, seed=43, n_files=3)
+    paths = build_link_graph(pages_dir, out_dir, num_buckets=4)
+    yroot = str(tmp_path_factory.mktemp("yearly"))
+    ymap = build_yearly_graphs(paths["extracted"], yroot, num_buckets=4)
+    return paths, ymap
+
+
+def test_yearly_graphs_partition_pages(yearly):
+    paths, ymap = yearly
+    years = sorted(ymap)
+    assert len(years) >= 10  # warc_ts spread over 2004-2024
+    total_v = sum(
+        pq.read_table(p["vertices"]).num_rows for p in ymap.values()
+    )
+    n_extracted = pq.read_table(paths["extracted"]).num_rows
+    assert total_v == n_extracted  # every page in exactly one snapshot year
+
+
+def test_degree_stats_quirk(yearly):
+    _, ymap = yearly
+    year = sorted(ymap)[0]
+    h = degree_stats(ymap[year], year)
+    assert set(h["kind"]) <= {"links_in", "links_out", "links"}
+    # histogram totals: each kind counts every non-redirect vertex once
+    totals = h.groupby("kind")["n_vertices"].sum()
+    assert totals.nunique() == 1
+    vt = pq.read_table(ymap[year]["vertices"]).to_pylist()
+    n_nonred = sum(1 for r in vt if r["redirect"] is None)
+    assert totals.iloc[0] == n_nonred
+    # quirk: links_in is keyed by RESOLVED OUT-degree => its weighted sum
+    # equals the edge count from non-redirect sources
+    et = pq.read_table(ymap[year]["edges"]).to_pylist()
+    nonred_ids = {r["id"] for r in vt if r["redirect"] is None}
+    n_edges_nonred = sum(1 for e in et if e["src"] in nonred_ids)
+    li = h[h["kind"] == "links_in"]
+    assert int((li["degree"] * li["n_vertices"]).sum()) == n_edges_nonred
+
+
+def test_entropy_slices_match_oracle(yearly):
+    _, ymap = yearly
+    year = sorted(ymap)[1]
+    rep = entropy_slices(ymap[year], year)
+    assert len(rep) >= 1
+    full = rep[rep["end_percent"] == 100].iloc[0]
+    # oracle: build the same graph in python, entropy over in-degrees
+    vt = pq.read_table(ymap[year]["vertices"]).to_pylist()
+    et = pq.read_table(ymap[year]["edges"]).to_pylist()
+    nonred = {r["id"] for r in vt if r["redirect"] is None}
+    edges = [(e["src"], e["dst"]) for e in et if e["src"] in nonred]
+    ind = collections.Counter(d for _, d in edges)
+    vals = np.array(list(ind.values()), dtype=float)
+    f = vals / vals.sum()
+    want = float((-f * np.log2(f)).sum())
+    assert full["entropy_in"] == pytest.approx(want, abs=1e-9)
+    assert full["edge_count"] == len(edges)
+    # slices shrink monotonically in edge count
+    assert rep.sort_values("end_percent")["edge_count"].is_monotonic_increasing
+
+
+def test_in_degree_export(yearly):
+    _, ymap = yearly
+    year = sorted(ymap)[0]
+    out = in_degree_export(ymap[year], year).to_pandas()
+    assert (out["year"] == year).all()
+    assert out["id"].str.endswith(f"-{year}").all()
+    assert (out["count"] > 0).all()
+
+
+def test_citation_fold(tmp_path_factory):
+    wdir = str(tmp_path_factory.mktemp("works"))
+    out = str(tmp_path_factory.mktemp("fold"))
+    generate_works(wdir, n_works=800, seed=42, year_lo=2018, year_hi=2024)
+    years = [2024, 2022, 2020]
+    rep = yearly_fold(wdir, out, years, percent_plans=[(0, 20), (0, 100)])
+    assert set(rep["year"]) <= set(years)
+    assert set(rep["rank_type"]) == {"current", "total"}
+
+    # oracle for the oldest year, full slice, 'current' ranking
+    w = pq.read_table(f"{wdir}/works.parquet").to_pylist()
+    by_id = {r["id"]: r for r in w}
+    keep = {r["id"] for r in w
+            if not (r["links_in_works"] == 0 and len(r["referenced_works"]) == 0)}
+    y = 2020
+    snap_ids = {i for i in keep if by_id[i]["publication_year"] <= y}
+    edges = [(r["id"], t) for r in w if r["id"] in snap_ids
+             for t in r["referenced_works"] if t in snap_ids]
+    cur = collections.Counter(d for _, d in edges)
+    t4 = {i for i in snap_ids if cur.get(i, 0) >= 2}
+    sub = [(s, d) for s, d in edges if s in t4 and d in t4]
+    ind = collections.Counter(d for _, d in sub)
+    vals = np.array(list(ind.values()), dtype=float)
+    f = vals / vals.sum()
+    want = float((-f * np.log2(f)).sum())
+    got = rep[(rep["year"] == y) & (rep["rank_type"] == "current")
+              & (rep["end_percent"] == 100)].iloc[0]
+    assert got["edge_count"] == len(sub)
+    assert got["entropy_in"] == pytest.approx(want, abs=1e-9)
+    # resume: rerun reads per-year checkpoints and reproduces the frame
+    rep2 = yearly_fold(wdir, out, years, percent_plans=[(0, 20), (0, 100)])
+    pd.testing.assert_frame_equal(
+        rep.reset_index(drop=True), rep2.reset_index(drop=True)
+    )

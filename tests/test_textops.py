@@ -1,0 +1,138 @@
+"""Dedup / similarity / text-analysis operators on a planted-duplicate
+corpus: exact dedup exactness, MinHash-LSH and SimHash recall against the
+exact oracles, LSH-cosine recall vs brute force, lang-id accuracy."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from graph_computing_go_ray.functions import text as T
+from graph_computing_go_ray.pipelines import dedup as D
+from graph_computing_go_ray.pipelines import similarity as S
+from graph_computing_go_ray.pipelines import textstats as TX
+
+VOCAB = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu "
+         "xi omicron pi rho sigma tau upsilon phi chi psi omega").split()
+
+
+def _corpus(tmpdir: str) -> str:
+    """60 base docs; docs 100+i is a near-dup of doc i for i<10 (one word
+    changed); docs 200/201 are EXACT duplicates of docs 0/1."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(60):
+        words = [VOCAB[k] for k in rng.randint(0, len(VOCAB), size=40)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    for i in range(10):
+        words = rows[i]["text"].split()
+        words[7] = "changedword"
+        rows.append({"doc_id": 100 + i, "text": " ".join(words)})
+    rows.append({"doc_id": 200, "text": rows[0]["text"]})
+    rows.append({"doc_id": 201, "text": rows[1]["text"]})
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"
+    df["source"] = "synthetic"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+def _exact_jaccard_pairs(df: pd.DataFrame, n=3, threshold=0.5):
+    sets = {}
+    for r in df.itertuples():
+        ws = T.word_tokens(r.text)
+        sets[r.doc_id] = {" ".join(ws[k:k + n]) for k in range(len(ws) - n + 1)}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        if i and i / len(sets[a] | sets[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = _corpus(str(tmp_path_factory.mktemp("docs")))
+    df = pq.read_table(f"{d}/documents.parquet").to_pandas()
+    return d, df
+
+
+def test_exact_dedup(corpus):
+    d, df = corpus
+    kept = sorted(D.exact_dedup_keep(d).to_pandas()["doc_id"])
+    # 200/201 collapse into 0/1
+    assert 200 not in kept and 201 not in kept
+    assert len(kept) == len(df) - 2
+
+
+def test_ngram_jaccard_finds_planted(corpus):
+    d, df = corpus
+    got = D.ngram_jaccard_pairs(d, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    want = _exact_jaccard_pairs(df, threshold=0.5)
+    assert want <= got_pairs  # exact kernel: no misses
+    for i in range(10):
+        assert (i, 100 + i) in got_pairs
+
+
+def test_minhash_lsh_recall(corpus):
+    d, df = corpus
+    got = D.minhash_lsh_pairs(d, threshold=0.35).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    want = _exact_jaccard_pairs(df, threshold=0.5)
+    recall = len(want & got_pairs) / max(1, len(want))
+    assert recall >= 0.9, f"minhash recall {recall} on {len(want)} true pairs"
+
+
+def test_simhash_finds_near_identical(corpus):
+    d, df = corpus
+    got = D.simhash_pairs(d, max_hamming=8).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    hits = sum((i, 100 + i) in got_pairs for i in range(10))
+    # exact duplicates always collide (hamming 0)
+    assert (0, 200) in got_pairs and (1, 201) in got_pairs
+    assert hits >= 7, f"simhash caught {hits}/10 planted near-dups"
+
+
+def test_lsh_cosine_recall_vs_bruteforce():
+    sf = "/root/testdata/sf0.001"
+    brute = S.cosine_pairs(sf, threshold=0.3).to_pandas()
+    lsh = S.lsh_cosine_pairs(sf, threshold=0.3).to_pandas()
+    want = set(zip(brute["vec_a"], brute["vec_b"]))
+    got = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert got <= want  # verify step guarantees no false positives
+    recall = len(want & got) / max(1, len(want))
+    assert recall >= 0.6, f"lsh recall {recall} of {len(want)} pairs"
+
+
+def test_lang_id_on_marker_text(tmp_path):
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog of a house is that it for"},
+        {"doc_id": 1, "text": "der hund und die katze ist nicht ein tier mit"},
+        {"doc_id": 2, "text": "le chat et la maison est une pour dans que pas"},
+        {"doc_id": 3, "text": "el gato y los perros es una para por con del no"},
+        {"doc_id": 4, "text": "qwermasd zxcvploi"},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = ["en", "de", "fr", "es", "und"]
+    df["source"] = "x"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+    got = TX.lang_id(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert list(got["lang_pred"]) == ["en", "de", "fr", "es", "und"]
+
+
+def test_rolling_fingerprint_deterministic(corpus):
+    d, df = corpus
+    a = TX.rolling_fingerprints(d).to_pandas().sort_values("doc_id")
+    b = TX.rolling_fingerprints(d).to_pandas().sort_values("doc_id")
+    assert (a["rolling_fp"].to_numpy() == b["rolling_fp"].to_numpy()).all()
+    # exact duplicates share fingerprints
+    fp = dict(zip(a["doc_id"], a["rolling_fp"]))
+    assert fp[0] == fp[200] and fp[1] == fp[201]
