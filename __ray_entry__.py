@@ -235,19 +235,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
             "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2"
         ),
+        # cosine in explicit DOUBLE math: DuckDB's list_cosine_similarity
+        # computes in float32 and drifts ~1e-6 from the engine's float64
         "ann_topk": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
-            "           WHERE vec_id < 10), "
-            "s AS (SELECT qid, vec_id, round(list_cosine_similarity(qe, "
-            "      embedding), 6) AS sim FROM q, embeddings WHERE vec_id <> qid) "
-            "SELECT qid AS query_id, vec_id, sim FROM s "
+            "WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+            "     CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM flat GROUP BY 1), "
+            "dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, sum(a.x*b.x) AS d "
+            "  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < 10 "
+            "  AND b.vec_id <> a.vec_id GROUP BY 1, 2), "
+            "s AS (SELECT qid, cid, round(d / (na.n * nb.n), 6) AS sim "
+            "  FROM dots JOIN norms na ON qid = na.vec_id "
+            "  JOIN norms nb ON cid = nb.vec_id) "
+            "SELECT qid AS query_id, cid AS vec_id, sim FROM s "
             "QUALIFY row_number() OVER (PARTITION BY qid "
-            "  ORDER BY sim DESC, vec_id) <= 5"
+            "  ORDER BY sim DESC, cid) <= 5"
         ),
         "cosine_pairs": (
-            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-            "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35"
+            "WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+            "     CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM flat GROUP BY 1), "
+            "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x*b.x) AS d "
+            "  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id "
+            "  GROUP BY 1, 2) "
+            "SELECT va AS vec_a, vb AS vec_b, round(d / (na.n * nb.n), 6) AS sim "
+            "FROM dots JOIN norms na ON va = na.vec_id "
+            "JOIN norms nb ON vb = nb.vec_id "
+            "WHERE d / (na.n * nb.n) >= 0.35"
         ),
     }

@@ -84,7 +84,13 @@ def bucket_join(
     Output columns: left columns then right columns minus the join key.
     Integer columns survive outer joins as nullable int64 (not float)."""
     l_schema = left.schema()
+    if l_schema is None:  # schema unknown until executed (e.g. lazy unions)
+        left = left.materialize()
+        l_schema = left.schema()
     r_schema = right.schema()
+    if r_schema is None:
+        right = right.materialize()
+        r_schema = right.schema()
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     keep_r = [c for c in r_cols if c != right_on]

@@ -66,8 +66,7 @@ def build_link_graph(
     red_ids = resolve_redirect_ids(vertices, origin_dir, norm_dir, num_buckets)
     vert_out = bucket_join(
         vertices.select_columns(["id", "url", "redirect"]),
-        red_ids.rename_columns({"id": "rid"}),
-        on="id", right_on="rid", how="left", num_buckets=num_buckets,
+        red_ids, on="id", right_on="id", how="left", num_buckets=num_buckets,
     )
     vert_out.write_parquet(paths["vertices"])
 

@@ -118,9 +118,13 @@ def cosine_pairs(sf_dir: str, threshold: float = 0.35) -> Dataset:
 
 
 def lsh_cosine_pairs(
-    sf_dir: str, threshold: float = 0.35, n_planes: int = 12, n_tables: int = 6,
+    sf_dir: str, threshold: float = 0.35, n_planes: int = 3, n_tables: int = 10,
     seed: int = 11,
 ) -> Dataset:
+    # few planes / many tables: collision prob per table for cosine s is
+    # (1 - arccos(s)/pi)^n_planes; at s≈0.35 that's ~0.22 with 3 planes,
+    # so 10 tables give ~0.92 recall. More planes would starve recall at
+    # the modest thresholds these random embeddings support.
     """Random-hyperplane LSH candidates → exact cosine verify — the
     scale path for embedding near-dup (recall measured in tests vs the
     brute-force baseline)."""

@@ -76,12 +76,11 @@ def build_yearly_graphs(
         vertices = vertices_from_extracted(ypages).materialize()
         origin_dir, norm_dir = write_resolution_buckets(vertices, ydir, num_buckets)
         red = resolve_redirect_ids(vertices, origin_dir, norm_dir, num_buckets)
-        from ..engine.join import bucket_join, rename
+        from ..engine.join import bucket_join
 
         vert_out = bucket_join(
             vertices.select_columns(["id", "url", "redirect", "links_out"]),
-            rename(red, {"id": "rid"}), on="id", right_on="rid", how="left",
-            num_buckets=num_buckets,
+            red, on="id", right_on="id", how="left", num_buckets=num_buckets,
         )
         vert_out.write_parquet(paths["vertices"])
         resolve_edges(vertices, origin_dir, norm_dir, num_buckets).write_parquet(

@@ -167,9 +167,15 @@ def chase(
 ) -> Dataset:
     """Resolve (src, key) candidates to (src, dst) through ≤`rounds` redirect
     hops (J2/J3). Unresolved candidates are dropped."""
+    import ray.data as rd
+
     edge_cols = {"src": pa.int64(), "dst": pa.int64()}
     key_cols = {"src": pa.int64(), "key": pa.large_string()}
-    resolved: list[Dataset] = []
+    # schema seed: an empty resolved table so downstream schema survives
+    # even when a round (or the whole chase) resolves nothing
+    resolved: list[Dataset] = [rd.from_arrow(pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    ))]
     active = candidates
     for _ in range(rounds):
         a = add_bucket(active, "key", num_buckets)
@@ -224,14 +230,22 @@ def resolve_redirect_ids(
             {"src": f["id"], "key": pc.cast(f["redirect"], pa.large_string())}
         )
 
+    import ray.data as rd
+
     c = vertices.map_batches(cands, batch_format="pyarrow")
     res = chase(c, origin_dir, norm_dir,
                 advance_on_norm_redirect=False, num_buckets=num_buckets)
-    return res.map_batches(
+    mapped = res.map_batches(
         lambda t: t.filter(pc.not_equal(t["src"], t["dst"]))
         .rename_columns(["id", "redirect_id"]),
         batch_format="pyarrow",
     )
+    # typed empty seed: an all-empty chase otherwise yields Unknown schema
+    # (map_batches UDFs never run on 0-row blocks)
+    seed = rd.from_arrow(pa.table(
+        {"id": pa.array([], pa.int64()), "redirect_id": pa.array([], pa.int64())}
+    ))
+    return seed.union(mapped)
 
 
 def resolve_edges(
