@@ -6,17 +6,20 @@ Reference semantics: in-degree = count(*) grouped by dst over resolved edges
 (/root/reference/internal/wikiEntropy/degreeStats.go:28-40).
 
 Scale notes: the groupby(dst) is THE wide shuffle of the engine. Every kernel
-here pre-aggregates inside map_batches (one partial row per key per block)
-before the global groupby, so the shuffle moves |distinct keys per block|
-rows, not |edges| rows — the combiner pattern that holds at 100 TB.
+pre-aggregates inside map_batches (one partial row per key per block) and the
+global combine is the hash-bucketed grouped aggregation of engine/join.py
+(single-int shuffle key + vectorized per-bucket reduce), so the shuffle moves
+|distinct keys per block| rows and never sort-merges wide keys.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
+
+from .join import bucket_grouped, bucket_grouped_sum
 
 
 def _partial_count(key: str, out_name: str):
@@ -30,11 +33,11 @@ def _partial_count(key: str, out_name: str):
 
 
 def grouped_count(ds: Dataset, key: str, out_name: str) -> Dataset:
-    """count(*) GROUP BY key, with per-block partial aggregation."""
+    """count(*) GROUP BY key: per-block partials + bucketed final sum."""
     partial = ds.select_columns([key]).map_batches(
         _partial_count(key, out_name), batch_format="pyarrow"
     )
-    return partial.groupby(key).aggregate(Sum(out_name, alias_name=out_name))
+    return bucket_grouped_sum(partial, [key], [out_name])
 
 
 def in_degree(edges: Dataset) -> Dataset:
@@ -52,9 +55,7 @@ def degree_histogram(degree_ds: Dataset, degree_col: str) -> Dataset:
     partial = degree_ds.select_columns([degree_col]).map_batches(
         _partial_count(degree_col, "n_vertices"), batch_format="pyarrow"
     )
-    return partial.groupby(degree_col).aggregate(
-        Sum("n_vertices", alias_name="n_vertices")
-    )
+    return bucket_grouped_sum(partial, [degree_col], ["n_vertices"])
 
 
 def distinct_edges(edges: Dataset) -> Dataset:
@@ -67,4 +68,20 @@ def distinct_edges(edges: Dataset) -> Dataset:
         return g.rename_columns(["src", "dst", "multiplicity"])
 
     p = edges.select_columns(["src", "dst"]).map_batches(partial, batch_format="pyarrow")
-    return p.groupby(["src", "dst"]).aggregate(Sum("multiplicity", alias_name="multiplicity"))
+    return bucket_grouped_sum(p, ["src", "dst"], ["multiplicity"])
+
+
+def distinct_pairs(ds: Dataset, keys: list[str], num_buckets: int = 32) -> Dataset:
+    """DISTINCT keys via per-block drop_duplicates + bucketed dedup."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            batch.select(keys).to_pandas().drop_duplicates(), preserve_index=False
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[keys].drop_duplicates()
+
+    return bucket_grouped(p, keys, dedup, num_buckets)

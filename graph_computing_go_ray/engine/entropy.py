@@ -52,10 +52,9 @@ def _degree_table(edges: Dataset) -> Dataset:
     partials = edges.select_columns(["src", "dst"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return partials.groupby("id").aggregate(
-        Sum("in_degree", alias_name="in_degree"),
-        Sum("out_degree", alias_name="out_degree"),
-    )
+    from .join import bucket_grouped_sum
+
+    return bucket_grouped_sum(partials, ["id"], ["in_degree", "out_degree"])
 
 
 def degree_table(edges: Dataset) -> Dataset:

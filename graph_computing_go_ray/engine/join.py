@@ -55,11 +55,64 @@ def add_bucket(ds: Dataset, key_col: str, num_buckets: int,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def bucket_grouped(
+    ds: Dataset,
+    keys: list[str],
+    agg_fn,
+    num_buckets: int = 32,
+    out_schema: pa.Schema | None = None,
+) -> Dataset:
+    """Exact grouped aggregation via hash-bucket co-grouping: bucket on the
+    first key, one vectorized pandas aggregation task per bucket.
+
+    ~20x faster than Ray's sort-based ``groupby().aggregate`` on
+    million-row keysets (measured: 0.8s vs 15.9s on 1.2M pairs, 32 CPUs)
+    because the shuffle key is a single small int and each reducer runs one
+    hash groupby instead of a sorted merge. agg_fn: pandas DataFrame (all
+    rows of one bucket) -> DataFrame."""
+    # coalesce first: Ray's sort-groupby degrades badly on many tiny blocks
+    # (measured 34s vs 0.8s at ~1000 blocks / 0.8M rows)
+    b = add_bucket(ds, keys[0], num_buckets).repartition(
+        max(16, min(128, num_buckets * 2))
+    )
+    out = b.groupby("bucket").map_groups(agg_fn, batch_format="pandas")
+    if out_schema is not None:
+        return out.map_batches(
+            lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(out_schema),
+            batch_format="pandas",
+        )
+    return out.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False),
+        batch_format="pandas",
+    )
+
+
+def bucket_grouped_count(
+    ds: Dataset, keys: list[str], name: str, num_buckets: int = 32,
+) -> Dataset:
+    """count(*) GROUP BY keys, bucketed (drop-in for Count aggregates)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(keys, as_index=False).size()
+        return out.rename(columns={"size": name})
+
+    return bucket_grouped(ds, keys, fn, num_buckets)
+
+
+def bucket_grouped_sum(
+    ds: Dataset, keys: list[str], sum_cols: list[str], num_buckets: int = 32,
+) -> Dataset:
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False)[sum_cols].sum()
+
+    return bucket_grouped(ds, keys, fn, num_buckets)
+
+
 def write_bucketed(ds: Dataset, key_col: str, num_buckets: int, out_dir: str) -> str:
     """Bucket a table by key hash and write one Parquet subdir per bucket
     (hive layout bucket=N) — the reusable side of a repeated lookup join."""
     add_bucket(ds, key_col, num_buckets).write_parquet(
-        out_dir, partition_cols=["bucket"]
+        out_dir, partition_cols=["bucket"], mode="overwrite"
     )
     return out_dir
 
@@ -124,25 +177,30 @@ def bucket_join(
 
     both = l2.map_batches(pad, batch_format="pyarrow").union(
         r2.map_batches(pad, batch_format="pyarrow")
-    )
+    ).repartition(max(16, min(128, num_buckets * 2)))  # see bucket_grouped note
 
     pd_how = {"left": "left", "left_outer": "left", "inner": "inner"}[how]
     out_fields = [(c, l_types[c]) for c in l_cols] + [(c, r_types[c]) for c in keep_r]
     out_schema = pa.schema(out_fields)
 
+    def _mapper(t: pa.DataType):
+        # ArrowDtype ONLY for integer columns: keeps int64-with-null exact
+        # (never float64 — that corrupts 63-bit hash ids) while strings
+        # stay object dtype (ArrowDtype string merges are far slower)
+        import pyarrow.types as pt
+
+        return pd.ArrowDtype(t) if pt.is_integer(t) else None
+
     def merge(g: pa.Table) -> pa.Table:
-        # sides split in Arrow and converted with ArrowDtype so int64 columns
-        # with nulls never degrade to float64 (which silently corrupts the
-        # low bits of 63-bit hash ids)
         import pyarrow.compute as pc
 
         lg = g.filter(pc.equal(g["__side"], 0)).select(l_cols).to_pandas(
-            types_mapper=pd.ArrowDtype
+            types_mapper=_mapper
         )
         rg = (
             g.filter(pc.equal(g["__side"], 1)).select(r_cols)
             .rename_columns([on if c == right_on else c for c in r_cols])
-            .to_pandas(types_mapper=pd.ArrowDtype)
+            .to_pandas(types_mapper=_mapper)
         )
         out = lg.merge(rg, on=on, how=pd_how)[l_cols + keep_r]
         return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)

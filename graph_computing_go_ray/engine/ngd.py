@@ -59,10 +59,13 @@ def google_distance(
 
     filt = edges.map_batches(core_filter, batch_format="pyarrow")
     # distinct (src,dst): in-neighbor SETS, parallel edges dropped (D6)
-    distinct = filt.groupby(["src", "dst"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
-    distinct = distinct.materialize()
+    from .degrees import distinct_pairs
 
-    sizes = distinct.groupby("dst").aggregate(Count(alias_name="n"))
+    distinct = distinct_pairs(filt, ["src", "dst"]).materialize()
+
+    from .join import bucket_grouped_count
+
+    sizes = bucket_grouped_count(distinct, ["dst"], "n")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = g.sort_values(["src", "dst"])
@@ -77,7 +80,9 @@ def google_distance(
         ),
         batch_format="pandas",
     )
-    inter = cand.groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+    from .join import bucket_grouped_count as _bgc
+
+    inter = _bgc(cand, ["a", "b"], "i")
 
     j1 = bucket_join(inter, rename(sizes, {"dst": "ad", "n": "na"}),
                      on="a", right_on="ad", how="inner", num_buckets=num_buckets)

@@ -108,7 +108,7 @@ def build_graph_partitions(
         return g.sort_values(["src", "dst"], ignore_index=True)
 
     tagged.groupby("part").map_groups(csr_sort, batch_format="pandas").write_parquet(
-        os.path.join(workdir, "edges"), partition_cols=["part"]
+        os.path.join(workdir, "edges"), partition_cols=["part"], mode="overwrite"
     )
 
     # vertex shards with degrees (multigraph counts, matching engine/entropy)

@@ -41,8 +41,9 @@ def undirected_distinct(edges: Dataset) -> Dataset:
         )
 
     c = edges.map_batches(canon, batch_format="pyarrow")
-    # distinct via the aggregate path (no per-group Python)
-    return c.groupby(["u", "v"]).aggregate(Sum("u", alias_name="_s")).drop_columns(["_s"])
+    from .degrees import distinct_pairs
+
+    return distinct_pairs(c, ["u", "v"])
 
 
 def _degrees(und: Dataset) -> Dataset:
@@ -54,7 +55,9 @@ def _degrees(und: Dataset) -> Dataset:
         return pa.table({"id": vals.astype(np.int64), "deg": cnts.astype(np.int64)})
 
     p = und.map_batches(partial, batch_format="pyarrow")
-    return p.groupby("id").aggregate(Sum("deg", alias_name="deg"))
+    from .join import bucket_grouped_sum
+
+    return bucket_grouped_sum(p, ["id"], ["deg"])
 
 
 def triangle_count(edges: Dataset, num_buckets: int = 8) -> int:

@@ -90,6 +90,24 @@ def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def parse_subject_tags(tags: list[str], level: int, subjects: set[str]) -> list[str]:
+    """M9: from tags 'lv{L}-{Subject}-{year}' keep level-L tags, re-join the
+    middle parts and validate against the subject list
+    (/root/reference/internal/wikiEntropy/wikiMultilayersSubjectEntropy.go:47-63)."""
+    prefix = f"lv{level}-"
+    out = []
+    for tag in tags:
+        if not tag.startswith(prefix):
+            continue
+        parts = tag.split("-")
+        if len(parts) < 3:
+            continue
+        subject = "-".join(parts[1:-1])
+        if subject in subjects:
+            out.append(subject)
+    return out
+
+
 def md5_fingerprint(texts) -> list[str]:
     """Document fingerprint = hex MD5 of the raw text (DuckDB md5() parity)."""
     return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]

@@ -119,7 +119,7 @@ def yearly_fold(
                 batch_format="pyarrow",
             )
             os.makedirs(ydir, exist_ok=True)
-            snap.write_parquet(epath)
+            snap.write_parquet(epath, mode="overwrite")
             with open(os.path.join(ydir, "_SUCCESS"), "w") as f:
                 f.write("ok")
             snap = rd.read_parquet(epath, columns=["src", "dst", "src_year", "dst_year"])

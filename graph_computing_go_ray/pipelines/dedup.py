@@ -15,7 +15,8 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-from ..engine.join import add_bucket, bucket_join, rename
+from ..engine.join import add_bucket, bucket_grouped_count, bucket_join, rename
+from ..engine.degrees import distinct_pairs
 from ..functions import text as T
 from ..functions.hashing import hash_strings, minhash_params
 from ..functions.pairs import allpairs_by_group
@@ -64,7 +65,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> Dataset:
     J >= threshold; pairs sharing no gram never materialize."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     grams = docs.map_batches(_gram_rows, batch_format="pyarrow").materialize()
-    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n"))
+    sizes = bucket_grouped_count(grams, ["doc_id"], "n")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         df = g.sort_values(["gram", "doc_id"])
@@ -79,7 +80,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.2) -> Dataset:
         ),
         batch_format="pandas",
     )
-    inter = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="i"))
+    inter = bucket_grouped_count(cand, ["doc_a", "doc_b"], "i")
     j1 = bucket_join(inter, rename(sizes, {"doc_id": "ad", "n": "na"}),
                      on="doc_a", right_on="ad", how="inner")
     j2 = bucket_join(j1, rename(sizes, {"doc_id": "bd", "n": "nb"}),
@@ -177,7 +178,7 @@ def minhash_lsh_pairs(
         ),
         batch_format="pandas",
     )
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    cand = distinct_pairs(cand, ["doc_a", "doc_b"])
 
     # verify: estimated jaccard from full signatures (broadcast signature map
     # — at 100 TB this verify joins signatures by doc instead)
@@ -259,7 +260,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 12) -> Dataset:
         ),
         batch_format="pandas",
     )
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    cand = distinct_pairs(cand, ["doc_a", "doc_b"])
 
     import ray
 

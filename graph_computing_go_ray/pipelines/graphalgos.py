@@ -25,9 +25,15 @@ from ..sources.readers import lineitem_edges, read_table
 ROUND = 6
 
 
+ALGO_VERSION = "v2"  # bump when superstep/program semantics change so
+# checkpoint reuse can never serve results from an older engine
+
+
 def _workdir(sf_dir: str, algo: str) -> str:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join("/tmp/gcgr_work", f"{os.path.basename(sf_dir)}-{key}", algo)
+    return os.path.join(
+        "/tmp/gcgr_work", f"{os.path.basename(sf_dir)}-{key}-{ALGO_VERSION}", algo
+    )
 
 
 def cooccur_pairs(sf_dir: str, num_buckets: int = 8) -> Dataset:
@@ -62,9 +68,11 @@ def cooccur_pairs(sf_dir: str, num_buckets: int = 8) -> Dataset:
 
 def cooccur_edge_ds(sf_dir: str) -> Dataset:
     """Distinct undirected co-occurrence pairs of parts within an order."""
-    return undirected_distinct(
-        cooccur_pairs(sf_dir).rename_columns({"u": "src", "v": "dst"})
-    ).rename_columns({"u": "src", "v": "dst"})
+    from ..engine.degrees import distinct_pairs
+
+    return distinct_pairs(cooccur_pairs(sf_dir), ["u", "v"]).rename_columns(
+        {"u": "src", "v": "dst"}
+    )
 
 
 def pagerank_bipartite(sf_dir: str) -> Dataset:

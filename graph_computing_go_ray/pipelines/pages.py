@@ -50,10 +50,10 @@ def build_link_graph(
         concurrency=extract_concurrency,
     ).materialize()
     extracted_all.filter(expr="ok == True").drop_columns(["ok"]).write_parquet(
-        paths["extracted"]
+        paths["extracted"], mode="overwrite"
     )
     extracted_all.filter(expr="ok == False").select_columns(["url"]).write_parquet(
-        paths["failed"]
+        paths["failed"], mode="overwrite"
     )
 
     # Stage 2: resolution tables bucketed once; chase shuffles only actives
@@ -68,10 +68,10 @@ def build_link_graph(
         vertices.select_columns(["id", "url", "redirect"]),
         red_ids, on="id", right_on="id", how="left", num_buckets=num_buckets,
     )
-    vert_out.write_parquet(paths["vertices"])
+    vert_out.write_parquet(paths["vertices"], mode="overwrite")
 
     edges = resolve_edges(vertices, origin_dir, norm_dir, num_buckets)
-    edges.write_parquet(paths["edges"])
+    edges.write_parquet(paths["edges"], mode="overwrite")
 
     with open(marker, "w") as f:
         f.write("ok")

@@ -235,7 +235,9 @@ def link_entropy_per_vertex(sf_dir: str) -> Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     p = li.map_batches(partial, batch_format="pyarrow")
-    agg = p.groupby("src").aggregate(Sum("s", alias_name="s"), Sum("s1", alias_name="s1"))
+    from ..engine.join import bucket_grouped_sum
+
+    agg = bucket_grouped_sum(p, ["src"], ["s", "s1"])
 
     def finish(t: pa.Table) -> pa.Table:
         s = t["s"].to_numpy(zero_copy_only=False)
@@ -266,11 +268,10 @@ def entropy_report(sf_dir: str) -> pd.DataFrame:
 def cooccur_edges(sf_dir: str) -> Dataset:
     """Distinct undirected co-occurrence pairs of parts within an order —
     the wedge/self-join primitive behind NGD (A9) and triangles."""
+    from ..engine.join import bucket_grouped_count
     from .graphalgos import cooccur_pairs
 
-    return cooccur_pairs(sf_dir).groupby(["u", "v"]).aggregate(
-        Count(alias_name="n_orders")
-    )
+    return bucket_grouped_count(cooccur_pairs(sf_dir), ["u", "v"], "n_orders")
 
 
 # ---------------------------------------------------------------- NGD (A9)

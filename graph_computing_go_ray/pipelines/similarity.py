@@ -175,9 +175,9 @@ def lsh_cosine_pairs(
         ),
         batch_format="pandas",
     )
-    from ray.data.aggregate import Count
+    from ..engine.degrees import distinct_pairs
 
-    cand = cand.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    cand = distinct_pairs(cand, ["vec_a", "vec_b"])
 
     def verify(t: pa.Table) -> pa.Table:
         all_ids, all_m, _ = ray.get(ref)

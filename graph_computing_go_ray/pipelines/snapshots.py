@@ -82,9 +82,9 @@ def build_yearly_graphs(
             vertices.select_columns(["id", "url", "redirect", "links_out"]),
             red, on="id", right_on="id", how="left", num_buckets=num_buckets,
         )
-        vert_out.write_parquet(paths["vertices"])
+        vert_out.write_parquet(paths["vertices"], mode="overwrite")
         resolve_edges(vertices, origin_dir, norm_dir, num_buckets).write_parquet(
-            paths["edges"]
+            paths["edges"], mode="overwrite"
         )
         with open(marker, "w") as f:
             f.write("ok")

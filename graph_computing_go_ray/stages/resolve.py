@@ -47,11 +47,14 @@ def vertices_from_extracted(extracted: Dataset) -> Dataset:
     return extracted.map_batches(_with_id, batch_format="pyarrow")
 
 
-def _priority_pick(g: pd.DataFrame) -> pd.DataFrame:
-    """D2: prefer non-redirect over redirect, then max id (deterministic)."""
-    nonred = g[g["redirect"].isna()]
-    cand = nonred if len(nonred) else g
-    return cand.sort_values("id").tail(1)
+def _priority_pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """D2 per bucket, vectorized: prefer non-redirect over redirect, then
+    max id (deterministic deviation from last-write-wins; SURVEY §7.4.2).
+    Sort puts the winner first per key, then one drop_duplicates."""
+    g = g.assign(_nr=g["redirect"].isna()).sort_values(
+        ["key", "_nr", "id"], ascending=[True, False, False]
+    )
+    return g.drop_duplicates("key", keep="first")[["key", "id", "redirect"]]
 
 
 _RES_SCHEMA = pa.schema(
@@ -73,12 +76,9 @@ def resolution_table(vertices: Dataset, normalized: bool) -> Dataset:
     ds = vertices.select_columns(["url", "id", "redirect"]).map_batches(
         keyed, batch_format="pyarrow"
     )
-    picked = ds.groupby("key").map_groups(_priority_pick, batch_format="pandas")
-    return picked.map_batches(
-        lambda df: pa.Table.from_pandas(df, preserve_index=False)
-        .select(["key", "id", "redirect"]).cast(_RES_SCHEMA),
-        batch_format="pandas",
-    )
+    from ..engine.join import bucket_grouped
+
+    return bucket_grouped(ds, ["key"], _priority_pick_bucket, out_schema=_RES_SCHEMA)
 
 
 def write_resolution_buckets(
@@ -107,13 +107,13 @@ def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
         b = int(g["bucket"].iloc[0])
         t = read_bucket(bucket_dir, b)
         out = pd.DataFrame(
-            {"src": g["src"].to_numpy(), "key": g["key"].astype(object),
+            {"key0": g["key0"].astype(object), "key": g["key"].astype(object),
              "lookup": g[join_col].astype(object)}
         )
         if t is None:
             out["dst"] = pd.array([pd.NA] * len(out), dtype="Int64")
             out["status"] = np.int8(_MISS)
-            return out[["src", "key", "dst", "status"]]
+            return out[["key0", "key", "dst", "status"]]
         rt = t.to_pandas().rename(
             columns={"key": "lookup", "id": "rid", "redirect": "rred"}
         )
@@ -129,7 +129,7 @@ def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
         else:
             key = m["key"].to_numpy(dtype=object)
         return pd.DataFrame(
-            {"src": m["src"].to_numpy(), "key": key,
+            {"key0": m["key0"].to_numpy(dtype=object), "key": key,
              "dst": m["rid"].astype("Int64"), "status": status}
         )
 
@@ -137,7 +137,7 @@ def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
 
 
 _STEP_SCHEMA = pa.schema(
-    [("src", pa.int64()), ("key", pa.large_string()),
+    [("key0", pa.large_string()), ("key", pa.large_string()),
      ("dst", pa.int64()), ("status", pa.int8())]
 )
 
@@ -166,17 +166,52 @@ def chase(
     num_buckets: int = 8,
 ) -> Dataset:
     """Resolve (src, key) candidates to (src, dst) through ≤`rounds` redirect
-    hops (J2/J3). Unresolved candidates are dropped."""
+    hops (J2/J3). Unresolved candidates are dropped.
+
+    The chase runs over DISTINCT keys (zipf-skewed link targets repeat
+    heavily, so distinct keys ≈ |V| while candidates ≈ |E|); resolutions are
+    mapped back to candidates with one bucketed join at the end."""
+    from ..engine.join import bucket_grouped, bucket_join
+
+    uniq = bucket_grouped(
+        candidates.select_columns(["key"]), ["key"],
+        lambda g: g[["key"]].drop_duplicates(), num_buckets,
+        out_schema=pa.schema([("key", pa.large_string())]),
+    ).map_batches(
+        lambda t: pa.table({"key0": t["key"], "key": t["key"]}).cast(
+            pa.schema([("key0", pa.large_string()), ("key", pa.large_string())])
+        ),
+        batch_format="pyarrow",
+    )
+    res_keys = _chase_keys(uniq, origin_dir, norm_dir,
+                           advance_on_norm_redirect, rounds, num_buckets)
+    # map back: candidates (src,key) ⋈ (key0 -> dst)
+    out = bucket_join(
+        candidates, res_keys, on="key", right_on="key0", how="inner",
+        num_buckets=num_buckets,
+    )
+    return out.select_columns(["src", "dst"])
+
+
+def _chase_keys(
+    candidates: Dataset,
+    origin_dir: str,
+    norm_dir: str,
+    advance_on_norm_redirect: bool,
+    rounds: int,
+    num_buckets: int,
+) -> Dataset:
+    """Inner chase over (src, key, key0) rows; returns (key0, dst)."""
     import ray.data as rd
 
-    edge_cols = {"src": pa.int64(), "dst": pa.int64()}
-    key_cols = {"src": pa.int64(), "key": pa.large_string()}
+    edge_cols = {"key0": pa.large_string(), "dst": pa.int64()}
+    key_cols = {"key0": pa.large_string(), "key": pa.large_string()}
     # schema seed: an empty resolved table so downstream schema survives
     # even when a round (or the whole chase) resolves nothing
     resolved: list[Dataset] = [rd.from_arrow(pa.table(
-        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        {"key0": pa.array([], pa.large_string()), "dst": pa.array([], pa.int64())}
     ))]
-    active = candidates
+    active = candidates.select_columns(["key0", "key"])
     for _ in range(rounds):
         a = add_bucket(active, "key", num_buckets)
         step1 = _as_step(
