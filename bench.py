@@ -137,29 +137,84 @@ def run_bench() -> dict:
     return out
 
 
+SCALE_EDGES = int(os.environ.get("GCGR_SCALE_EDGES", "40000000"))
+SCALE_VERTICES = int(os.environ.get("GCGR_SCALE_VERTICES", "4000000"))
+
+
+def run_pagerank_scale() -> dict:
+    """PageRank supersteps on a superstep-dominated synthetic edge table
+    (BASELINE.md §3: the two-parallelism-level jobs must be identical and
+    big enough that a superstep takes seconds — the html-pages path at sf0.1
+    is overhead-bound and cannot evidence scaling)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import shutil
+
+    import ray.data as rd
+
+    from graph_computing_go_ray.engine.pagerank import pagerank
+    from graph_computing_go_ray.sources.edges_gen import generate_edges
+
+    edir = f"/tmp/gcgr_bench/edges_{SCALE_EDGES}_{SCALE_VERTICES}"
+    generate_edges(edir, n_edges=SCALE_EDGES, n_vertices=SCALE_VERTICES)
+    wd = f"/tmp/gcgr_bench/prscale_{SCALE_EDGES}_{NUM_CPUS}"
+    shutil.rmtree(wd, ignore_errors=True)
+    edges = rd.read_parquet(edir, columns=["src", "dst"])
+    t0 = time.time()
+    _, info = pagerank(edges, wd, tol=0.0, max_iters=8, num_parts=NUM_PARTS,
+                       resume=False)
+    total = time.time() - t0
+    # skip the first superstep (cold object-store/page cache)
+    eps = [t["edges_per_sec"] for t in info["timings"][1:]]
+    out = {
+        "n_edges": info["n_edges"], "n_vertices": info["n_vertices"],
+        "iterations": info["iterations"], "total_sec": round(total, 3),
+        "superstep_sec_mean": round(
+            sum(t["sec"] for t in info["timings"][1:]) / max(1, len(eps)), 3),
+        "edges_per_sec_per_superstep": round(sum(eps) / max(1, len(eps)), 1),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
+    """Identical PageRank job at num_cpus=8 and 32 in fresh processes on the
+    same deterministic input; efficiency = eps_32 / (4 * eps_8)."""
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+             "--pagerank-scale"],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
     eps8 = results[8]["edges_per_sec_per_superstep"]
     eps32 = results[32]["edges_per_sec_per_superstep"]
-    t8, t32 = results[8]["value"], results[32]["value"]
     return {
-        "metric": "scaling_efficiency_8_to_32",
-        "sec_8": t8, "sec_32": t32,
+        "metric": "pagerank_superstep_scaling_8_to_32",
+        "n_edges": results[32]["n_edges"],
+        "superstep_sec_8": results[8]["superstep_sec_mean"],
+        "superstep_sec_32": results[32]["superstep_sec_mean"],
         "edges_per_sec_8": eps8, "edges_per_sec_32": eps32,
-        "superstep_scaling_efficiency": round(eps32 / (4 * eps8), 3),
-        "e2e_scaling_efficiency": round((t8 / t32) / 4, 3),
+        "scaling_efficiency": round(eps32 / (4 * eps8), 3),
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--pagerank-scale" in sys.argv:
+        print(json.dumps(run_pagerank_scale()))
     else:
         print(json.dumps(run_bench()))

@@ -40,25 +40,31 @@ class PageRankProgram(VertexProgram):
 
     def gather(self, edges, state_of, global_vals):
         outs = []
-        for p, g in edges.groupby("part", sort=False):
+        part_arr = edges["part"].to_numpy()
+        for p in np.unique(part_arr):
+            m = part_arr == p
             st = state_of[int(p)]
             sid = st["id"].to_numpy()
-            pos = np.searchsorted(sid, g["src"].to_numpy())
+            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
             contrib = (
                 st["rank"].to_numpy()[pos]
                 / np.maximum(st["out_degree"].to_numpy()[pos], 1)
             )
-            part = pd.DataFrame({"dst": g["dst"].to_numpy(), "contrib": contrib})
-            outs.append(part.groupby("dst", as_index=False)["contrib"].sum())
+            # combiner: unique+bincount is ~3x faster than pandas groupby
+            dst = edges["dst"].to_numpy()[m]
+            u, inv = np.unique(dst, return_inverse=True)
+            sums = np.bincount(inv, weights=contrib)
+            outs.append(pd.DataFrame({"dst": u, "contrib": sums}))
         return pd.concat(outs, ignore_index=True)
 
     def reduce_apply(self, state, msgs, global_vals):
         sid = state["id"].to_numpy()
         sums = np.zeros(len(sid))
         if len(msgs):
-            agg = msgs.groupby("dst", as_index=False)["contrib"].sum()
-            pos = np.searchsorted(sid, agg["dst"].to_numpy())
-            sums[pos] = agg["contrib"].to_numpy()
+            u, inv = np.unique(msgs["dst"].to_numpy(), return_inverse=True)
+            agg = np.bincount(inv, weights=msgs["contrib"].to_numpy())
+            pos = np.searchsorted(sid, u)
+            sums[pos] = agg
         d = self.damping
         n = global_vals["n_total"]
         dang = global_vals["dangling_mass"]
