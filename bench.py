@@ -67,9 +67,11 @@ def headline(sf: float) -> dict:
 
     pr_dir = os.path.join(graph_dir, "pagerank")
     t0 = time.time()
+    # tol 1e-6 converges in ~80-90 supersteps at d=0.85: the headline metric
+    # is iterations-to-convergence wall-clock, so run to actual convergence
     ranks, info = pagerank(
         rd.read_parquet(paths["edges"], columns=["src", "dst"]),
-        pr_dir, tol=1e-8, max_iters=25, num_parts=NUM_PARTS, resume=False,
+        pr_dir, tol=1e-6, max_iters=150, num_parts=NUM_PARTS, resume=False,
     )
     pr_sec = time.time() - t0
     n_rank = ranks.count()

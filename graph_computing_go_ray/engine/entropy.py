@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 from ..functions import entropy_math as em
 
@@ -61,14 +60,6 @@ def degree_table(edges: Dataset) -> Dataset:
     return _degree_table(edges)
 
 
-def _xlog2x(x: np.ndarray) -> np.ndarray:
-    out = np.zeros(len(x), dtype=np.float64)
-    pos = x > 0
-    xf = x[pos].astype(np.float64)
-    out[pos] = xf * np.log2(xf)
-    return out
-
-
 def entropy_report(edges: Dataset) -> dict[str, float]:
     """All six entropy scalars + vertex counts, computed distributed.
 
@@ -76,79 +67,49 @@ def entropy_report(edges: Dataset) -> dict[str, float]:
     analysis notebooks (entropyin/normalizeentropyin/nodecount...,
     /root/reference/lab/openalex_entropy.ipynb cell 2) plus the degree-
     distribution channel values.
+
+    Everything derives from the three degree-VALUE histograms
+    (S = Σ deg·cnt, S1 = Σ cnt·deg·log2(deg), n = Σ cnt over deg>0), so the
+    whole report is ONE histogram pass over the degree table — only
+    O(#distinct degree values) rows reach the driver.
     """
     deg = _degree_table(edges)
 
-    # Structural entropy: need Sum(deg), Sum(deg*log2 deg), n>0 per channel;
-    # Degree-distribution entropy: histogram of degree values per channel.
     def partial(batch: pa.Table) -> pa.Table:
         ind = batch["in_degree"].to_numpy(zero_copy_only=False)
         outd = batch["out_degree"].to_numpy(zero_copy_only=False)
-        alld = ind + outd
-        rows = {
-            "s_in": float(ind.sum()),
-            "s1_in": float(_xlog2x(ind).sum()),
-            "n_in": int((ind > 0).sum()),
-            "s_out": float(outd.sum()),
-            "s1_out": float(_xlog2x(outd).sum()),
-            "n_out": int((outd > 0).sum()),
-            "s_all": float(alld.sum()),
-            "s1_all": float(_xlog2x(alld).sum()),
-            "n_all": int((alld > 0).sum()),
-            "n_vertices": len(ind),
-        }
-        return pa.table({k: [v] for k, v in rows.items()})
-
-    sums_ds = deg.map_batches(partial, batch_format="pyarrow")
-    agg = sums_ds.sum(
-        ["s_in", "s1_in", "n_in", "s_out", "s1_out", "n_out",
-         "s_all", "s1_all", "n_all", "n_vertices"]
-    )
-    g = {k.replace("sum(", "").replace(")", ""): v for k, v in agg.items()}
-
-    # histograms (small: one row per distinct degree value)
-    hists = {}
-    for chan, col in (("in", "in_degree"), ("out", "out_degree")):
-        h = deg.map_batches(
-            lambda t, c=col: pa.table(
-                {"degree": np.unique(t[c].to_numpy(zero_copy_only=False))[0:0]}
-            )
-            if t.num_rows == 0
-            else _hist_partial(t, c),
-            batch_format="pyarrow",
+        chans, degrees, cnts = [], [], []
+        for chan, vals in ((0, ind), (1, outd), (2, ind + outd)):
+            v, c = np.unique(vals, return_counts=True)
+            chans.append(np.full(len(v), chan, dtype=np.int64))
+            degrees.append(v.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        return pa.table(
+            {"chan": np.concatenate(chans), "degree": np.concatenate(degrees),
+             "cnt": np.concatenate(cnts)}
         )
-        hists[chan] = (
-            h.groupby("degree").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
-        )
-    h_all = deg.map_batches(_hist_all_partial, batch_format="pyarrow")
-    hists["all"] = (
-        h_all.groupby("degree").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
-    )
+
+    from .join import bucket_grouped_sum
+
+    hist = bucket_grouped_sum(
+        deg.map_batches(partial, batch_format="pyarrow"),
+        ["chan", "degree"], ["cnt"], num_buckets=8,
+    ).to_pandas()
 
     rep: dict[str, float] = {}
-    for chan in ("in", "out", "all"):
-        s, s1, n = g[f"s_{chan}"], g[f"s1_{chan}"], int(g[f"n_{chan}"])
+    for chan_id, chan in ((0, "in"), (1, "out"), (2, "all")):
+        h = hist[hist["chan"] == chan_id]
+        d = h["degree"].to_numpy().astype(np.float64)
+        c = h["cnt"].to_numpy().astype(np.float64)
+        pos = d > 0
+        s = float((d[pos] * c[pos]).sum())
+        s1 = float((c[pos] * d[pos] * np.log2(d[pos])).sum())
+        n = int(c[pos].sum())
         h_struct = em.entropy_from_sums(s, s1)
         rep[f"entropy_{chan}"] = h_struct
         rep[f"normalize_entropy_{chan}"] = em.struct_entropy_norm(h_struct, n)
         rep[f"node_{chan}_count"] = n
-        hist = hists[chan]
-        counts = hist["cnt"].to_numpy()
-        if chan == "all":
-            counts = hist.loc[hist["degree"] > 0, "cnt"].to_numpy()
+        counts = c[pos] if chan == "all" else c  # dde in/out include degree 0
         rep[f"degree_dist_entropy_{chan}"] = em.degree_distribution_entropy(counts)
-    rep["node_count"] = int(g["n_vertices"])
+    rep["node_count"] = int(hist.loc[hist["chan"] == 0, "cnt"].sum())
     return rep
-
-
-def _hist_partial(t: pa.Table, col: str) -> pa.Table:
-    vals, cnts = np.unique(t[col].to_numpy(zero_copy_only=False), return_counts=True)
-    return pa.table({"degree": vals.astype(np.int64), "cnt": cnts.astype(np.int64)})
-
-
-def _hist_all_partial(t: pa.Table) -> pa.Table:
-    alld = t["in_degree"].to_numpy(zero_copy_only=False) + t["out_degree"].to_numpy(
-        zero_copy_only=False
-    )
-    vals, cnts = np.unique(alld, return_counts=True)
-    return pa.table({"degree": vals.astype(np.int64), "cnt": cnts.astype(np.int64)})
