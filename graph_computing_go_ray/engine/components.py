@@ -27,22 +27,36 @@ class HashMinProgram(VertexProgram):
 
     def gather(self, edges, state_of, global_vals):
         outs = []
-        for p, g in edges.groupby("part", sort=False):
+        part_arr = edges["part"].to_numpy()
+        for p in np.unique(part_arr):
+            m = part_arr == p
             st = state_of[int(p)]
             sid = st["id"].to_numpy()
-            pos = np.searchsorted(sid, g["src"].to_numpy())
+            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
             lab = st["label"].to_numpy()[pos]
-            part = pd.DataFrame({"dst": g["dst"].to_numpy(), "label": lab})
-            outs.append(part.groupby("dst", as_index=False)["label"].min())
+            dst = edges["dst"].to_numpy()[m]
+            # combiner: per-dst min via sort + reduceat (no pandas groupby)
+            order = np.argsort(dst, kind="stable")
+            ds_, lb = dst[order], lab[order]
+            starts = np.flatnonzero(np.concatenate([[True], ds_[1:] != ds_[:-1]]))
+            outs.append(pd.DataFrame(
+                {"dst": ds_[starts], "label": np.minimum.reduceat(lb, starts)}
+            ))
         return pd.concat(outs, ignore_index=True)
 
     def reduce_apply(self, state, msgs, global_vals):
         sid = state["id"].to_numpy()
         new_label = state["label"].to_numpy().copy()
         if len(msgs):
-            agg = msgs.groupby("dst", as_index=False)["label"].min()
-            pos = np.searchsorted(sid, agg["dst"].to_numpy())
-            new_label[pos] = np.minimum(new_label[pos], agg["label"].to_numpy())
+            dst = msgs["dst"].to_numpy()
+            lab = msgs["label"].to_numpy()
+            order = np.argsort(dst, kind="stable")
+            ds_, lb = dst[order], lab[order]
+            starts = np.flatnonzero(np.concatenate([[True], ds_[1:] != ds_[:-1]]))
+            pos = np.searchsorted(sid, ds_[starts])
+            new_label[pos] = np.minimum(
+                new_label[pos], np.minimum.reduceat(lb, starts)
+            )
         changed = int((new_label != state["label"].to_numpy()).sum())
         out = state.copy()
         out["label"] = new_label

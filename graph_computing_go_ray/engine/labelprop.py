@@ -35,14 +35,25 @@ class LabelPropProgram(VertexProgram):
 
     def gather(self, edges, state_of, global_vals):
         outs = []
-        for p, g in edges.groupby("part", sort=False):
+        part_arr = edges["part"].to_numpy()
+        for p in np.unique(part_arr):
+            m = part_arr == p
             st = state_of[int(p)]
             sid = st["id"].to_numpy()
-            pos = np.searchsorted(sid, g["src"].to_numpy())
+            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
             lab = st["label"].to_numpy()[pos]
-            part = pd.DataFrame({"dst": g["dst"].to_numpy(), "label": lab})
-            cnt = part.groupby(["dst", "label"], as_index=False).size()
-            outs.append(cnt.rename(columns={"size": "cnt"}))
+            dst = edges["dst"].to_numpy()[m]
+            # per-(dst,label) counts via lexsort + run-length (no pandas)
+            order = np.lexsort((lab, dst))
+            ds_, lb = dst[order], lab[order]
+            new = np.concatenate(
+                [[True], (ds_[1:] != ds_[:-1]) | (lb[1:] != lb[:-1])]
+            )
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate([starts, [len(ds_)]]))
+            outs.append(pd.DataFrame(
+                {"dst": ds_[starts], "label": lb[starts], "cnt": counts}
+            ))
         return pd.concat(outs, ignore_index=True)
 
     def reduce_apply(self, state, msgs, global_vals):

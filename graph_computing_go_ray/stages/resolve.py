@@ -213,7 +213,11 @@ def _chase_keys(
     ))]
     active = candidates.select_columns(["key0", "key"])
     for _ in range(rounds):
-        a = add_bucket(active, "key", num_buckets)
+        # repartition: later rounds otherwise carry hundreds of tiny blocks
+        # into the sort-groupby (engine/join.py bucket_grouped note)
+        a = add_bucket(active, "key", num_buckets).repartition(
+            max(8, num_buckets)
+        )
         step1 = _as_step(
             a.groupby("bucket").map_groups(
                 _lookup_fn(origin_dir, "key", next_key="redirect"),
@@ -232,7 +236,7 @@ def _chase_keys(
             ),
             batch_format="pyarrow",
         )
-        m = add_bucket(miss, "nkey", num_buckets)
+        m = add_bucket(miss, "nkey", num_buckets).repartition(max(8, num_buckets))
         step2 = _as_step(
             m.groupby("bucket").map_groups(
                 _lookup_fn(
@@ -244,9 +248,9 @@ def _chase_keys(
         ).materialize()
         resolved.append(_take(step2, _HIT, edge_cols))
         adv2 = _take(step2, _ADV, key_cols)
-        active = adv1.union(adv2).materialize()
-        if active.count() == 0:
-            break
+        # no materialize: `active` has exactly one consumer (next round's
+        # groupby), and the fixed ≤3 rounds match the reference loop anyway
+        active = adv1.union(adv2)
     out = resolved[0]
     for r in resolved[1:]:
         out = out.union(r)
