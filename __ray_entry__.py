@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": S.ann_topk,
         "cosine_pairs": S.cosine_pairs,
         "lsh_cosine_pairs": S.lsh_cosine_pairs,
+        "ivf_topk": S.ivf_topk,
+        # gap-based sessionization (streaming-shaped)
+        "events_sessionize": R.events_sessionize,
     }
 
 
@@ -234,6 +237,13 @@ def oracle_sql() -> dict[str, str]:
             "round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard "
             "FROM inter JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
             "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2"
+        ),
+        "events_sessionize": (
+            "WITH o AS (SELECT user_id, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events) "
+            "SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events "
+            "FROM o GROUP BY user_id"
         ),
         # cosine in explicit DOUBLE math: DuckDB's list_cosine_similarity
         # computes in float32 and drifts ~1e-6 from the engine's float64

@@ -38,6 +38,33 @@ def _bucket_of(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def typed_seed(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Union a 0-row typed table so an all-empty pipeline keeps its schema
+    (map_batches/map_groups UDFs never run on empty inputs, leaving
+    Unknown-schema datasets that break joins)."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in schema}
+    )
+    return rd.from_arrow(empty).union(ds)
+
+
+def write_parquet_safe(ds: Dataset, path: str, schema: pa.Schema) -> None:
+    """write_parquet that guarantees a readable dataset: an empty Dataset
+    writes no files at all (a later read_parquet then raises
+    FileNotFoundError), so an explicit 0-row file with the pinned schema is
+    written when nothing was produced."""
+    ds.write_parquet(path, mode="overwrite")
+    has_files = os.path.isdir(path) and any(
+        n.endswith(".parquet") for n in os.listdir(path)
+    )
+    if not has_files:
+        os.makedirs(path, exist_ok=True)
+        empty = pa.table({f.name: pa.array([], f.type) for f in schema})
+        pq.write_table(empty, os.path.join(path, "empty-00000.parquet"))
+
+
 def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
     """Block-type-safe column rename (Dataset.rename_columns breaks on
     pandas-block datasets in Ray 2.49, e.g. anything from rd.from_pandas)."""

@@ -81,8 +81,12 @@ def google_distance(
         batch_format="pandas",
     )
     from .join import bucket_grouped_count as _bgc
+    from .join import typed_seed
 
-    inter = _bgc(cand, ["a", "b"], "i")
+    inter = typed_seed(
+        _bgc(cand, ["a", "b"], "i"),
+        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("i", pa.int64())]),
+    )
 
     j1 = bucket_join(inter, rename(sizes, {"dst": "ad", "n": "na"}),
                      on="a", right_on="ad", how="inner", num_buckets=num_buckets)

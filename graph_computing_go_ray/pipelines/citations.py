@@ -119,7 +119,11 @@ def yearly_fold(
                 batch_format="pyarrow",
             )
             os.makedirs(ydir, exist_ok=True)
-            snap.write_parquet(epath, mode="overwrite")
+            from ..engine.join import write_parquet_safe
+
+            write_parquet_safe(snap, epath, pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()),
+                 ("src_year", pa.int32()), ("dst_year", pa.int32())]))
             with open(os.path.join(ydir, "_SUCCESS"), "w") as f:
                 f.write("ok")
             snap = rd.read_parquet(epath, columns=["src", "dst", "src_year", "dst_year"])

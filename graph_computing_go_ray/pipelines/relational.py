@@ -274,6 +274,31 @@ def cooccur_edges(sf_dir: str) -> Dataset:
     return bucket_grouped_count(cooccur_pairs(sf_dir), ["u", "v"], "n_orders")
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Gap-based sessionization per user (streaming-shaped op as batch:
+    sort within user group, new session when gap > 30min). Returns
+    (user_id, n_sessions, n_events)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        return pd.DataFrame(
+            [{"user_id": g["user_id"].iloc[0],
+              "n_sessions": int(gaps.sum()) + 1,
+              "n_events": len(g)}]
+        )
+
+    out = ev.groupby("user_id").map_groups(sess, batch_format="pandas")
+    return out.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("user_id", pa.int64()), ("n_sessions", pa.int64()),
+                       ("n_events", pa.int64())])
+        ),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------- NGD (A9)
 def google_distance_parts(sf_dir: str) -> Dataset:
     """A9 Google distance between core parts (p_size >= 40) over distinct

@@ -117,6 +117,90 @@ def cosine_pairs(sf_dir: str, threshold: float = 0.35) -> Dataset:
     return emb.map_batches(fn, batch_format="pyarrow")
 
 
+def ivf_topk(
+    sf_dir: str, n_queries: int = 10, k: int = 5, n_cells: int = 16,
+    n_probe: int = 4, seed: int = 13,
+) -> Dataset:
+    """IVF-style ANN: coarse quantizer (deterministic k-means-lite on a
+    seeded sample) assigns vectors to cells; each query probes its n_probe
+    nearest cells. The scale path next to brute-force ann_topk — recall vs
+    the exact baseline is asserted in tests/test_textops.py."""
+    ids, m = _embedding_matrix(sf_dir)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    # k-means-lite: seeded init + 5 Lloyd iterations on the (small) sample
+    cent = mn[rng.choice(len(mn), size=min(n_cells, len(mn)), replace=False)].copy()
+    for _ in range(5):
+        assign = (mn @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = mn[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    q_mask = ids < n_queries
+    q_ids, qm = ids[q_mask], mn[q_mask]
+    ref = ray.put((ids, mn, cent, q_ids, qm))
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def cell_rows(t: pa.Table) -> pa.Table:
+        _, _, cent_, _, _ = ray.get(ref)
+        cids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cell = (cm @ cent_.T).argmax(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(cids, pa.int64()),
+             "cell": pa.array(cell.astype(np.int64))}
+        )
+
+    cells = emb.map_batches(cell_rows, batch_format="pyarrow")
+
+    # query → probed cells (broadcast, driver-side tiny)
+    probe = {}
+    for qi, qv in zip(q_ids, qm):
+        order = np.argsort(-(cent @ qv))[:n_probe]
+        for c in order:
+            probe.setdefault(int(c), []).append(int(qi))
+    probe_ref = ray.put(probe)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_m, _, q_ids_, qm_ = ray.get(ref)
+        pr = ray.get(probe_ref)
+        cell = int(g["cell"].iloc[0])
+        queries = pr.get(cell, [])
+        if not queries:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        cand_ids = g["vec_id"].to_numpy()
+        cm = all_m[[pos[int(v)] for v in cand_ids]]
+        qpos = {int(v): i for i, v in enumerate(q_ids_)}
+        rows = []
+        for q in queries:
+            sims = cm @ qm_[qpos[q]]
+            for v, s_ in zip(cand_ids, sims):
+                if v != q:
+                    rows.append((q, int(v), round(float(s_), ROUND)))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+
+    scored = cells.groupby("cell").map_groups(score, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True])
+        return g.head(k)
+
+    out = scored.groupby("query_id").map_groups(final, batch_format="pandas")
+    return out.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                       ("sim", pa.float64())])
+        ),
+        batch_format="pandas",
+    )
+
+
 def lsh_cosine_pairs(
     sf_dir: str, threshold: float = 0.35, n_planes: int = 3, n_tables: int = 10,
     seed: int = 11,

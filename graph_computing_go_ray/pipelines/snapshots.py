@@ -82,9 +82,19 @@ def build_yearly_graphs(
             vertices.select_columns(["id", "url", "redirect", "links_out"]),
             red, on="id", right_on="id", how="left", num_buckets=num_buckets,
         )
-        vert_out.write_parquet(paths["vertices"], mode="overwrite")
-        resolve_edges(vertices, origin_dir, norm_dir, num_buckets).write_parquet(
-            paths["edges"], mode="overwrite"
+        from ..engine.join import write_parquet_safe
+
+        write_parquet_safe(
+            vert_out, paths["vertices"],
+            pa.schema([("id", pa.int64()), ("url", pa.large_string()),
+                       ("redirect", pa.large_string()),
+                       ("links_out", pa.large_list(pa.large_string())),
+                       ("redirect_id", pa.int64())]),
+        )
+        write_parquet_safe(
+            resolve_edges(vertices, origin_dir, norm_dir, num_buckets),
+            paths["edges"],
+            pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
         )
         with open(marker, "w") as f:
             f.write("ok")
@@ -154,7 +164,7 @@ def degree_stats(paths: dict[str, str], year: int) -> pd.DataFrame:
     return h
 
 
-def entropy_slices(paths: dict[str, str], year: int) -> pd.DataFrame:
+def entropy_slices(paths: dict[str, str], year: int, plans=None) -> pd.DataFrame:
     """wikiEntropy Main per-year: rank by in-degree (-deg, id), 6 percent
     slices, induced-subgraph entropy reports (rows: one per slice)."""
     edges = _non_redirect_edges(paths).materialize()
@@ -171,7 +181,7 @@ def entropy_slices(paths: dict[str, str], year: int) -> pd.DataFrame:
     ranked = sorted(nonred_ids, key=lambda i: (-deg_map.get(i, 0), i))
 
     rows = []
-    for start, end in PERCENT_PLANS:
+    for start, end in (plans or PERCENT_PLANS):
         end_pos = math.ceil(len(ranked) * end / 100)
         slice_ids = np.sort(np.array(ranked[:end_pos], dtype=np.int64))
         ref = ray.put(slice_ids)
@@ -193,6 +203,33 @@ def entropy_slices(paths: dict[str, str], year: int) -> pd.DataFrame:
             "graph_size": rep["node_count"], "edge_count": n_edges, **rep,
         })
     return pd.DataFrame(rows)
+
+
+def google_distance_year(
+    paths: dict[str, str], year: int, top_k_core: int = 50
+) -> pd.DataFrame:
+    """A9 per-year NGD over the pages graph. The reference's core set is the
+    CoreSubjectTag pages (wikipediaGoogleDistance.go:66-68); the web analog
+    takes the top-k in-degree vertices (documented deviation). total =
+    all of the year's pages including redirects (:94)."""
+    from ..engine.ngd import google_distance
+
+    edges = _non_redirect_edges(paths).materialize()
+    indeg = edges.groupby("dst").aggregate(
+        ray.data.aggregate.Count(alias_name="n")
+    ).to_pandas()
+    core = (
+        indeg.sort_values(["n", "dst"], ascending=[False, True])
+        .head(top_k_core)["dst"].to_numpy()
+    )
+    total = rd.read_parquet(paths["vertices"], columns=["id"]).count()
+    out = google_distance(edges, core, total).to_pandas()
+    if out.empty:  # tiny years can have no co-in-linked core pairs
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "distance": pd.Series([], dtype=np.float64)})
+    out["year"] = np.int32(year)
+    return out
 
 
 def in_degree_export(paths: dict[str, str], year: int) -> Dataset:

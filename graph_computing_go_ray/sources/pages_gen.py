@@ -51,8 +51,12 @@ def _upper_path(u: str) -> str:
 
 
 def page_parts(i: int, n_pages: int, rng: np.random.RandomState,
-               redirect_to: int | None, malformed: bool, zipf_s: float):
-    """Deterministic (html, text, links, lang) for page i."""
+               redirect_to: int | None, malformed: bool, zipf_s: float,
+               cohort: np.ndarray | None = None, intra_p: float = 0.5):
+    """Deterministic (html, text, links, lang) for page i. When `cohort`
+    (same-snapshot-year page indices) is given, each link targets the
+    cohort with probability `intra_p` — so per-year snapshot subgraphs are
+    non-trivial (the reference's yearly pipelines operate within a year)."""
     title = f"Page {i:06d} {_WORDS[i % len(_WORDS)]}"
     lang = LANGS[i % len(LANGS)]
     if redirect_to is not None:
@@ -74,6 +78,12 @@ def page_parts(i: int, n_pages: int, rng: np.random.RandomState,
     n_links = 1 + int(rng.zipf(1.6)) % 12
     raw = rng.zipf(zipf_s, size=n_links * 3)
     targets = [int(t) % n_pages for t in raw[raw < n_pages * 8][:n_links]]
+    if cohort is not None and len(cohort) > 1:
+        targets = [
+            int(cohort[rng.zipf(zipf_s) % len(cohort)])
+            if rng.rand() < intra_p else t
+            for t in targets
+        ]
     links = []
     for t in targets:
         r = rng.rand()
@@ -111,7 +121,7 @@ def generate_pages(
     same params (resumable-output layout, reference K3 task-ledger analog,
     /root/reference/internal/extractWikipediadump/mongoClient.go:65-79)."""
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = f"{n_pages}-{seed}-{n_files}-{zipf_s}-v3"
+    stamp = f"{n_pages}-{seed}-{n_files}-{zipf_s}-v4"
     if not force and os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
@@ -145,6 +155,15 @@ def generate_pages(
     base_ts = np.datetime64("2004-01-01T00:00:00", "us")
     span_us = (np.datetime64("2024-12-31T23:59:59", "us") - base_ts).astype(np.int64)
 
+    # snapshot-year cohorts (ts is a pure function of (seed, i))
+    all_ts = np.array(
+        [base_ts + np.int64(hash((seed, i)) % span_us) for i in range(n_pages)]
+    )
+    years_of = all_ts.astype("datetime64[Y]").astype(int) + 1970
+    cohorts: dict[int, np.ndarray] = {
+        int(y): np.flatnonzero(years_of == y) for y in np.unique(years_of)
+    }
+
     per_file = (n_pages + n_files - 1) // n_files
     schema = pa.schema(
         [
@@ -162,12 +181,13 @@ def generate_pages(
             html, text, _links, lang = page_parts(
                 i, n_pages, np.random.RandomState(seed * 1_000_003 + i),
                 redirect_to.get(i), i in malformed, zipf_s,
+                cohort=cohorts[int(years_of[i])],
             )
             urls.append(url_of(i))
             htmls.append(html.encode("utf-8"))
             texts.append(text)
             langs.append(lang)
-            tss.append(base_ts + np.int64(hash((seed, i)) % span_us))
+            tss.append(all_ts[i])
         t = pa.table(
             {
                 "url": pa.array(urls, pa.large_string()),

@@ -22,14 +22,14 @@ from graph_computing_go_ray.sources.pages_gen import generate_pages
 from graph_computing_go_ray.sources.works_gen import generate_works
 
 
-YEARS = [2005, 2008, 2011, 2014, 2017, 2020]  # subset keeps the suite fast
+YEARS = [2008, 2014, 2017, 2020]  # subset keeps the suite fast
 
 
 @pytest.fixture(scope="module")
 def yearly(tmp_path_factory):
     pages_dir = str(tmp_path_factory.mktemp("pages"))
     out_dir = str(tmp_path_factory.mktemp("graph"))
-    generate_pages(pages_dir, n_pages=600, seed=43, n_files=3)
+    generate_pages(pages_dir, n_pages=500, seed=43, n_files=3)
     paths = build_link_graph(pages_dir, out_dir, num_buckets=4)
     yroot = str(tmp_path_factory.mktemp("yearly"))
     ymap = build_yearly_graphs(paths["extracted"], yroot, num_buckets=4, years=YEARS)
@@ -70,7 +70,7 @@ def test_degree_stats_quirk(yearly):
 def test_entropy_slices_match_oracle(yearly):
     _, ymap = yearly
     year = sorted(ymap)[1]
-    rep = entropy_slices(ymap[year], year)
+    rep = entropy_slices(ymap[year], year, plans=[(0, 20), (0, 60), (0, 100)])
     assert len(rep) >= 1
     full = rep[rep["end_percent"] == 100].iloc[0]
     # oracle: build the same graph in python, entropy over in-degrees
@@ -131,3 +131,42 @@ def test_citation_fold(tmp_path_factory):
     pd.testing.assert_frame_equal(
         rep.reset_index(drop=True), rep2.reset_index(drop=True)
     )
+
+
+def test_google_distance_graph(yearly):
+    """NGD engine vs python oracle on the GLOBAL pages graph (per-year
+    subgraphs of this small corpus have no co-in-linked pairs; the per-year
+    wrapper is the same engine + a year filter)."""
+    from graph_computing_go_ray.pipelines.snapshots import google_distance_year
+
+    paths, ymap = yearly
+    # smoke the per-year wrapper (may legitimately be empty on tiny years)
+    y0 = sorted(ymap)[0]
+    ydf = google_distance_year(ymap[y0], y0, top_k_core=100)
+    assert list(ydf.columns) == ["a", "b", "distance", "year"]
+
+    out = google_distance_year(paths, 0, top_k_core=10_000)
+    vt = pq.read_table(paths["vertices"]).to_pylist()
+    et = pq.read_table(paths["edges"]).to_pylist()
+    nonred = {r["id"] for r in vt if r["redirect"] is None}
+    nbrs = {}
+    for e in et:
+        if e["src"] in nonred:
+            nbrs.setdefault(e["dst"], set()).add(e["src"])
+    total = len(vt)
+    want = {}
+    ids = sorted(nbrs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter == 0:
+                continue
+            vmax = max(len(nbrs[a]), len(nbrs[b]))
+            vmin = min(len(nbrs[a]), len(nbrs[b]))
+            want[(a, b)] = (math.log2(vmax) - math.log2(inter)) / (
+                math.log2(total) - math.log2(vmin))
+    got = {(r.a, r.b): r.distance for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert len(want) > 0  # the chosen year must exercise the operator

@@ -136,3 +136,16 @@ def test_rolling_fingerprint_deterministic(corpus):
     # exact duplicates share fingerprints
     fp = dict(zip(a["doc_id"], a["rolling_fp"]))
     assert fp[0] == fp[200] and fp[1] == fp[201]
+
+
+def test_ivf_topk_recall_vs_bruteforce():
+    sf = "/root/testdata/sf0.001"
+    brute = S.ann_topk(sf, k=5).to_pandas()
+    ivf = S.ivf_topk(sf, k=5).to_pandas()
+    want = set(zip(brute["query_id"], brute["vec_id"]))
+    got = set(zip(ivf["query_id"], ivf["vec_id"]))
+    recall = len(want & got) / max(1, len(want))
+    assert recall >= 0.5, f"ivf recall {recall}"
+    # every returned sim must be exact (verified candidates)
+    m = ivf.merge(brute, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
+    assert (m["sim_i"] == m["sim_b"]).all()
