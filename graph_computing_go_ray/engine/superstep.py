@@ -81,8 +81,24 @@ class VertexProgram:
         raise NotImplementedError
 
 
+_STATE_CACHE: dict[tuple, pd.DataFrame] = {}
+_STATE_CACHE_MAX = 64
+
+
 def _read_state(workdir: str, iteration: int, part: int) -> pd.DataFrame:
-    return pq.read_table(ckpt.part_file(workdir, iteration, part)).to_pandas()
+    """Worker-local shard cache: Ray worker processes persist across tasks,
+    so blocks of the same partition scheduled on one worker read the shard
+    once per iteration. Keys include the iteration, so entries can never be
+    stale; a small FIFO cap bounds worker heap."""
+    key = (workdir, iteration, part)
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = pq.read_table(ckpt.part_file(workdir, iteration, part)).to_pandas()
+    if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+        _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+    _STATE_CACHE[key] = df
+    return df
 
 
 def build_graph_partitions(
