@@ -126,10 +126,20 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(o_totalprice), 6) AS total_price "
             "FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2"
         ),
+        # Exact fixed-point accumulation on BOTH sides (quantity is whole
+        # units; extendedprice/discount have <=2 decimals): scaled-int64
+        # sums are order-independent, and the final int->double/100 division
+        # is the identical IEEE op the Ray side performs, so the hash
+        # matches bit-for-bit. round(float_sum, 6) was summation-order-
+        # sensitive (round-1 red row).
         "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
-            "round(sum(l_extendedprice), 6) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 "
+            "  AS sum_base_price, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "         (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
+            "  AS sum_disc_price, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
         ),
         "order_year_snapshot": (
@@ -238,12 +248,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
             "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2"
         ),
+        # CAST to BIGINT: DuckDB sum(int)+1 yields HUGEINT (decimal128 in
+        # Arrow), which hash-mismatches the engine's int64 even when every
+        # value is identical (round-1 red row).
         "events_sessionize": (
             "WITH o AS (SELECT user_id, CASE WHEN ts - lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
             "THEN 1 ELSE 0 END AS new_s FROM events) "
-            "SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events "
-            "FROM o GROUP BY user_id"
+            "SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM o GROUP BY user_id"
         ),
         # cosine in explicit DOUBLE math: DuckDB's list_cosine_similarity
         # computes in float32 and drifts ~1e-6 from the engine's float64
