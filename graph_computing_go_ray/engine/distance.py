@@ -168,6 +168,16 @@ def distance_complexity_modular(
         .to_pandas()
     )
 
+    # guard: zero categorized/intra edges leaves empty frames without columns
+    if mod.empty:
+        mod = pd.DataFrame({"cat": pd.Series([], dtype=object),
+                            "intra_w": pd.Series([], dtype=np.float64),
+                            "n_edges": pd.Series([], dtype=np.int64),
+                            "outter_w": pd.Series([], dtype=np.float64)})
+    if hmod.empty:
+        hmod = pd.DataFrame({"cat": pd.Series([], dtype=object),
+                             "sh": pd.Series([], dtype=np.float64),
+                             "n_nodes": pd.Series([], dtype=np.int64)})
     mods = mod.merge(hmod, on="cat", how="left").fillna(0.0)
     little = 0.0
     module_complexity, module_node_size, module_edge_count = {}, {}, {}

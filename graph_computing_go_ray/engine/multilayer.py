@@ -153,8 +153,20 @@ def multilayer_entropy(
         )
 
     tops = top_deg.map_batches(top_partial, batch_format="pyarrow").sum(["s", "s1"])
+    if not tops or tops.get("sum(s)") is None:  # empty expanded graph
+        tops = {"sum(s)": 0.0, "sum(s1)": 0.0}
     big = _in_struct_entropy_from_counts(tops["sum(s)"], tops["sum(s1)"])
 
+    # sparse graphs can have zero intra-module (or zero tagged) edges; the
+    # empty pandas frames then lose their columns and the merge would KeyError
+    if volg.empty:
+        volg = pd.DataFrame({"cat": pd.Series([], dtype=object),
+                             "vol": pd.Series([], dtype=np.int64),
+                             "g": pd.Series([], dtype=np.int64)})
+    if mod_sums.empty:
+        mod_sums = pd.DataFrame({"cat": pd.Series([], dtype=object),
+                                 "s": pd.Series([], dtype=np.float64),
+                                 "s1": pd.Series([], dtype=np.float64)})
     mods = volg.merge(mod_sums, on="cat", how="left").fillna(0.0)
     little = 0.0
     module_rows = []

@@ -44,7 +44,10 @@ def build_link_graph(
     # is written from one materialized pass — html is never read twice.
     # concurrency is an autoscaling (min,max) so the pool can never reserve
     # every CPU and starve the upstream read (deadlocks a small cluster).
-    pages = rd.read_parquet(pages_dir, columns=["url", "warc_ts", "lang", "html"])
+    pages = rd.read_parquet(
+        pages_dir,
+        columns=["url", "warc_ts", "lang", "html", "core_subject_tag"],
+    )
     extracted_all = pages.map_batches(
         ExtractorActor, batch_format="pyarrow", batch_size=extract_batch_size,
         concurrency=extract_concurrency,

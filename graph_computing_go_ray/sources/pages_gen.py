@@ -21,7 +21,10 @@ Structure (seed-deterministic):
   wikiEntropy.go:266);
 - ~1% malformed pages (no <title>) → extraction-failure side output
   (K2 revision_fail analog);
-- warc_ts spread over 2004–2024 (M2 snapshot logic has material).
+- warc_ts spread over 2004–2024 (M2 snapshot logic has material);
+- ~60% of pages carry 1-3 `core_subject_tag` entries 'lv{L}-{Subject}-{year}'
+  (the S4 subject-tag source column, mongoClient.go:139-161), tag year =
+  snapshot year.
 """
 
 from __future__ import annotations
@@ -34,6 +37,32 @@ import pyarrow.parquet as pq
 
 N_SITES = 20
 LANGS = ["en", "en", "en", "en", "en", "en", "de", "fr"]
+# The reference's 19-subject academic circle
+# (/root/reference/internal/wikiEntropy/wikiSubjectEntropy.go:14-17).
+SUBJECT_LIST = [
+    "Mathematics", "Physics", "Computer science", "Engineering disciplines",
+    "Medicine", "Biology", "Chemistry", "Materials science", "Geology",
+    "Geography", "Environmental science", "Economics", "Sociology",
+    "Psychology", "Political science", "Philosophy", "Business", "Art",
+    "History",
+]
+
+
+def subject_tags_of(i: int, seed: int, year: int) -> list[str]:
+    """Deterministic core_subject_tag list for page i: ~60% of pages carry
+    1-3 tags 'lv{L}-{Subject}-{year}' (S4 source column,
+    Get_pages_subject_cats mongoClient.go:139-161). Tag year = the page's
+    snapshot year so per-(year, level) subject queries have material.
+    Drawn from an rng independent of page_parts so html/text stay stable."""
+    rng = np.random.RandomState((seed * 7919 + i * 31 + 7) % (2**31 - 1))
+    if rng.rand() >= 0.6:
+        return []
+    n = 1 + int(rng.randint(0, 3))
+    tags = {
+        f"lv{1 + int(rng.randint(0, 3))}-{SUBJECT_LIST[int(rng.randint(0, len(SUBJECT_LIST)))]}-{year}"
+        for _ in range(n)
+    }
+    return sorted(tags)
 _WORDS = (
     "graph link node edge rank crawl page web data batch arrow stream shuffle "
     "entropy degree cluster label index vertex"
@@ -121,7 +150,7 @@ def generate_pages(
     same params (resumable-output layout, reference K3 task-ledger analog,
     /root/reference/internal/extractWikipediadump/mongoClient.go:65-79)."""
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = f"{n_pages}-{seed}-{n_files}-{zipf_s}-v4"
+    stamp = f"{n_pages}-{seed}-{n_files}-{zipf_s}-v5"
     if not force and os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
@@ -172,11 +201,12 @@ def generate_pages(
             ("html", pa.large_binary()),
             ("text", pa.large_string()),
             ("lang", pa.string()),
+            ("core_subject_tag", pa.large_list(pa.large_string())),
         ]
     )
     for f in range(n_files):
         lo, hi = f * per_file, min(n_pages, (f + 1) * per_file)
-        urls, htmls, texts, langs, tss = [], [], [], [], []
+        urls, htmls, texts, langs, tss, tags = [], [], [], [], [], []
         for i in range(lo, hi):
             html, text, _links, lang = page_parts(
                 i, n_pages, np.random.RandomState(seed * 1_000_003 + i),
@@ -188,6 +218,7 @@ def generate_pages(
             texts.append(text)
             langs.append(lang)
             tss.append(all_ts[i])
+            tags.append(subject_tags_of(i, seed, int(years_of[i])))
         t = pa.table(
             {
                 "url": pa.array(urls, pa.large_string()),
@@ -195,6 +226,9 @@ def generate_pages(
                 "html": pa.array(htmls, pa.large_binary()),
                 "text": pa.array(texts, pa.large_string()),
                 "lang": pa.array(langs, pa.string()),
+                "core_subject_tag": pa.array(
+                    tags, pa.large_list(pa.large_string())
+                ),
             },
             schema=schema,
         )
