@@ -30,6 +30,25 @@ from ray.data import Dataset
 from ..functions.hashing import hash_strings, splitmix64
 
 
+def default_num_buckets(multiplier: float = 1.0, floor: int = 8,
+                        cap: int = 256) -> int:
+    """Bucket count scaled to the cluster's CPU count so wedge/verify/join
+    stages don't cap parallelism at a fixed 8 on bigger clusters
+    (VERDICT r1 #8). Floor keeps tiny test sessions deterministic-ish cheap;
+    cap bounds the shuffle fan-out."""
+    cpus = None
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0)) or None
+    except Exception:
+        cpus = None
+    if cpus is None:
+        cpus = os.cpu_count() or floor
+    return int(min(cap, max(floor, round(cpus * multiplier))))
+
+
 def _bucket_of(arr: pa.ChunkedArray | pa.Array, num_buckets: int) -> np.ndarray:
     if patypes.is_string(arr.type) or patypes.is_large_string(arr.type):
         h = hash_strings(arr.to_pylist()).view(np.uint64)

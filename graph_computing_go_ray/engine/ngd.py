@@ -33,10 +33,14 @@ def google_distance(
     edges: Dataset,
     core_ids: np.ndarray,
     total_count: int,
-    num_buckets: int = 8,
+    num_buckets: int | None = None,
 ) -> Dataset:
     """edges (src, dst); core_ids: sorted int64 array (broadcast);
     returns (a, b, distance) with a < b."""
+    if num_buckets is None:
+        from .join import default_num_buckets
+
+        num_buckets = default_num_buckets()
     core_sorted = np.sort(np.asarray(core_ids, dtype=np.int64))
     core_ref = ray.put(core_sorted)
 

@@ -60,7 +60,11 @@ def _degrees(und: Dataset) -> Dataset:
     return bucket_grouped_sum(p, ["id"], ["deg"])
 
 
-def triangle_count(edges: Dataset, num_buckets: int = 8) -> int:
+def triangle_count(edges: Dataset, num_buckets: int | None = None) -> int:
+    if num_buckets is None:
+        from .join import default_num_buckets
+
+        num_buckets = default_num_buckets()
     und = undirected_distinct(edges).materialize()
     deg = _degrees(und).materialize()
 

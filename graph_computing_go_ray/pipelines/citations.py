@@ -20,7 +20,6 @@ Per year (openAlexEntropy.go:255-306):
 
 from __future__ import annotations
 
-import math
 import os
 
 import numpy as np
@@ -28,10 +27,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from ..engine import entropy as ent_k
 
@@ -101,7 +98,9 @@ def yearly_fold(
     # dst_year attached once; the per-year shrink is then a pure filter
     edges_all = _attach_dst_year(edges0, vertices, num_buckets)
 
-    vpd = vertices.to_pandas()  # id, publication_year, links_in_works
+    from ..engine.join import bucket_join, rename
+    from ..engine.rank import percent_slice_boundaries, slice_member_mask
+
     reports = []
     prev_edges: Dataset | None = None
     for year in years:
@@ -130,32 +129,64 @@ def yearly_fold(
         snap = snap.materialize()
         prev_edges = snap
 
-        # A3: current in-degree of the shrunk graph
-        cur = snap.groupby("dst").aggregate(Count(alias_name="cur_in")).to_pandas()
-        vy = vpd[vpd["publication_year"] <= year]
-        vy = vy.merge(cur, left_on="id", right_on="dst", how="left")
-        vy["cur_in"] = vy["cur_in"].fillna(0).astype(np.int64)
+        # A3: current in-degree of the shrunk graph — kept DISTRIBUTED
+        # (VERDICT r1 #5: no vertex-scale to_pandas on the driver)
+        from ..engine.join import bucket_grouped_count
+
+        cur = bucket_grouped_count(snap, ["dst"], "cur_in",
+                                   num_buckets=num_buckets)
+        vy = vertices.filter(expr=f"publication_year <= {year}")
+        vy = bucket_join(
+            vy.select_columns(["id", "links_in_works"]),
+            rename(cur, {"dst": "cid"}),
+            on="id", right_on="cid", how="left", num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table(
+                {"id": t["id"], "links_in_works": t["links_in_works"],
+                 "cur_in": t["cur_in"].fill_null(0)}
+            ),
+            batch_format="pyarrow",
         # T4 threshold (openAlexEntropy.go:365-374)
-        vy = vy[vy["cur_in"] >= 2]
+        ).filter(expr="cur_in >= 2").materialize()
+        n_total = vy.count()
+        if n_total == 0:
+            continue
 
-        for rank_type, key in (("current", "cur_in"), ("total", "links_in_works")):
-            ranked = vy.sort_values([key, "id"], ascending=[False, True])["id"].to_numpy()
+        # both endpoint (cur_in, links_in_works) attached ONCE per year;
+        # every (rank_type, slice) is then a vectorized predicate filter
+        e1 = bucket_join(
+            snap.select_columns(["src", "dst"]),
+            rename(vy, {"id": "sid", "cur_in": "s_cur", "links_in_works": "s_liw"}),
+            on="src", right_on="sid", how="inner", num_buckets=num_buckets,
+        )
+        e2 = bucket_join(
+            e1, rename(vy, {"id": "did", "cur_in": "d_cur", "links_in_works": "d_liw"}),
+            on="dst", right_on="did", how="inner", num_buckets=num_buckets,
+        ).materialize()
+
+        for rank_type, key, scol, dcol in (
+            ("current", "cur_in", "s_cur", "d_cur"),
+            ("total", "links_in_works", "s_liw", "d_liw"),
+        ):
+            bounds = percent_slice_boundaries(
+                vy.select_columns(["id", key]), key, "id",
+                [e for _, e in percent_plans], n_total,
+            )
             for start, end in percent_plans:
-                end_pos = math.ceil(len(ranked) * end / 100)
-                ids = np.sort(ranked[:end_pos].astype(np.int64))
-                ref = ray.put(ids)
+                b = bounds[end]
 
-                def in_slice(t: pa.Table, _r=ref) -> pa.Table:
-                    ks = ray.get(_r)
+                def in_slice(t: pa.Table, _b=b, _s=scol, _d=dcol) -> pa.Table:
                     s = t["src"].to_numpy(zero_copy_only=False)
                     d = t["dst"].to_numpy(zero_copy_only=False)
-                    m = np.isin(s, ks) & np.isin(d, ks)
+                    sd = t[_s].to_numpy(zero_copy_only=False)
+                    dd = t[_d].to_numpy(zero_copy_only=False)
+                    m = slice_member_mask(sd, s, _b) & slice_member_mask(dd, d, _b)
                     return pa.table(
-                        {"src": pa.array(s[m], pa.int64()),
-                         "dst": pa.array(d[m], pa.int64())}
+                        {"src": t["src"].filter(pa.array(m)),
+                         "dst": t["dst"].filter(pa.array(m))}
                     )
 
-                sub = snap.map_batches(in_slice, batch_format="pyarrow").materialize()
+                sub = e2.map_batches(in_slice, batch_format="pyarrow").materialize()
                 n_edges = sub.count()
                 if n_edges == 0:
                     continue

