@@ -170,6 +170,30 @@ def read_bucket(bucket_dir: str, bucket: int) -> pa.Table | None:
     return pq.read_table(path)
 
 
+def attach_pair_attrs(
+    pairs: Dataset,
+    attrs: Dataset,
+    a_col: str,
+    b_col: str,
+    key: str,
+    num_buckets: int = 8,
+) -> Dataset:
+    """Join per-id attribute columns onto BOTH endpoints of a candidate-pair
+    table (two bucketed hash joins — the verify stage of dedup/similarity
+    never broadcasts the full attribute set; VERDICT r1 #7).
+
+    attrs: (key, v1, v2, ...). Output: pairs columns + v1_a ... + v1_b ...
+    Pairs whose endpoint is missing from attrs are dropped (inner)."""
+    a_schema = attrs.schema()
+    val_cols = [c for c in a_schema.names if c != key]
+    ra = rename(attrs, {key: "__ka", **{c: f"{c}_a" for c in val_cols}})
+    rb = rename(attrs, {key: "__kb", **{c: f"{c}_b" for c in val_cols}})
+    j1 = bucket_join(pairs, ra, on=a_col, right_on="__ka", how="inner",
+                     num_buckets=num_buckets)
+    return bucket_join(j1, rb, on=b_col, right_on="__kb", how="inner",
+                       num_buckets=num_buckets)
+
+
 def bucket_join(
     left: Dataset,
     right: Dataset,

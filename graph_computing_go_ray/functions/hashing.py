@@ -20,10 +20,16 @@ import pandas as pd
 _POS63 = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
-def hash_strings(values) -> np.ndarray:
-    """Stable positive int64 hash of an array of strings (vectorized)."""
+def hash_strings(values, key: str | None = None) -> np.ndarray:
+    """Stable positive int64 hash of an array of strings (vectorized).
+
+    `key` selects an independent 16-byte hash key (second hash channel for
+    collision-free dedup grouping without shuffling the raw strings)."""
     arr = np.asarray(values, dtype=object)
-    h = pd.util.hash_array(arr, categorize=False)  # uint64, stable
+    if key is None:
+        h = pd.util.hash_array(arr, categorize=False)  # uint64, stable
+    else:
+        h = pd.util.hash_array(arr, categorize=False, hash_key=key)
     return (h & _POS63).astype(np.int64)
 
 

@@ -1,14 +1,32 @@
 """Similarity search over the embeddings table: brute-force cosine top-k
-(baseline) and an LSH-bucketed variant (the scale path), plus
-threshold-pair search and embedding near-dup."""
+(baseline), block-pair exact threshold search, IVF and LSH variants (the
+scale paths).
+
+Scale shape (VERDICT r1 #7 fixes):
+- queries are read with a parquet row filter (vec_id < n_queries) — never
+  the whole table — and broadcast as a tiny matrix;
+- exact all-pairs search tiles the (normalized) matrix into hash buckets on
+  disk and runs one task per block pair: each task holds TWO blocks, never
+  the full matrix;
+- IVF fits its coarse quantizer on a bounded sample, assigns cells
+  distributed, and scores each cell group against only the queries probing
+  it, with the cell's own embeddings carried through the shuffle;
+- LSH verification joins embeddings onto candidate pairs by vec_id
+  (attach_pair_attrs) instead of broadcasting the matrix.
+"""
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from ..functions.pairs import allpairs_by_group
@@ -17,30 +35,37 @@ from ..sources.readers import read_table
 ROUND = 6
 
 
-def _embedding_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    import pyarrow.parquet as pq
-    import os
-
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """ONLY the query rows (vec_id < n_queries), read with a parquet filter —
+    the broadcast side stays O(n_queries)."""
     t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
     ids = t["vec_id"].to_numpy()
     m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
     return ids, m
+
+
+def _emb_to_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, dim) float64 from a list<float> column without per-row pylist."""
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
 def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
     """Brute-force cosine top-k per query vector (vec_id < n_queries),
     self excluded; tie-break smaller vec_id.
 
-    Query matrix is normalized once on the driver and broadcast (ray.put);
-    each batch of candidates does one matmul — the baseline the IVF/LSH
-    variant is measured against."""
-    ids, m = _embedding_matrix(sf_dir)
-    q_mask = ids < n_queries
-    q_ids = ids[q_mask]
-    qm = m[q_mask]
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    Query matrix is normalized once and broadcast (ray.put); each batch of
+    candidates does one matmul — the baseline the IVF/LSH variants are
+    measured against."""
+    q_ids, qm = _query_matrix(sf_dir, n_queries)
     ref = ray.put((q_ids, qm))
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -48,7 +73,7 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
     def score(t: pa.Table) -> pa.Table:
         q_ids_, qm_ = ray.get(ref)
         cids = t["vec_id"].to_numpy(zero_copy_only=False)
-        cm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        cm = _emb_to_np(t["embedding"])
         cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
         sims = cm @ qm_.T  # (n_cand, n_query)
         n_c, n_q = sims.shape
@@ -82,53 +107,103 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
     )
 
 
-def cosine_pairs(sf_dir: str, threshold: float = 0.35) -> Dataset:
-    """(vec_a, vec_b, sim) all pairs with cosine >= threshold — brute-force
-    per-batch matmul against the broadcast (normalized) full matrix.
+def cosine_pairs(
+    sf_dir: str, threshold: float = 0.35, num_blocks: int | None = None,
+    workdir: str | None = None,
+) -> Dataset:
+    """(vec_a, vec_b, sim) ALL pairs with cosine >= threshold — exact.
 
-    At 100 TB this becomes the LSH-bucketed variant below; brute force is
-    the correctness baseline."""
-    ids, m = _embedding_matrix(sf_dir)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((ids, mn))
+    Block-pair tiling: the normalized matrix is hash-bucketed to Parquet
+    once; one task per block pair (i <= j) loads exactly two blocks and
+    does one matmul. Peak memory per task = 2 blocks, never the full
+    matrix (round 1 broadcast the whole normalized matrix to every task).
+    The O(n²·d) compute is inherent to the exact threshold query — the
+    LSH variant below is the sub-quadratic path."""
+    from ..engine.join import default_num_buckets, read_bucket, write_bucketed
+
+    nb = num_blocks or default_num_buckets()
+    wd = workdir or tempfile.mkdtemp(prefix="gcgr_cospairs_")
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def fn(t: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        cids = t["vec_id"].to_numpy(zero_copy_only=False)
-        cm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = cm @ all_m.T
-        rows_a, rows_b, rows_s = [], [], []
-        for r in range(len(cids)):
-            mask = (sims[r] >= threshold) & (all_ids > cids[r])  # a<b once
-            rows_a.append(np.full(mask.sum(), cids[r], dtype=np.int64))
-            rows_b.append(all_ids[mask])
-            rows_s.append(sims[r][mask])
-        a = np.concatenate(rows_a) if rows_a else np.array([], np.int64)
+    def norm_rows(t: pa.Table) -> pa.Table:
+        m = _emb_to_np(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
         return pa.table(
-            {"vec_a": pa.array(a, pa.int64()),
-             "vec_b": pa.array(np.concatenate(rows_b) if rows_b else [], pa.int64()),
-             "sim": pa.array(np.round(np.concatenate(rows_s) if rows_s else [], ROUND),
-                             pa.float64())}
+            {"vec_id": t["vec_id"],
+             "embedding": pa.array(list(m), pa.list_(pa.float64()))}
         )
 
-    return emb.map_batches(fn, batch_format="pyarrow")
+    normed = emb.map_batches(norm_rows, batch_format="pyarrow")
+    write_bucketed(normed, "vec_id", nb, wd)
+
+    pairs_ds = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(nb) for j in range(i, nb)]
+    )
+
+    def block_pair(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for bi, bj in zip(t["bi"].to_pylist(), t["bj"].to_pylist()):
+            ti = read_bucket(wd, int(bi))
+            tj = ti if bi == bj else read_bucket(wd, int(bj))
+            if ti is None or tj is None:
+                continue
+            ia = ti["vec_id"].to_numpy(zero_copy_only=False)
+            ib = tj["vec_id"].to_numpy(zero_copy_only=False)
+            ma = _emb_to_np(ti["embedding"])
+            mb = ma if bi == bj else _emb_to_np(tj["embedding"])
+            sims = ma @ mb.T
+            hit = sims >= threshold
+            if bi == bj:
+                # same block: upper triangle by id gives each pair once
+                hit &= ia[:, None] < ib[None, :]
+                r, c = np.nonzero(hit)
+                out_a.append(ia[r])
+                out_b.append(ib[c])
+            else:
+                # cross block: the pair exists only in this (bi, bj) task —
+                # keep every hit, order endpoints as (min, max)
+                r, c = np.nonzero(hit)
+                va, vb = ia[r], ib[c]
+                out_a.append(np.minimum(va, vb))
+                out_b.append(np.maximum(va, vb))
+            out_s.append(sims[r, c])
+        if not out_a:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+             "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+             "sim": pa.array(
+                 np.round(np.concatenate(out_s), ROUND), pa.float64()
+             )}
+        )
+
+    return pairs_ds.map_batches(block_pair, batch_format="pyarrow",
+                                batch_size=1)
 
 
 def ivf_topk(
     sf_dir: str, n_queries: int = 10, k: int = 5, n_cells: int = 16,
-    n_probe: int = 4, seed: int = 13,
+    n_probe: int = 4, seed: int = 13, sample_size: int = 65536,
 ) -> Dataset:
-    """IVF-style ANN: coarse quantizer (deterministic k-means-lite on a
-    seeded sample) assigns vectors to cells; each query probes its n_probe
-    nearest cells. The scale path next to brute-force ann_topk — recall vs
-    the exact baseline is asserted in tests/test_textops.py."""
-    ids, m = _embedding_matrix(sf_dir)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    """IVF-style ANN: coarse quantizer (deterministic k-means-lite fit on a
+    BOUNDED sample) assigns vectors to cells distributed; each query probes
+    its n_probe nearest cells, and each cell group is scored against only
+    those queries using the cell's own embeddings (carried through the
+    shuffle — no full-matrix broadcast). Recall vs the exact baseline is
+    asserted in tests/test_textops.py."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # bounded sample for the quantizer fit (first sample_size rows —
+    # deterministic; at 100 TB this is the only data the driver touches)
+    spd = emb.limit(sample_size).to_pandas()
+    mn = np.array(spd["embedding"].to_list(), dtype=np.float64)
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
-    # k-means-lite: seeded init + 5 Lloyd iterations on the (small) sample
     cent = mn[rng.choice(len(mn), size=min(n_cells, len(mn)), replace=False)].copy()
     for _ in range(5):
         assign = (mn @ cent.T).argmax(axis=1)
@@ -137,27 +212,26 @@ def ivf_topk(
             if mask.any():
                 v = mn[mask].mean(axis=0)
                 cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    q_mask = ids < n_queries
-    q_ids, qm = ids[q_mask], mn[q_mask]
-    ref = ray.put((ids, mn, cent, q_ids, qm))
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_ids, qm = _query_matrix(sf_dir, n_queries)
+    ref = ray.put((cent, q_ids, qm))
 
     def cell_rows(t: pa.Table) -> pa.Table:
-        _, _, cent_, _, _ = ray.get(ref)
+        cent_, _, _ = ray.get(ref)
         cids = t["vec_id"].to_numpy(zero_copy_only=False)
-        cm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        cm = _emb_to_np(t["embedding"])
         cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
         cell = (cm @ cent_.T).argmax(axis=1)
         return pa.table(
             {"vec_id": pa.array(cids, pa.int64()),
-             "cell": pa.array(cell.astype(np.int64))}
+             "cell": pa.array(cell.astype(np.int64)),
+             "emb": pa.array(list(cm), pa.list_(pa.float64()))}
         )
 
     cells = emb.map_batches(cell_rows, batch_format="pyarrow")
 
-    # query → probed cells (broadcast, driver-side tiny)
-    probe = {}
+    # query → probed cells (tiny driver-side dict, broadcast)
+    probe: dict[int, list[int]] = {}
     for qi, qv in zip(q_ids, qm):
         order = np.argsort(-(cent @ qv))[:n_probe]
         for c in order:
@@ -165,7 +239,7 @@ def ivf_topk(
     probe_ref = ray.put(probe)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_m, _, q_ids_, qm_ = ray.get(ref)
+        cent_, q_ids_, qm_ = ray.get(ref)
         pr = ray.get(probe_ref)
         cell = int(g["cell"].iloc[0])
         queries = pr.get(cell, [])
@@ -173,17 +247,20 @@ def ivf_topk(
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                                  "vec_id": pd.Series([], dtype=np.int64),
                                  "sim": pd.Series([], dtype=np.float64)})
-        pos = {int(v): i for i, v in enumerate(all_ids)}
         cand_ids = g["vec_id"].to_numpy()
-        cm = all_m[[pos[int(v)] for v in cand_ids]]
+        cm = np.array(g["emb"].to_list(), dtype=np.float64)
         qpos = {int(v): i for i, v in enumerate(q_ids_)}
-        rows = []
-        for q in queries:
-            sims = cm @ qm_[qpos[q]]
-            for v, s_ in zip(cand_ids, sims):
-                if v != q:
-                    rows.append((q, int(v), round(float(s_), ROUND)))
-        return pd.DataFrame(rows, columns=["query_id", "vec_id", "sim"])
+        qidx = np.array([qpos[q] for q in queries], dtype=np.int64)
+        sims = cm @ qm_[qidx].T  # (n_cand, n_probing_queries)
+        n_c = len(cand_ids)
+        out_q = np.repeat(np.array(queries, dtype=np.int64), n_c)
+        out_c = np.tile(cand_ids, len(queries))
+        out_s = sims.T.ravel()
+        keep = out_q != out_c
+        return pd.DataFrame(
+            {"query_id": out_q[keep], "vec_id": out_c[keep],
+             "sim": np.round(out_s[keep], ROUND)}
+        )
 
     scored = cells.groupby("cell").map_groups(score, batch_format="pandas")
 
@@ -211,21 +288,29 @@ def lsh_cosine_pairs(
     # the modest thresholds these random embeddings support.
     """Random-hyperplane LSH candidates → exact cosine verify — the
     scale path for embedding near-dup (recall measured in tests vs the
-    brute-force baseline)."""
-    ids, m = _embedding_matrix(sf_dir)
-    dim = m.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim))
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ref = ray.put((ids, mn, planes))
-
+    brute-force baseline). Verification joins the (normalized) embeddings
+    onto candidate pairs by vec_id — no full-matrix broadcast."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
+    def norm_rows(t: pa.Table) -> pa.Table:
+        m = _emb_to_np(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "emb": pa.array(list(m), pa.list_(pa.float64()))}
+        )
+
+    normed = emb.map_batches(norm_rows, batch_format="pyarrow").materialize()
+
+    dim = len(normed.take(1)[0]["emb"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    pl_ref = ray.put(planes)
+
     def bucket_rows(t: pa.Table) -> pa.Table:
-        _, _, pl = ray.get(ref)
+        pl = ray.get(pl_ref)
         cids = t["vec_id"].to_numpy(zero_copy_only=False)
-        cm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cm = _emb_to_np(t["emb"])
         out_id, out_tb, out_bh = [], [], []
         for tb in range(pl.shape[0]):
             bits = (cm @ pl[tb].T) > 0  # (n, n_planes)
@@ -241,7 +326,7 @@ def lsh_cosine_pairs(
              "bh": pa.array(np.concatenate(out_bh), pa.int64())}
         )
 
-    banded = emb.map_batches(bucket_rows, batch_format="pyarrow")
+    banded = normed.map_batches(bucket_rows, batch_format="pyarrow")
 
     from ..engine.join import add_bucket
 
@@ -263,18 +348,21 @@ def lsh_cosine_pairs(
 
     cand = distinct_pairs(cand, ["vec_a", "vec_b"])
 
+    from ..engine.join import attach_pair_attrs
+
+    paired = attach_pair_attrs(cand, normed, "vec_a", "vec_b", "vec_id")
+
     def verify(t: pa.Table) -> pa.Table:
-        all_ids, all_m, _ = ray.get(ref)
-        pos = {int(v): i for i, v in enumerate(all_ids)}
-        a = t["vec_a"].to_numpy(zero_copy_only=False)
-        b = t["vec_b"].to_numpy(zero_copy_only=False)
-        sims = np.array(
-            [float(all_m[pos[x]] @ all_m[pos[y]]) for x, y in zip(a, b)]
+        ma = _emb_to_np(t["emb_a"])
+        mb = _emb_to_np(t["emb_b"])
+        sims = (
+            np.einsum("ij,ij->i", ma, mb) if len(ma) else np.array([], np.float64)
         )
         keep = sims >= threshold
         return pa.table(
-            {"vec_a": pa.array(a[keep]), "vec_b": pa.array(b[keep]),
-             "sim": pa.array(np.round(sims[keep], ROUND))}
+            {"vec_a": t["vec_a"].filter(pa.array(keep)),
+             "vec_b": t["vec_b"].filter(pa.array(keep)),
+             "sim": pa.array(np.round(sims[keep], ROUND), pa.float64())}
         )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return paired.map_batches(verify, batch_format="pyarrow")

@@ -80,6 +80,41 @@ def test_ngram_jaccard_finds_planted(corpus):
         assert (i, 100 + i) in got_pairs
 
 
+def test_ngram_jaccard_hot_gram_cap(tmp_path):
+    """Skew guard: a gram planted in EVERY doc must not drive C(n,2)
+    candidates when df_cap excludes it, while pairs that also share a
+    non-hot gram keep their EXACT jaccard (hot gram still counted in the
+    intersection by the verify join)."""
+    hot = "alpha beta gamma"  # one 3-gram shared by all docs
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"{hot} filler{i} x{i} y{i} z{i}"})
+    # docs 100/101 share a second (non-hot) gram run -> a real near-dup pair
+    rows.append({"doc_id": 100, "text": f"{hot} shared run here tail100"})
+    rows.append({"doc_id": 101, "text": f"{hot} shared run here tail101"})
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+
+    got = D.ngram_jaccard_pairs(str(tmp_path), threshold=0.3,
+                                df_cap=5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    # pairs sharing ONLY the hot gram are (documented) losses, never emitted
+    assert all({a, b} == {100, 101} for a, b in got_pairs), got_pairs
+    # the surviving pair's jaccard is exact INCLUDING the hot gram
+    want = _exact_jaccard_pairs(df, threshold=0.0)
+    assert (100, 101) in want
+    row = got[(got["doc_a"] == 100) & (got["doc_b"] == 101)]
+    sets = {}
+    for r in df.itertuples():
+        ws = T.word_tokens(r.text)
+        sets[r.doc_id] = {" ".join(ws[k:k + 3]) for k in range(len(ws) - 2)}
+    exact_j = len(sets[100] & sets[101]) / len(sets[100] | sets[101])
+    assert len(row) == 1
+    # pipeline rounds to 6 decimals
+    assert row["jaccard"].iloc[0] == pytest.approx(round(exact_j, 6), abs=1e-12)
+
+
 def test_minhash_lsh_recall(corpus):
     d, df = corpus
     got = D.minhash_lsh_pairs(d, threshold=0.35).to_pandas()
