@@ -79,13 +79,14 @@ def connected_components(
 
     import ray.data as rd
 
-    graph_meta = os.path.join(workdir, "GRAPH.json")
-    if os.path.exists(graph_meta):
-        info = json.load(open(graph_meta))
-    else:
+    from ..state import checkpoint as ckpt
+    from .superstep import _load_graph_meta
+
+    info = _load_graph_meta(workdir)
+    if info is None:
         info = build_graph_partitions(edges, workdir, num_parts, symmetrize=True)
     prog = HashMinProgram()
-    edges_ds = rd.read_parquet(os.path.join(workdir, "edges")).materialize()
+    edges_ds = rd.read_parquet(ckpt.join(workdir, "edges")).materialize()
     run = run_supersteps(edges_ds, workdir, prog, info,
                          max_iters=max_iters, resume=resume)
     labels = final_state(workdir).select_columns(["id", "label"])

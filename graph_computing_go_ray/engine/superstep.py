@@ -25,21 +25,19 @@ Design (north_star wording from BASELINE.json):
   job resumes mid-iteration.
 
 At 256 nodes / 100 TB: P scales with cluster size (state shard ≈ |V|/P rows
-must fit one worker), the state exchange becomes S3 instead of local disk,
+must fit one worker), the workdir becomes an s3:// URI (all state I/O goes through
+  pyarrow.fs, see state/checkpoint.py) so the exchange is shared storage,
 and the edge Dataset stays materialized in the object store across
 supersteps (the standard iterative-graph working set).
 """
 
 from __future__ import annotations
 
-import math
-import os
 import time
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray.data as rd
 from ray.data import Dataset
@@ -85,28 +83,48 @@ _STATE_CACHE: dict[tuple, pd.DataFrame] = {}
 _STATE_CACHE_MAX = 64
 
 
-def _read_state(workdir: str, iteration: int, part: int) -> pd.DataFrame:
+def _read_state(workdir: str, iteration: int, part: int,
+                run_id: str = "legacy") -> pd.DataFrame:
     """Worker-local shard cache: Ray worker processes persist across tasks,
     so blocks of the same partition scheduled on one worker read the shard
-    once per iteration. Keys include the iteration, so entries can never be
-    stale; a small FIFO cap bounds worker heap."""
-    key = (workdir, iteration, part)
+    once per iteration. Keys include the run_id nonce (minted at state init)
+    and the iteration, so a re-run over a reused workdir with resume=False
+    can never serve shards of the previous run (ADVICE r1); a small FIFO
+    cap bounds worker heap. Returns a defensive copy so an in-place
+    mutating vertex program cannot corrupt the cached shard."""
+    key = (run_id, workdir, iteration, part)
     hit = _STATE_CACHE.get(key)
     if hit is not None:
-        return hit
-    df = pq.read_table(ckpt.part_file(workdir, iteration, part)).to_pandas()
+        return hit.copy()
+    df = ckpt.read_part(workdir, iteration, part).to_pandas()
     if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
         _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
     _STATE_CACHE[key] = df
-    return df
+    return df.copy()
+
+
+def _load_graph_meta(workdir: str) -> dict | None:
+    """GRAPH.json through the checkpoint fs layer (URI-capable)."""
+    import json
+
+    from ..state import checkpoint as ckpt
+
+    path = ckpt.join(workdir, "GRAPH.json")
+    if not ckpt.exists(path):
+        return None
+    f, p = ckpt.get_fs(path)
+    with f.open_input_stream(p) as inp:
+        return json.loads(inp.read().decode())
 
 
 def build_graph_partitions(
     edges: Dataset, workdir: str, num_parts: int, symmetrize: bool = False,
 ) -> dict:
     """Write CSR edge partitions + degree-annotated vertex shards (iter-less
-    base layout). Returns {n_vertices, n_edges, num_parts}."""
-    os.makedirs(workdir, exist_ok=True)
+    base layout). Returns {n_vertices, n_edges, num_parts}. workdir may be a
+    local path or a filesystem URI (file://, s3://) — state exchange then
+    runs against shared storage on a multi-node cluster."""
+    ckpt.ensure_dir(workdir)
 
     def tag(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -124,13 +142,13 @@ def build_graph_partitions(
         return g.sort_values(["src", "dst"], ignore_index=True)
 
     tagged.groupby("part").map_groups(csr_sort, batch_format="pandas").write_parquet(
-        os.path.join(workdir, "edges"), partition_cols=["part"], mode="overwrite"
+        ckpt.join(workdir, "edges"), partition_cols=["part"], mode="overwrite"
     )
 
     # vertex shards with degrees (multigraph counts, matching engine/entropy)
     from .entropy import degree_table
 
-    e = rd.read_parquet(os.path.join(workdir, "edges"), columns=["src", "dst"])
+    e = rd.read_parquet(ckpt.join(workdir, "edges"), columns=["src", "dst"])
     deg = degree_table(e)
 
     def vtag(t: pa.Table) -> pa.Table:
@@ -142,12 +160,12 @@ def build_graph_partitions(
     def vwrite(g: pd.DataFrame) -> pd.DataFrame:
         p = int(g["part"].iloc[0])
         g = g.sort_values("id", ignore_index=True)
-        os.makedirs(os.path.join(workdir, "base"), exist_ok=True)
-        pq.write_table(
+        ckpt.ensure_dir(ckpt.join(workdir, "base"))
+        ckpt.write_table_at(
+            ckpt.join(workdir, "base", f"part-{p:05d}.parquet"),
             pa.Table.from_pandas(
                 g[["id", "in_degree", "out_degree"]], preserve_index=False
             ),
-            os.path.join(workdir, "base", f"part-{p:05d}.parquet"),
         )
         return pd.DataFrame({"part": [p], "n": [len(g)]})
 
@@ -158,33 +176,40 @@ def build_graph_partitions(
             "parts": sorted(int(p) for p in stats["part"])}
     import json
 
-    with open(os.path.join(workdir, "GRAPH.json"), "w") as f:
-        json.dump(info, f)
+    fs_, gp = ckpt.get_fs(ckpt.join(workdir, "GRAPH.json"))
+    with fs_.open_output_stream(gp) as f:
+        f.write(json.dumps(info).encode())
     return info
 
 
-def _init_state(workdir: str, program: VertexProgram, info: dict) -> None:
-    os.makedirs(ckpt.state_dir(workdir, 0), exist_ok=True)
+def _init_state(workdir: str, program: VertexProgram, info: dict) -> str:
+    """Seed iter-0 state shards; returns the minted run_id nonce (recorded
+    in the manifest so resumed runs key the worker shard cache the same)."""
+    import uuid
+
+    run_id = uuid.uuid4().hex
+    ckpt.ensure_dir(ckpt.state_dir(workdir, 0))
     metrics_rows = []
     for p in info["parts"]:
-        base = pq.read_table(os.path.join(workdir, "base", f"part-{p:05d}.parquet"))
+        base = ckpt.read_table_at(
+            ckpt.join(workdir, "base", f"part-{p:05d}.parquet")
+        )
         df = base.to_pandas()
         st = program.init_state(
             df["id"].to_numpy(), df["out_degree"].to_numpy(),
             df["in_degree"].to_numpy(), info["n_vertices"],
         )
-        pq.write_table(
-            pa.Table.from_pandas(st, preserve_index=False),
-            ckpt.part_file(workdir, 0, p),
-        )
+        ckpt.write_part(workdir, 0, p,
+                        pa.Table.from_pandas(st, preserve_index=False))
         m0 = {"part": p, "n": len(st)}
         m0.update(program.init_metrics(st))
         metrics_rows.append(m0)
     ckpt.write_manifest(
         workdir, 0,
         {"iteration": 0, "parent": None, "program": program.name,
-         "metrics": metrics_rows, "converged": False},
+         "run_id": run_id, "metrics": metrics_rows, "converged": False},
     )
+    return run_id
 
 
 def run_supersteps(
@@ -207,6 +232,10 @@ def run_supersteps(
     if start_iter is None:
         _init_state(workdir, program, info)
         start_iter = 0
+    # run_id nonce from the lineage root: resumed runs share it (their
+    # shards ARE valid cache entries); fresh runs over a reused workdir get
+    # a new one, so workers can never serve the previous run's shards
+    run_id = ckpt.read_manifest(workdir, 0).get("run_id", "legacy")
 
     seed = pa.Table.from_pydict(
         {name: pa.array(
@@ -230,7 +259,7 @@ def run_supersteps(
         def gather_fn(t: pa.Table, _k=k, _gv=global_vals) -> pa.Table:
             df = t.to_pandas()
             state_of = {
-                int(p): _read_state(workdir, _k, int(p))
+                int(p): _read_state(workdir, _k, int(p), run_id)
                 for p in df["part"].unique()
             }
             out = program.gather(df, state_of, _gv)
@@ -245,13 +274,10 @@ def run_supersteps(
         def reduce_fn(g: pd.DataFrame, _k=k, _gv=global_vals) -> pd.DataFrame:
             p = int(g["part_dst"].iloc[0])
             real = g[g["dst"] != -1]
-            state = _read_state(workdir, _k, p)
+            state = _read_state(workdir, _k, p, run_id)
             new_state, m = program.reduce_apply(state, real, _gv)
-            os.makedirs(ckpt.state_dir(workdir, _k + 1), exist_ok=True)
-            pq.write_table(
-                pa.Table.from_pandas(new_state, preserve_index=False),
-                ckpt.part_file(workdir, _k + 1, p),
-            )
+            ckpt.write_part(workdir, _k + 1, p,
+                            pa.Table.from_pandas(new_state, preserve_index=False))
             m["part"] = p
             return pd.DataFrame([m])
 

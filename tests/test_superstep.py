@@ -129,3 +129,30 @@ def test_label_propagation_deterministic(graph):
     assert (a == b).all()
     # labels coarsen communities: fewer labels than vertices
     assert len(np.unique(a)) < len(a)
+
+
+def test_pagerank_uri_workdir_and_rerun_nonce(graph, tmp_path):
+    """The checkpoint root accepts a filesystem URI (file://...) — the
+    multi-node shared-storage path — and a fresh run over a REUSED workdir
+    (resume=False) must not serve the previous run's cached shards from
+    long-lived workers (run_id nonce)."""
+    edges_pd, edges_ds, root = graph
+    wd_uri = "file://" + os.path.join(str(tmp_path), "pr_uri")
+    ranks, info = pagerank(edges_ds, wd_uri, tol=1e-10, max_iters=200, num_parts=4)
+    assert info["converged"]
+    got = ranks.to_pandas().set_index("id")["rank"].to_dict()
+    want = numpy_pagerank(edges_pd, tol=1e-10)
+    ids = sorted(got)
+    np.testing.assert_allclose(
+        [got[i] for i in ids], [want[i] for i in ids], rtol=0, atol=1e-6
+    )
+    # manifests live under the URI root and carry the run nonce
+    m0 = ckpt.read_manifest(wd_uri, 0)
+    assert m0.get("run_id")
+    # re-run IN PLACE with resume=False: different nonce, same converged result
+    ranks2, info2 = pagerank(edges_ds, wd_uri, tol=1e-10, max_iters=200,
+                             num_parts=4, resume=False)
+    assert ckpt.read_manifest(wd_uri, 0)["run_id"] != m0["run_id"]
+    a = ranks.to_pandas().sort_values("id")["rank"].to_numpy()
+    b = ranks2.to_pandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
