@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_orders_customer": R.hash_join_orders_customer,
         # grouped aggregation (A1-at-scale combiner pattern)
         "pricing_summary": R.pricing_summary,
+        # M1 string-ts parse + cutoff-year filter
+        "orders_ts_filter": R.orders_ts_filter,
         # M2 yearly snapshot selection
         "order_year_snapshot": R.order_year_snapshot,
         # entropies (A4/A5 + north-rule link entropy)
@@ -141,6 +143,10 @@ def oracle_sql() -> dict[str, str]:
             "         (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000 "
             "  AS sum_disc_price, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        "orders_ts_filter": (
+            "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year "
+            "FROM orders WHERE year(o_orderdate) >= 1995"
         ),
         "order_year_snapshot": (
             "SELECT o_custkey, year, o_orderkey FROM ("

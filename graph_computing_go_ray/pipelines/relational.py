@@ -402,3 +402,34 @@ def events_daily_user(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------- M1 ts parse + cutoff
+def orders_ts_filter(sf_dir: str, cutoff_year: int = 1995) -> Dataset:
+    """M1 operator exercised end-to-end against the SQL oracle: order dates
+    are round-tripped through the reference's string timestamp layout
+    ('%Y-%m-%dT%H:%M:%SZ'), re-parsed, and rows before the cutoff year are
+    dropped (extractWikipediaDump.go:136-150)."""
+    from ..sources.readers import parse_ts_filter
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def to_str(t: pa.Table) -> pa.Table:
+        # second precision first: Arrow %S includes subseconds otherwise
+        secs = pc.cast(t["o_orderdate"], pa.timestamp("s"))
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "ts": pc.strftime(secs, format="%Y-%m-%dT%H:%M:%SZ")}
+        )
+
+    parsed = parse_ts_filter(
+        orders.map_batches(to_str, batch_format="pyarrow"), "ts", cutoff_year
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "year": pc.cast(pc.year(t["ts"]), pa.int32())}
+        )
+
+    return parsed.map_batches(fin, batch_format="pyarrow")

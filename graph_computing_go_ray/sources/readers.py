@@ -27,3 +27,31 @@ def lineitem_edges(sf_dir: str) -> Dataset:
     kernels against DuckDB oracles (FIXTURES.md F7)."""
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     return ds.rename_columns({"l_orderkey": "src", "l_partkey": "dst"})
+
+
+def parse_ts_filter(
+    ds: Dataset, ts_col: str, cutoff_year: int = 2000,
+    fmt: str = "%Y-%m-%dT%H:%M:%SZ",
+) -> Dataset:
+    """M1 (extractWikipediaDump.go:136-150): parse string timestamps with
+    the reference's fixed layout, DROP malformed rows (the reference logs a
+    warning and the zero-value year then fails the cutoff) and rows with
+    year < cutoff_year. Typed timestamp columns skip the parse and only get
+    the cutoff filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.types as patypes
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[ts_col]
+        if patypes.is_string(col.type) or patypes.is_large_string(col.type):
+            ts = pc.strptime(col, format=fmt, unit="us", error_is_null=True)
+            t = t.set_column(t.schema.get_field_index(ts_col), ts_col, ts)
+        else:
+            ts = col
+        keep = pc.and_kleene(
+            pc.is_valid(ts), pc.greater_equal(pc.year(ts), cutoff_year)
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
