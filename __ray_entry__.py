@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": S.ivf_topk,
         # gap-based sessionization (streaming-shaped)
         "events_sessionize": R.events_sessionize,
+        # as-of join (custom operator Ray Data lacks natively)
+        "events_asof_orders": R.events_asof_orders,
+        # hopping (sliding) window aggregate
+        "events_hopping_window": R.events_hopping_window,
     }
 
 
@@ -263,6 +267,24 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS new_s FROM events) "
             "SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM o GROUP BY user_id"
+        ),
+        "events_asof_orders": (
+            "SELECT event_id, user_id, o_orderkey AS last_orderkey FROM ("
+            "  SELECT e.event_id, e.user_id, o.o_orderkey, "
+            "    row_number() OVER (PARTITION BY e.event_id "
+            "      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn "
+            "  FROM events e JOIN orders o ON o.o_custkey = e.user_id "
+            "  WHERE o.o_orderdate <= e.ts) WHERE rn = 1"
+        ),
+        # exact cents accumulation (same rationale as pricing_summary)
+        "events_hopping_window": (
+            "SELECT user_id, window_start, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 "
+            "  AS sum_value FROM ("
+            "  SELECT user_id, value, "
+            "    date_trunc('day', ts) - (d * INTERVAL 1 DAY) AS window_start "
+            "  FROM events CROSS JOIN generate_series(0, 6) AS g(d)) "
+            "GROUP BY 1, 2"
         ),
         # cosine in explicit DOUBLE math: DuckDB's list_cosine_similarity
         # computes in float32 and drifts ~1e-6 from the engine's float64

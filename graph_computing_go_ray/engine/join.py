@@ -170,6 +170,101 @@ def read_bucket(bucket_dir: str, bucket: int) -> pa.Table | None:
     return pq.read_table(path)
 
 
+def bucket_asof_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    num_buckets: int = 32,
+) -> Dataset:
+    """As-of join (backward): for each left row, the LATEST right row of the
+    same key with right_ts <= left_ts. An operator Ray Data lacks natively,
+    composed as hash-bucket co-grouping + one vectorized pandas merge_asof
+    per bucket (partitioning assumption: both sides bucket on the join key,
+    so every key's full history co-locates; skew = one hot key's rows in
+    one group, bounded by that key's own size).
+
+    Ties on right_ts resolve to the greatest right-side sort order (right is
+    sorted by (right_ts, remaining cols) before the merge — deterministic).
+    Left rows with no match are dropped (inner semantics). Output: left
+    columns + right columns minus the join key."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    keep_r = [c for c in r_cols if c != right_on]
+    assert not set(l_cols) & set(keep_r), "column collision between join sides"
+
+    l2 = add_bucket(left, on, num_buckets).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    r2 = add_bucket(right, right_on, num_buckets).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    full_fields = [(c, l_types.get(c, r_types.get(c))) for c in all_cols]
+    full_fields += [("bucket", pa.int64()), ("__side", pa.int8())]
+    full_schema = pa.schema(full_fields)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in full_fields:
+            if name in t.column_names:
+                cols[name] = t[name].cast(typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        return pa.table(cols, schema=full_schema)
+
+    both = l2.map_batches(pad, batch_format="pyarrow").union(
+        r2.map_batches(pad, batch_format="pyarrow")
+    ).repartition(max(16, min(128, num_buckets * 2)))
+
+    out_fields = [(c, l_types[c]) for c in l_cols] + [(c, r_types[c]) for c in keep_r]
+    out_schema = pa.schema(out_fields)
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lg = g.filter(pc.equal(g["__side"], 0)).select(l_cols).to_pandas()
+        rg = (
+            g.filter(pc.equal(g["__side"], 1)).select(r_cols)
+            .rename_columns([on if c == right_on else c for c in r_cols])
+            .to_pandas()
+        )
+        if lg.empty or rg.empty:
+            return pa.table(
+                {c: pa.array([], t) for c, t in out_fields}, schema=out_schema
+            )
+        # nullable Int64 for int payloads: unmatched rows otherwise coerce
+        # int64 -> float64 and corrupt 63-bit ids (ray-249 pitfall)
+        import pyarrow.types as pt
+
+        for c in keep_r:
+            if pt.is_integer(r_types[c]):
+                rg[c] = rg[c].astype("Int64")
+        lg = lg.sort_values(left_ts, kind="mergesort", ignore_index=True)
+        r_sort = [on if c == right_on else c for c in r_cols if c != right_ts]
+        rg = rg.sort_values([right_ts] + r_sort, kind="mergesort",
+                            ignore_index=True)
+        out = pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on=right_ts, by=on,
+            direction="backward", suffixes=("", "__r"),
+        )
+        if right_ts in l_cols:  # same-named ts column came back suffixed
+            out = out.rename(columns={f"{right_ts}__r": right_ts})
+        out = out.dropna(subset=[keep_r[0]])[l_cols + keep_r]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def attach_pair_attrs(
     pairs: Dataset,
     attrs: Dataset,

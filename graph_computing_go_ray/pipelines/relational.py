@@ -433,3 +433,79 @@ def orders_ts_filter(sf_dir: str, cutoff_year: int = 1995) -> Dataset:
         )
 
     return parsed.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- as-of join
+def events_asof_orders(sf_dir: str) -> Dataset:
+    """As-of join (an operator Ray Data lacks natively): for each event,
+    the user's LATEST order with o_orderdate <= ts — backward asof on
+    user_id = o_custkey, ties on date resolved to max o_orderkey
+    (engine/join.py bucket_asof_join; hash-bucket co-group + one vectorized
+    pandas merge_asof per bucket). Events with no prior order are dropped
+    (inner semantics)."""
+    from ..engine.join import bucket_asof_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    )
+    j = bucket_asof_join(
+        ev, orders, on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"],
+             "last_orderkey": t["o_orderkey"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- hopping window
+def events_hopping_window(
+    sf_dir: str, window_days: int = 7, hop_days: int = 1,
+) -> Dataset:
+    """Hopping (sliding) window aggregate per user: windows of
+    `window_days`, advancing every `hop_days`; each event lands in
+    window_days/hop_days windows. Expressed as a vectorized per-batch
+    explode (event -> its windows) with partial aggregation BEFORE the
+    shuffle, then one bucketed grouped sum — the streaming-window-as-batch
+    pattern. Sums are exact scaled-int64 cents (value has 2 decimals), so
+    the result is summation-order independent."""
+    n_win = window_days // hop_days
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        d = day.to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        offs = (np.arange(n_win, dtype="timedelta64[D]") * hop_days)
+        wstart = (d[:, None] - offs[None, :]).reshape(-1)
+        df = pd.DataFrame(
+            {"user_id": np.repeat(uid, n_win), "window_start": wstart,
+             "cents": np.repeat(cents, n_win), "n_events": np.int64(1)}
+        )
+        g = df.groupby(["user_id", "window_start"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ev.map_batches(explode, batch_format="pyarrow")
+    from ..engine.join import bucket_grouped_sum
+
+    agg = bucket_grouped_sum(p, ["user_id", "window_start"],
+                             ["cents", "n_events"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        val = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        return pa.table(
+            {"user_id": t["user_id"],
+             "window_start": t["window_start"].cast(pa.timestamp("us")),
+             "n_events": t["n_events"].cast(pa.int64()),
+             "sum_value": pa.array(val, pa.float64())}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
