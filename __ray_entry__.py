@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": R.events_asof_orders,
         # hopping (sliding) window aggregate
         "events_hopping_window": R.events_hopping_window,
+        # range (interval) join: later events of same user within 30 min
+        "events_range_pairs": R.events_range_pairs,
     }
 
 
@@ -285,6 +287,11 @@ def oracle_sql() -> dict[str, str]:
             "    date_trunc('day', ts) - (d * INTERVAL 1 DAY) AS window_start "
             "  FROM events CROSS JOIN generate_series(0, 6) AS g(d)) "
             "GROUP BY 1, 2"
+        ),
+        "events_range_pairs": (
+            "SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"
         ),
         # cosine in explicit DOUBLE math: DuckDB's list_cosine_similarity
         # computes in float32 and drifts ~1e-6 from the engine's float64

@@ -265,6 +265,122 @@ def bucket_asof_join(
     return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
 
 
+def bucket_interval_join(
+    points: Dataset,
+    intervals: Dataset,
+    on: str,
+    right_on: str,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 32,
+) -> Dataset:
+    """Range join (point-in-interval, start EXCLUSIVE / end INCLUSIVE):
+    every (interval, point) pair with the same key and
+    start < point_ts <= end. Another operator Ray Data lacks natively.
+
+    Shape: both sides hash-bucket on the key; per bucket the point set is
+    sorted once by (key, ts) and every interval's match range is found with
+    TWO vectorized searchsorted calls over a composite (key_rank, ts_rank)
+    int64 code — no per-key Python, no per-interval loop (pair expansion is
+    the repeat+offset trick). Partitioning assumption: a key's points and
+    intervals co-locate in its hash bucket; a hot key costs its own
+    |points|×|matching intervals| output, which is inherent to the join's
+    result size."""
+    p_schema = points.schema()
+    i_schema = intervals.schema()
+    p_cols = list(p_schema.names)
+    i_cols = list(i_schema.names)
+    keep_i = [c for c in i_cols if c != right_on]
+    assert not set(p_cols) & set(keep_i), "column collision between join sides"
+    out_fields = (
+        [(c, dict(zip(i_schema.names, i_schema.types))[c]) for c in keep_i]
+        + [(c, dict(zip(p_schema.names, p_schema.types))[c]) for c in p_cols]
+    )
+    out_schema = pa.schema(out_fields)
+
+    p2 = add_bucket(points, on, num_buckets).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    i2 = add_bucket(intervals, right_on, num_buckets).map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    i_types = dict(zip(i_schema.names, i_schema.types))
+    all_cols = p_cols + [c for c in i_cols if c not in p_cols]
+    full_fields = [(c, p_types.get(c, i_types.get(c))) for c in all_cols]
+    full_fields += [("bucket", pa.int64()), ("__side", pa.int8())]
+    full_schema = pa.schema(full_fields)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in full_fields:
+            if name in t.column_names:
+                cols[name] = t[name].cast(typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        return pa.table(cols, schema=full_schema)
+
+    both = p2.map_batches(pad, batch_format="pyarrow").union(
+        i2.map_batches(pad, batch_format="pyarrow")
+    ).repartition(max(16, min(128, num_buckets * 2)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pg = g.filter(pc.equal(g["__side"], 0)).select(p_cols).to_pandas()
+        ig = (
+            g.filter(pc.equal(g["__side"], 1)).select(i_cols)
+            .rename_columns([on if c == right_on else c for c in i_cols])
+            .to_pandas()
+        )
+        empty = pa.table({c: pa.array([], t) for c, t in out_fields},
+                         schema=out_schema)
+        if pg.empty or ig.empty:
+            return empty
+        pg = pg.sort_values([on, point_ts], kind="mergesort", ignore_index=True)
+        pk = pg[on].to_numpy()
+        pts = pg[point_ts].to_numpy().astype("datetime64[us]").view(np.int64)
+        # monotone ts-rank within the bucket; distinct ts -> distinct rank
+        vals = np.sort(pts)
+        big = np.int64(len(vals) + 2)
+        keys = np.unique(np.concatenate([pk, ig[on].to_numpy()]))
+        p_kidx = np.searchsorted(keys, pk)
+        comp = p_kidx * big + np.searchsorted(vals, pts, side="left")
+        i_kidx = np.searchsorted(keys, ig[on].to_numpy())
+        st = ig[start_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        en = ig[end_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        # point v matches iff st < v <= en. Point ranks are r_left(v);
+        # r_right(x) = one past all values == x, so:
+        #   v >  st  <=>  r_left(v) >= r_right(st)
+        #   v <= en  <=>  r_left(v) <  r_right(en)
+        lo = np.searchsorted(comp, i_kidx * big + np.searchsorted(vals, st, "right"),
+                             side="left")
+        hi = np.searchsorted(comp, i_kidx * big + np.searchsorted(vals, en, "right"),
+                             side="left")
+        counts = (hi - lo).clip(min=0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # repeat+offset expansion: point index for every pair
+        starts = np.repeat(lo, counts)
+        offsets = np.arange(total) - np.repeat(
+            np.concatenate([[0], counts.cumsum()[:-1]]), counts
+        )
+        p_idx = starts + offsets
+        i_idx = np.repeat(np.arange(len(ig)), counts)
+        out = pd.concat(
+            [ig.iloc[i_idx][keep_i].reset_index(drop=True),
+             pg.iloc[p_idx].reset_index(drop=True)],
+            axis=1,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def attach_pair_attrs(
     pairs: Dataset,
     attrs: Dataset,

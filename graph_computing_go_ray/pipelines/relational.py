@@ -509,3 +509,42 @@ def events_hopping_window(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- range join
+def events_range_pairs(sf_dir: str, minutes: int = 30) -> Dataset:
+    """Range (interval) join — each event paired with every LATER event of
+    the same user within `minutes` (strictly after, end-inclusive).
+    Built on engine/join.py bucket_interval_join: intervals are
+    (ts, ts+minutes] per event, points are the events themselves; per
+    bucket the match ranges come from two vectorized searchsorted passes
+    over a composite (key, ts-rank) code — no per-key Python."""
+    from ..engine.join import bucket_interval_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    points = ev.map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "event_b": t["event_id"], "ts": t["ts"]}
+        ),
+        batch_format="pyarrow",
+    )
+    delta = pa.scalar(minutes * 60 * 1_000_000, pa.duration("us"))
+    intervals = ev.map_batches(
+        lambda t: pa.table(
+            {"uid2": t["user_id"], "event_a": t["event_id"],
+             "w_start": t["ts"], "w_end": pc.add(t["ts"], delta)}
+        ),
+        batch_format="pyarrow",
+    )
+    j = bucket_interval_join(
+        points, intervals, on="user_id", right_on="uid2",
+        point_ts="ts", start_col="w_start", end_col="w_end",
+    )
+    return j.map_batches(
+        lambda t: pa.table(
+            {"event_a": t["event_a"], "event_b": t["event_b"],
+             "user_id": t["user_id"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,74 @@
+"""Boundary semantics of the custom join operators (as-of, interval) on
+tiny synthetic frames — the oracle-backed queries cover them end-to-end;
+these pin the edge cases (exact-boundary ts, duplicate ts, missing keys)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graph_computing_go_ray.engine.join import bucket_asof_join, bucket_interval_join
+
+
+def _ts(s):
+    return pd.Timestamp(s).to_datetime64()
+
+
+def test_interval_join_boundaries():
+    # key 1: points at t=10s,20s,30s (+ a duplicate at 20s); key 2: one point
+    pts = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "pid": [10, 20, 21, 30, 99],
+        "ts": pd.to_datetime(["2024-01-01 00:00:10", "2024-01-01 00:00:20",
+                              "2024-01-01 00:00:20", "2024-01-01 00:00:30",
+                              "2024-01-01 00:00:10"]),
+    })
+    iv = pd.DataFrame({
+        "k2": [1, 1, 1, 3],
+        "iid": [100, 101, 102, 103],
+        "start": pd.to_datetime(["2024-01-01 00:00:10", "2024-01-01 00:00:20",
+                                 "2024-01-01 00:00:00", "2024-01-01 00:00:00"]),
+        "end": pd.to_datetime(["2024-01-01 00:00:20", "2024-01-01 00:00:25",
+                               "2024-01-01 00:00:09", "2024-01-01 00:01:00"]),
+    })
+    out = bucket_interval_join(
+        rd.from_pandas(pts), rd.from_pandas(iv),
+        on="k", right_on="k2", point_ts="ts",
+        start_col="start", end_col="end", num_buckets=4,
+    ).to_pandas()
+    got = sorted(zip(out["iid"], out["pid"]))
+    # iid=100 (10s,20s]: start exclusive -> pid 10 out; both 20s dups in
+    # iid=101 (20s,25s]: 20s excluded (start), nothing else <= 25s
+    # iid=102 (0s,9s]: nothing (end-inclusive boundary below first point)
+    # iid=103: key 3 has no points
+    assert got == [(100, 20), (100, 21)]
+
+
+def test_asof_join_backward_and_ties():
+    left = pd.DataFrame({
+        "k": [1, 1, 2, 3],
+        "lid": [1, 2, 3, 4],
+        "lts": pd.to_datetime(["2024-01-05", "2024-01-01", "2024-01-05",
+                               "2024-01-05"]),
+    })
+    right = pd.DataFrame({
+        "k2": [1, 1, 1, 2],
+        "rid": [10, 11, 12, 20],
+        "rts": pd.to_datetime(["2024-01-02", "2024-01-03", "2024-01-03",
+                               "2024-01-06"]),
+    })
+    out = bucket_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="k", right_on="k2", left_ts="lts", right_ts="rts", num_buckets=4,
+    ).to_pandas()
+    m = dict(zip(out["lid"], out["rid"]))
+    # lid=1: latest rts<=Jan5 is Jan3; tie (rid 11,12) -> max rid wins
+    assert m.get(1) == 12
+    # lid=2: no right row <= Jan1 -> dropped (inner)
+    assert 2 not in m
+    # lid=3: right row is AFTER left ts -> dropped
+    assert 3 not in m
+    # lid=4: key 3 missing on right -> dropped
+    assert 4 not in m
+    assert out["rid"].dtype == np.int64 or str(out["rid"].dtype) == "int64"
