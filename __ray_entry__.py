@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pairs": S.cosine_pairs,
         "lsh_cosine_pairs": S.lsh_cosine_pairs,
         "ivf_topk": S.ivf_topk,
+        # embedding-cosine near-dup dedup (keep = no smaller near-duplicate)
+        "embedding_dedup_keep": S.embedding_dedup_keep,
         # gap-based sessionization (streaming-shaped)
         "events_sessionize": R.events_sessionize,
         # as-of join (custom operator Ray Data lacks natively)
@@ -269,6 +271,18 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS new_s FROM events) "
             "SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, "
             "count(*) AS n_events FROM o GROUP BY user_id"
+        ),
+        "embedding_dedup_keep": (
+            "WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+            "     CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM flat GROUP BY 1), "
+            "dropped AS (SELECT DISTINCT b.vec_id AS v FROM flat a "
+            "  JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id "
+            "  JOIN norms na ON a.vec_id = na.vec_id "
+            "  JOIN norms nb ON b.vec_id = nb.vec_id "
+            "  GROUP BY a.vec_id, b.vec_id, na.n, nb.n "
+            "  HAVING sum(a.x*b.x) / (na.n * nb.n) >= 0.35) "
+            "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT v FROM dropped)"
         ),
         "events_asof_orders": (
             "SELECT event_id, user_id, o_orderkey AS last_orderkey FROM ("

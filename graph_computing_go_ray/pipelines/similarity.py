@@ -366,3 +366,30 @@ def lsh_cosine_pairs(
         )
 
     return paired.map_batches(verify, batch_format="pyarrow")
+
+
+def embedding_dedup_keep(sf_dir: str, threshold: float = 0.35) -> Dataset:
+    """Embedding-cosine near-duplicate dedup (keep rule): drop every vector
+    that has cosine >= threshold to some SMALLER vec_id; survivors are the
+    canonical representatives. Built on the exact block-pair search — the
+    dropped set is exactly the distinct vec_b column of cosine_pairs, so the
+    keep step is one distinct + broadcast anti-join over ids (ids only; no
+    embedding ever reaches the driver)."""
+    pairs = cosine_pairs(sf_dir, threshold=threshold)
+    dropped = pairs.map_batches(
+        lambda t: pa.table({"vec_b": t["vec_b"]}), batch_format="pyarrow"
+    ).unique("vec_b")
+    drop_arr = np.sort(np.asarray(dropped, dtype=np.int64))
+    ref = ray.put(drop_arr)
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ds_ = ray.get(ref)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ds_) == 0:
+            return t
+        idx = np.searchsorted(ds_, v).clip(max=len(ds_) - 1)
+        return t.filter(pa.array(ds_[idx] != v))
+
+    return emb.map_batches(keep, batch_format="pyarrow")
