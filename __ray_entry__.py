@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": G.components_cooccur,
         "label_propagation": G.labelprop_cooccur,
         "component_sizes": G.component_sizes,
+        "coreness": G.coreness_cooccur,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)

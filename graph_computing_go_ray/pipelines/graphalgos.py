@@ -36,14 +36,16 @@ def _workdir(sf_dir: str, algo: str) -> str:
     )
 
 
-def cooccur_pairs(sf_dir: str, num_buckets: int = 8) -> Dataset:
+def cooccur_pairs(sf_dir: str, num_buckets: int | None = None) -> Dataset:
     """(u, v) co-occurrence pairs of parts within each order, u<v, one row
     per (order, pair). Vectorized: orders are hash-bucketed and each bucket
     generates pairs with the numpy allpairs kernel — no per-group Python
     (the A9/triangle wedge primitive)."""
-    from ..engine.join import add_bucket
+    from ..engine.join import add_bucket, default_num_buckets
     from ..functions.pairs import allpairs_by_group
 
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     b = add_bucket(li, "l_orderkey", num_buckets)
 
@@ -97,6 +99,18 @@ def components_cooccur(sf_dir: str) -> Dataset:
     return labels
 
 
+def coreness_cooccur(sf_dir: str) -> Dataset:
+    """k-core decomposition (h-index iteration, engine/kcore.py) over the
+    undirected part co-occurrence graph; exact peeling parity is asserted
+    in tests/test_superstep.py."""
+    from ..engine.kcore import kcore
+
+    cores, _ = kcore(
+        cooccur_edge_ds(sf_dir), _workdir(sf_dir, "kcore"), num_parts=8
+    )
+    return cores
+
+
 def labelprop_cooccur(sf_dir: str) -> Dataset:
     labels, _ = label_propagation(
         cooccur_edge_ds(sf_dir), _workdir(sf_dir, "lpa"), max_iters=15, num_parts=8
@@ -105,7 +119,7 @@ def labelprop_cooccur(sf_dir: str) -> Dataset:
 
 
 def triangles_cooccur(sf_dir: str) -> pd.DataFrame:
-    n = triangle_count(cooccur_edge_ds(sf_dir), num_buckets=8)
+    n = triangle_count(cooccur_edge_ds(sf_dir))  # CPU-scaled buckets
     return pd.DataFrame([{"n_triangles": n}])
 
 

@@ -156,3 +156,39 @@ def test_pagerank_uri_workdir_and_rerun_nonce(graph, tmp_path):
     a = ranks.to_pandas().sort_values("id")["rank"].to_numpy()
     b = ranks2.to_pandas().sort_values("id")["rank"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def numpy_coreness(edges: pd.DataFrame):
+    """Exact peeling (Batagelj-Zaversnik style, simple undirected graph)."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in zip(edges["src"], edges["dst"]):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    remaining = set(deg)
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core
+
+
+def test_kcore_matches_peeling(graph):
+    from graph_computing_go_ray.engine.kcore import kcore
+
+    edges_pd, edges_ds, root = graph
+    wd = os.path.join(root, "kcore")
+    cores, info = kcore(edges_ds, wd, num_parts=4)
+    got = cores.to_pandas().set_index("id")["core"].to_dict()
+    want = numpy_coreness(edges_pd)
+    assert info["converged"]
+    assert got == want
