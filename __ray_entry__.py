@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": TX.fingerprints,
         "lang_id": TX.lang_id,
         "rolling_fingerprints": TX.rolling_fingerprints,
+        # corpus-statistics LM-style quality score (2-pass, join-applied)
+        "unigram_logprob": TX.unigram_logprob,
         # dedup suite
         "exact_dedup": D.exact_dedup_keep,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -244,6 +246,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprints": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+')) AS tok FROM documents), "
+            "tot AS (SELECT count(*) AS n FROM toks), "
+            "cnts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok) "
+            "SELECT t.doc_id, round(avg(log2(c * 1.0 / n)), 6) AS logprob "
+            "FROM toks t JOIN cnts USING (tok), tot GROUP BY t.doc_id"
         ),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -82,3 +82,67 @@ def rolling_fingerprints(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str) -> Dataset:
+    """(doc_id, logprob): mean log2 unigram probability of the doc's token
+    occurrences under the corpus's own unigram distribution — a language-
+    model-flavored quality score (low = unusual vocabulary).
+
+    Two-pass corpus-statistics shape: pass 1 builds distinct (doc_id, tok,
+    k) occurrence counts and the global token counts; the apply is a
+    bucketed JOIN of token probabilities onto the doc-token table (no
+    vocabulary broadcast — the vocab of a 100 TB corpus doesn't fit one
+    task), then a grouped weighted mean per doc."""
+    from ..engine.join import bucket_grouped_sum, bucket_join, rename
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_toks(t: pa.Table) -> pa.Table:
+        ids, toks, ks = [], [], []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = T.word_tokens(txt)
+            if not ws:
+                continue
+            uniq, cnt = np.unique(np.array(ws, dtype=object), return_counts=True)
+            ids.extend([i] * len(uniq))
+            toks.extend(uniq.tolist())
+            ks.extend(cnt.tolist())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "tok": pa.array(toks, pa.large_string()),
+             "k": pa.array(ks, pa.int64())}
+        )
+
+    dt = docs.map_batches(doc_toks, batch_format="pyarrow").materialize()
+    cnts = bucket_grouped_sum(dt.select_columns(["tok", "k"]).rename_columns(
+        {"k": "c"}), ["tok"], ["c"]).materialize()
+    total = int(cnts.sum("c"))
+
+    j = bucket_join(dt, rename(cnts, {"tok": "tk2"}), on="tok",
+                    right_on="tk2", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log2(c / float(total))
+        df = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+             "s": k * lp, "n": k}
+        )
+        g = df.groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"), ["doc_id"], ["s", "n"]
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "logprob": pa.array(np.round(s / n, ROUND), pa.float64())}
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
