@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         # range (interval) join: later events of same user within 30 min
         "events_range_pairs": R.events_range_pairs,
+        # per-key ordered running aggregate (cumulative window)
+        "events_running_total": R.events_running_total,
+        # HyperLogLog approximate distinct (accuracy asserted in pytest)
+        "approx_distinct_parts": R.approx_distinct_parts,
     }
 
 
@@ -317,6 +321,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id "
             "FROM events a JOIN events b ON a.user_id = b.user_id "
             "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"
+        ),
+        # exact cents accumulation -> bit-stable cumulative sums
+        "events_running_total": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_so_far, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100 "
+            "  AS cum_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING)"
         ),
         # cosine in explicit DOUBLE math: DuckDB's list_cosine_similarity
         # computes in float32 and drifts ~1e-6 from the engine's float64

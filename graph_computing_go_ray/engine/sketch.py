@@ -1,0 +1,72 @@
+"""Sketches for approximate aggregates at 100 TB scale.
+
+HyperLogLog (Flajolet, Fusy, Gandouet & Meunier 2007, public algorithm)
+distinct-count: per block a 2^p-register sketch is built fully vectorized
+(splitmix64 hash, binary-reduction high-bit, np.maximum.at), blocks emit ONE
+fixed-size register row each, and the merge is an elementwise max over
+#blocks tiny rows — the shuffle volume is #blocks x 2^p bytes no matter how
+many input rows there are. Standard error ~1.04/sqrt(2^p) (~0.8% at p=14).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.hashing import splitmix64
+
+
+def _hibit(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for uint64 x>0, vectorized binary reduction."""
+    r = np.zeros(x.shape, np.int64)
+    x = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        x[m] >>= np.uint64(s)
+    return r
+
+
+def hll_registers(ids: np.ndarray, p: int = 14) -> np.ndarray:
+    """2^p uint8 registers for an int64 id array."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(ids) == 0:
+        return regs
+    h = splitmix64(np.asarray(ids, dtype=np.int64).view(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, left-aligned in 64
+    rank = np.where(w == 0, 64 - p + 1, 64 - _hibit(np.maximum(w, 1)))
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    raw = (0.7213 / (1 + 1.079 / m)) * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    if raw <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros > 0:
+            return m * np.log(m / zeros)
+    return float(raw)
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col) over an int64 column. One streaming
+    pass; each block contributes one 2^p-byte register row; the driver
+    merges #blocks rows elementwise-max (bounded, independent of row
+    count)."""
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(t[col].to_numpy(zero_copy_only=False), p)
+        return pa.table({"regs": pa.array([regs.tolist()],
+                                          pa.list_(pa.uint8(), 1 << p))})
+
+    rows = ds.select_columns([col]).map_batches(partial,
+                                                batch_format="pyarrow")
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for batch in rows.iter_batches(batch_format="pyarrow"):
+        for r in batch["regs"].to_pylist():
+            np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
+    return hll_estimate(merged)

@@ -548,3 +548,49 @@ def events_range_pairs(sf_dir: str, minutes: int = 30) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------- running total
+def events_running_total(sf_dir: str) -> Dataset:
+    """Per-user running aggregate ordered by time (the cumulative-window
+    op of a streaming pipeline, as batch): each event row carries the
+    cumulative event count and value sum of its user up to and including
+    itself. One vectorized sort + grouped cumsum per hash bucket of users;
+    sums accumulate exact cents so the result is bit-stable."""
+    from ..engine.join import bucket_grouped
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        g = g.assign(__c=cents)
+        gb = g.groupby("user_id")
+        out = pd.DataFrame(
+            {"event_id": g["event_id"], "user_id": g["user_id"],
+             "n_so_far": gb.cumcount().to_numpy().astype(np.int64) + 1,
+             "cum_value": gb["__c"].cumsum().to_numpy().astype(np.float64) / 100.0}
+        )
+        return out
+
+    return bucket_grouped(
+        ev, ["user_id"], run_bucket,
+        out_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("n_so_far", pa.int64()), ("cum_value", pa.float64())]
+        ),
+    )
+
+
+# ---------------------------------------------------------------- HLL sketch
+def approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct part count over lineitem via the HyperLogLog
+    sketch (engine/sketch.py): shuffle volume is #blocks x 16 KiB register
+    rows regardless of input size — the scale substitute for an exact
+    distinct shuffle. Accuracy (~0.8% at p=14) is asserted against the
+    exact count in tests/test_textops.py."""
+    from ..engine.sketch import approx_distinct
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    est = approx_distinct(li, "l_partkey")
+    return pd.DataFrame([{"n_distinct_est": float(round(est, 3))}])

@@ -184,3 +184,25 @@ def test_ivf_topk_recall_vs_bruteforce():
     # every returned sim must be exact (verified candidates)
     m = ivf.merge(brute, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
     assert (m["sim_i"] == m["sim_b"]).all()
+
+
+def test_hll_approx_distinct():
+    import ray.data as rd
+
+    from graph_computing_go_ray.engine.sketch import (
+        approx_distinct, hll_estimate, hll_registers,
+    )
+
+    # pure-kernel accuracy on 1M uniques split across chunks (merge = max)
+    ids = np.arange(1_000_000, dtype=np.int64) * 7919 + 13
+    regs = hll_registers(ids[:500_000])
+    np.maximum(regs, hll_registers(ids[500_000:]), out=regs)
+    est = hll_estimate(regs)
+    assert abs(est - 1_000_000) / 1_000_000 < 0.02, est
+
+    # distributed pass vs exact distinct on the harness table
+    sf = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_partkey"])
+    exact = len(set(li.to_pandas()["l_partkey"]))
+    got = approx_distinct(li, "l_partkey")
+    assert abs(got - exact) / exact < 0.05, (got, exact)
