@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": R.events_running_total,
         # HyperLogLog approximate distinct (accuracy asserted in pytest)
         "approx_distinct_parts": R.approx_distinct_parts,
+        # grouped top-k with pre-shuffle partial top-k
+        "top_orders_per_segment": R.top_orders_per_segment,
+        # shuffle-based anti-join
+        "customers_no_orders": R.customers_no_orders,
     }
 
 
@@ -321,6 +325,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id "
             "FROM events a JOIN events b ON a.user_id = b.user_id "
             "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"
+        ),
+        "top_orders_per_segment": (
+            "SELECT c_mktsegment, o_orderkey, o_totalprice FROM ("
+            "  SELECT c_mktsegment, o_orderkey, o_totalprice, "
+            "    row_number() OVER (PARTITION BY c_mktsegment "
+            "      ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "  FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "WHERE rn <= 5"
+        ),
+        "customers_no_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"
         ),
         # exact cents accumulation -> bit-stable cumulative sums
         "events_running_total": (

@@ -594,3 +594,80 @@ def approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
     est = approx_distinct(li, "l_partkey")
     return pd.DataFrame([{"n_distinct_est": float(round(est, 3))}])
+
+
+# ---------------------------------------------------------------- grouped top-k
+def top_orders_per_segment(sf_dir: str, k: int = 5) -> Dataset:
+    """Top-k rows per group (orders by totalprice within market segment),
+    deterministic tie-break on o_orderkey. Per-batch PARTIAL top-k before
+    the shuffle (each batch forwards at most k rows per segment), final
+    top-k per group — the grouped-top-k combiner pattern."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(
+        zip(
+            cust.to_pandas()["c_custkey"].to_numpy(),
+            cust.to_pandas()["c_mktsegment"],
+        )
+    )
+    ref = ray.put(seg_map)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df.assign(c_mktsegment=df["o_custkey"].map(m))
+        df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        return df.groupby("c_mktsegment", as_index=False).head(k)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    p = orders.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+        return g.head(k)
+
+    out = p.groupby("c_mktsegment").map_groups(final, batch_format="pandas")
+    return out.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("c_mktsegment", pa.large_string()),
+                       ("o_orderkey", pa.int64()),
+                       ("o_totalprice", pa.float64())])
+        ),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------- anti-join
+def customers_no_orders(sf_dir: str, min_price: float = 400000.0) -> Dataset:
+    """Anti-join via the bucketed left-outer join: customers with NO order
+    above `min_price` (left join on distinct qualifying custkeys, keep null
+    matches). Both sides shuffle by key hash — no driver-side key set."""
+    from ..engine.join import bucket_join
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ordered = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["o_totalprice"], min_price))
+        return pa.table(
+            {"ok": f["o_custkey"],
+             "has": pa.array(np.ones(f.num_rows, np.int8))}
+        )
+
+    ordered = ordered.map_batches(qualifying, batch_format="pyarrow")
+    from ..engine.degrees import distinct_pairs
+
+    ordered = distinct_pairs(ordered, ["ok", "has"])
+    j = bucket_join(cust, ordered, on="c_custkey", right_on="ok", how="left")
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t["has"])).select(
+            ["c_custkey", "c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+    )
