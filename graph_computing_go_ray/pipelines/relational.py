@@ -664,10 +664,16 @@ def customers_no_orders(sf_dir: str, min_price: float = 400000.0) -> Dataset:
     from ..engine.degrees import distinct_pairs
 
     ordered = distinct_pairs(ordered, ["ok", "has"])
+    from ..engine.join import typed_seed
+
     j = bucket_join(cust, ordered, on="c_custkey", right_on="ok", how="left")
-    return j.map_batches(
+    out = j.map_batches(
         lambda t: t.filter(pc.is_null(t["has"])).select(
             ["c_custkey", "c_mktsegment"]
         ),
         batch_format="pyarrow",
     )
+    # an all-matched input yields an empty result; keep its schema
+    return typed_seed(out, pa.schema(
+        [("c_custkey", pa.int64()), ("c_mktsegment", pa.large_string())]
+    ))
