@@ -52,7 +52,18 @@ def level_tags(level: int, year: int, subjects: list[str] | None = None) -> list
     return [f"lv{level}-{s}-{year}" for s in (subjects or SUBJECT_LIST)]
 
 
-def _read_extracted(extracted_dir: str) -> Dataset:
+def _read_extracted(extracted_dir: str, year: int | None = None) -> Dataset:
+    """Extracted pages, PRUNED to the year's hive partition when
+    `extracted_dir` is a partition_extracted_by_year root (year=Y subdirs)
+    — otherwise the flat layout is scanned and filtered downstream."""
+    if year is not None:
+        ydir = os.path.join(extracted_dir, f"year={year}")
+        if os.path.isdir(ydir):
+            return rd.read_parquet(
+                ydir,
+                columns=["url", "warc_ts", "links_out", "redirect",
+                         "core_subject_tag"],
+            )
     return rd.read_parquet(
         extracted_dir,
         columns=["url", "warc_ts", "links_out", "redirect", "core_subject_tag"],
@@ -90,7 +101,7 @@ def subject_snapshot(
     """Filter (year, tags) pages, then run J1-J3 resolution WITHIN the
     subset (pageLinkHandle over the filtered cursor,
     wikiSubjectEntropy.go:31-50). Returns (vertices incl. tags, edges)."""
-    sel = pages_by_subject_tags(_read_extracted(extracted_dir), tags, year)
+    sel = pages_by_subject_tags(_read_extracted(extracted_dir, year), tags, year)
     vertices = vertices_from_extracted(sel).materialize()
     os.makedirs(workdir, exist_ok=True)
     origin_dir, norm_dir = write_resolution_buckets(vertices, workdir, num_buckets)
@@ -221,7 +232,7 @@ def academic_circle_distance_complexity(
     from ..engine.distance import distance_complexity
     from ..engine.ngd import google_distance
 
-    ext = _read_extracted(extracted_dir)
+    ext = _read_extracted(extracted_dir, year)
 
     def year_tagged(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(pc.year(t["warc_ts"]), year))
