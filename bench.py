@@ -30,6 +30,8 @@ NUM_PARTS = 32  # fixed across CPU levels so the work is identical
 QUERY_SUBSET = [
     "in_degree", "pricing_summary", "link_entropy_per_vertex",
     "cooccur_edges", "triangle_count", "order_year_snapshot",
+    # round-2 operators
+    "events_hopping_window", "events_asof_orders", "unigram_logprob",
 ]
 
 
