@@ -484,11 +484,19 @@ def events_hopping_window(
         cents = np.rint(
             t["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
+        # pre-aggregate per (user, day) BEFORE the xN window explode: the
+        # explode then multiplies day-aggregates, not raw events
+        pre = pd.DataFrame(
+            {"user_id": uid, "day": d, "cents": cents, "n_events": np.int64(1)}
+        ).groupby(["user_id", "day"], as_index=False).sum()
         offs = (np.arange(n_win, dtype="timedelta64[D]") * hop_days)
-        wstart = (d[:, None] - offs[None, :]).reshape(-1)
+        dd = pre["day"].to_numpy()
+        wstart = (dd[:, None] - offs[None, :]).reshape(-1)
         df = pd.DataFrame(
-            {"user_id": np.repeat(uid, n_win), "window_start": wstart,
-             "cents": np.repeat(cents, n_win), "n_events": np.int64(1)}
+            {"user_id": np.repeat(pre["user_id"].to_numpy(), n_win),
+             "window_start": wstart,
+             "cents": np.repeat(pre["cents"].to_numpy(), n_win),
+             "n_events": np.repeat(pre["n_events"].to_numpy(), n_win)}
         )
         g = df.groupby(["user_id", "window_start"], as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
