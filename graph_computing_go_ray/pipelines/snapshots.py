@@ -287,14 +287,16 @@ def google_distance_year(
     takes the top-k in-degree vertices (documented deviation). total =
     all of the year's pages including redirects (:94)."""
     from ..engine.ngd import google_distance
+    from ..engine.rank import rank_desc
 
     edges = _non_redirect_edges(paths).materialize()
     indeg = edges.groupby("dst").aggregate(
         ray.data.aggregate.Count(alias_name="n")
-    ).to_pandas()
+    )
+    # distributed T2 top-k: only top_k_core rows ever reach the driver
     core = (
-        indeg.sort_values(["n", "dst"], ascending=[False, True])
-        .head(top_k_core)["dst"].to_numpy()
+        rank_desc(indeg, "n", "dst").limit(top_k_core)
+        .to_pandas()["dst"].to_numpy()
     )
     total = rd.read_parquet(paths["vertices"], columns=["id"]).count()
     out = google_distance(edges, core, total).to_pandas()
