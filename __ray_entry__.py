@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprints": TX.rolling_fingerprints,
         # corpus-statistics LM-style quality score (2-pass, join-applied)
         "unigram_logprob": TX.unigram_logprob,
+        # count-min heavy hitters (accuracy asserted in pytest)
+        "approx_top_tokens": TX.approx_top_tokens,
         # dedup suite
         "exact_dedup": D.exact_dedup_keep,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,

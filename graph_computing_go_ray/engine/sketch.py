@@ -70,3 +70,30 @@ def approx_distinct(ds: Dataset, col: str, p: int = 14) -> float:
         for r in batch["regs"].to_pylist():
             np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# ------------------------------------------------------------- count-min
+def cms_matrix(keys: np.ndarray, counts: np.ndarray, width: int,
+               depth: int) -> np.ndarray:
+    """Count-min sketch (Cormode & Muthukrishnan 2005, public algorithm):
+    (depth, width) int64 matrix; row d uses an independent splitmix64 salt.
+    Fully vectorized (np.add.at per row)."""
+    m = np.zeros((depth, width), dtype=np.int64)
+    if len(keys) == 0:
+        return m
+    h = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    for d in range(depth):
+        hd = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
+        np.add.at(m[d], (hd % np.uint64(width)).astype(np.int64), counts)
+    return m
+
+
+def cms_query(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-estimate counts (min over rows) for int64 keys."""
+    h = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    depth, width = m.shape
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
+        est = np.minimum(est, m[d][(hd % np.uint64(width)).astype(np.int64)])
+    return est

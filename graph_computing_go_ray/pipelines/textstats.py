@@ -146,3 +146,75 @@ def unigram_logprob(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def approx_top_tokens(sf_dir: str, k: int = 20, width: int = 1 << 16,
+                      depth: int = 4, cand_per_block: int = 256) -> Dataset:
+    """Approximate top-k frequent tokens via count-min sketch + per-block
+    candidates: each block emits ONE (depth x width) sketch row plus its
+    local top candidates, so no token-level shuffle happens — the scale
+    substitute for an exact groupby(token) heavy-hitter query. A true
+    global heavy hitter is locally heavy in some block, so the candidate
+    union contains the real top-k with overwhelming probability; estimated
+    counts are CMS point queries (upper-biased by <= eps*N). Accuracy vs
+    the exact counts is asserted in tests."""
+    from ..engine.sketch import cms_matrix, cms_query
+    from ..functions.hashing import hash_strings
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(T.word_tokens(txt))
+        if not toks:
+            empty = np.zeros((depth, width), np.int64)
+            return pa.table(
+                {"kind": pa.array([0], pa.int8()),
+                 "sketch": pa.array([empty.ravel().tolist()],
+                                    pa.list_(pa.int64(), depth * width)),
+                 "token": pa.array([""], pa.large_string()),
+                 "cnt": pa.array([0], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.array(toks, dtype=object), return_counts=True)
+        keys = hash_strings(uniq)
+        m = cms_matrix(keys, cnt.astype(np.int64), width, depth)
+        top = np.argsort(-cnt, kind="stable")[:cand_per_block]
+        n_rows = 1 + len(top)
+        kinds = np.zeros(n_rows, np.int8)
+        kinds[1:] = 1
+        sk = [m.ravel().tolist()] + [[0] * (depth * width)] * len(top)
+        return pa.table(
+            {"kind": pa.array(kinds),
+             "sketch": pa.array(sk, pa.list_(pa.int64(), depth * width)),
+             "token": pa.array([""] + [str(u) for u in uniq[top]],
+                               pa.large_string()),
+             "cnt": pa.array(
+                 np.concatenate([[0], cnt[top]]).astype(np.int64))}
+        )
+
+    rows = docs.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # merge: #blocks sketch rows sum elementwise; candidate union is small
+    merged = np.zeros(depth * width, dtype=np.int64)
+    cands: set[str] = set()
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        kind = b["kind"].to_numpy(zero_copy_only=False)
+        sk = b["sketch"].to_pylist()
+        tok = b["token"].to_pylist()
+        for i in range(len(kind)):
+            if kind[i] == 0:
+                merged += np.asarray(sk[i], dtype=np.int64)
+            else:
+                cands.add(tok[i])
+    cands.discard("")
+    cl = sorted(cands)
+    est = cms_query(merged.reshape(depth, width), hash_strings(cl))
+    order = np.lexsort((np.array(cl, dtype=object), -est))[:k]
+    out = pd.DataFrame(
+        {"token": [cl[i] for i in order],
+         "est_count": est[order].astype(np.int64)}
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))

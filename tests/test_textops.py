@@ -206,3 +206,22 @@ def test_hll_approx_distinct():
     exact = len(set(li.to_pandas()["l_partkey"]))
     got = approx_distinct(li, "l_partkey")
     assert abs(got - exact) / exact < 0.05, (got, exact)
+
+
+def test_cms_top_tokens_vs_exact():
+    import collections
+
+    sf = "/root/testdata/sf0.001"
+    df = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).to_pandas()
+    exact = collections.Counter()
+    for txt in df["text"]:
+        exact.update(T.word_tokens(txt))
+    want = [t for t, _ in exact.most_common(10)]
+    got = TX.approx_top_tokens(sf, k=10).to_pandas()
+    got_tokens = list(got["token"])
+    overlap = len(set(want) & set(got_tokens))
+    assert overlap >= 8, (want, got_tokens)
+    # CMS estimates are upper-biased but within eps*N of truth
+    n_total = sum(exact.values())
+    for t, e in zip(got["token"], got["est_count"]):
+        assert exact[t] <= e <= exact[t] + 0.01 * n_total, (t, e, exact[t])
