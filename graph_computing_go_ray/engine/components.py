@@ -80,13 +80,13 @@ def connected_components(
     import ray.data as rd
 
     from ..state import checkpoint as ckpt
-    from .superstep import _load_graph_meta
+    from .superstep import _load_graph_meta, load_edge_blocks
 
     info = _load_graph_meta(workdir)
     if info is None:
         info = build_graph_partitions(edges, workdir, num_parts, symmetrize=True)
     prog = HashMinProgram()
-    edges_ds = rd.read_parquet(ckpt.join(workdir, "edges")).materialize()
+    edges_ds = load_edge_blocks(workdir, info["num_parts"])
     run = run_supersteps(edges_ds, workdir, prog, info,
                          max_iters=max_iters, resume=resume)
     labels = final_state(workdir).select_columns(["id", "label"])

@@ -113,7 +113,7 @@ def kcore(
 
     from ..state import checkpoint as ckpt
     from .degrees import distinct_pairs
-    from .superstep import _load_graph_meta
+    from .superstep import _load_graph_meta, load_edge_blocks
 
     info = _load_graph_meta(workdir)
     if info is None:
@@ -132,7 +132,7 @@ def kcore(
         )
         info = build_graph_partitions(und, workdir, num_parts, symmetrize=True)
     prog = CorenessProgram()
-    edges_ds = rd.read_parquet(ckpt.join(workdir, "edges")).materialize()
+    edges_ds = load_edge_blocks(workdir, info["num_parts"])
     run = run_supersteps(edges_ds, workdir, prog, info,
                         max_iters=max_iters, resume=resume)
     cores = final_state(workdir).select_columns(["id", "core"])

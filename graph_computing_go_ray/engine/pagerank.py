@@ -113,14 +113,14 @@ def pagerank(
     import ray.data as rd
 
     from ..state import checkpoint as ckpt
-    from .superstep import _load_graph_meta
+    from .superstep import _load_graph_meta, load_edge_blocks
 
     if info is None:
         info = _load_graph_meta(workdir)
         if info is None:
             info = build_graph_partitions(edges, workdir, num_parts)
     prog = PageRankProgram(damping, tol)
-    edges_ds = rd.read_parquet(ckpt.join(workdir, "edges")).materialize()
+    edges_ds = load_edge_blocks(workdir, info["num_parts"])
     run = run_supersteps(edges_ds, workdir, prog, info,
                          max_iters=max_iters, resume=resume)
     ranks = final_state(workdir).select_columns(["id", "rank"])
