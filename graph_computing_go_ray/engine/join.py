@@ -119,7 +119,7 @@ def bucket_grouped(
     # coalesce first: Ray's sort-groupby degrades badly on many tiny blocks
     # (measured 34s vs 0.8s at ~1000 blocks / 0.8M rows)
     b = add_bucket(ds, keys[0], num_buckets).repartition(
-        max(16, min(128, num_buckets * 2))
+        max(16, min(128, num_buckets))
     )
     out = b.groupby("bucket").map_groups(agg_fn, batch_format="pandas")
     if out_schema is not None:
@@ -224,7 +224,7 @@ def bucket_asof_join(
 
     both = l2.map_batches(pad, batch_format="pyarrow").union(
         r2.map_batches(pad, batch_format="pyarrow")
-    ).repartition(max(16, min(128, num_buckets * 2)))
+    ).repartition(max(16, min(128, num_buckets)))
 
     out_fields = [(c, l_types[c]) for c in l_cols] + [(c, r_types[c]) for c in keep_r]
     out_schema = pa.schema(out_fields)
@@ -325,7 +325,7 @@ def bucket_interval_join(
 
     both = p2.map_batches(pad, batch_format="pyarrow").union(
         i2.map_batches(pad, batch_format="pyarrow")
-    ).repartition(max(16, min(128, num_buckets * 2)))
+    ).repartition(max(16, min(128, num_buckets)))
 
     def merge(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -458,7 +458,7 @@ def bucket_join(
 
     both = l2.map_batches(pad, batch_format="pyarrow").union(
         r2.map_batches(pad, batch_format="pyarrow")
-    ).repartition(max(16, min(128, num_buckets * 2)))  # see bucket_grouped note
+    ).repartition(max(16, min(128, num_buckets)))  # see bucket_grouped note
 
     pd_how = {"left": "left", "left_outer": "left", "inner": "inner"}[how]
     out_fields = [(c, l_types[c]) for c in l_cols] + [(c, r_types[c]) for c in keep_r]

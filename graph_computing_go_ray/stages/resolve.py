@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from ..engine.join import add_bucket, read_bucket, write_bucketed
+from ..engine.join import add_bucket, read_bucket
 from ..functions.hashing import hash_strings
 from ..functions.text import title_filter, title_filter_py
 
@@ -84,12 +84,50 @@ def resolution_table(vertices: Dataset, normalized: bool) -> Dataset:
 def write_resolution_buckets(
     vertices: Dataset, out_dir: str, num_buckets: int = 8
 ) -> tuple[str, str]:
-    """Build + bucket both resolution tables once; returns (origin_dir, norm_dir)."""
-    origin_dir = os.path.join(out_dir, "origin_buckets")
-    norm_dir = os.path.join(out_dir, "norm_buckets")
-    write_bucketed(resolution_table(vertices, False), "key", num_buckets, origin_dir)
-    write_bucketed(resolution_table(vertices, True), "key", num_buckets, norm_dir)
-    return origin_dir, norm_dir
+    """Build + bucket both resolution tables once; returns (origin_dir, norm_dir).
+
+    Fused: the priority-pick dedup and the bucket-file write happen in the
+    SAME per-bucket task (the group the dedup shuffle delivers IS exactly
+    one bucket's rows), so each table costs one shuffle + one write instead
+    of dedup-shuffle -> re-bucket -> partitioned write."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    dirs = []
+    for normalized, dname in ((False, "origin_buckets"), (True, "norm_buckets")):
+        bdir = os.path.join(out_dir, dname)
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.makedirs(bdir, exist_ok=True)
+
+        def keyed(batch: pa.Table, _n=normalized) -> pa.Table:
+            key = title_filter(batch["url"]) if _n else batch["url"]
+            return pa.table(
+                {"key": pc.cast(key, pa.large_string()), "id": batch["id"],
+                 "redirect": pc.cast(batch["redirect"], pa.large_string())}
+            )
+
+        ds = vertices.select_columns(["url", "id", "redirect"]).map_batches(
+            keyed, batch_format="pyarrow"
+        )
+
+        def pick_write(g: pd.DataFrame, _d=bdir) -> pd.DataFrame:
+            b = int(g["bucket"].iloc[0])
+            out = _priority_pick_bucket(g.drop(columns=["bucket"]))
+            os.makedirs(os.path.join(_d, f"bucket={b}"), exist_ok=True)
+            _pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False).cast(_RES_SCHEMA),
+                os.path.join(_d, f"bucket={b}", "data.parquet"),
+            )
+            return pd.DataFrame({"bucket": [b], "n": [len(out)]})
+
+        add_bucket(ds, "key", num_buckets).repartition(
+            max(8, num_buckets)
+        ).groupby("bucket").map_groups(
+            pick_write, batch_format="pandas"
+        ).to_pandas()
+        dirs.append(bdir)
+    return dirs[0], dirs[1]
 
 
 # status codes inside a chase round
@@ -103,7 +141,7 @@ def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
     rows when next_key='redirect'; unchanged when next_key='key' (the J2
     normalized-branch quirk)."""
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    def fn(g: pd.DataFrame) -> pa.Table:
         b = int(g["bucket"].iloc[0])
         t = read_bucket(bucket_dir, b)
         out = pd.DataFrame(
@@ -113,7 +151,9 @@ def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
         if t is None:
             out["dst"] = pd.array([pd.NA] * len(out), dtype="Int64")
             out["status"] = np.int8(_MISS)
-            return out[["key0", "key", "dst", "status"]]
+            return pa.Table.from_pandas(
+                out[["key0", "key", "dst", "status"]], preserve_index=False
+            ).cast(_STEP_SCHEMA)
         rt = t.to_pandas().rename(
             columns={"key": "lookup", "id": "rid", "redirect": "rred"}
         )
@@ -128,10 +168,13 @@ def _lookup_fn(bucket_dir: str, join_col: str, next_key: str):
             key = np.where(adv, m["rred"].astype(object), m["key"].astype(object))
         else:
             key = m["key"].to_numpy(dtype=object)
-        return pd.DataFrame(
-            {"key0": m["key0"].to_numpy(dtype=object), "key": key,
-             "dst": m["rid"].astype("Int64"), "status": status}
-        )
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"key0": m["key0"].to_numpy(dtype=object), "key": key,
+                 "dst": m["rid"].astype("Int64"), "status": status}
+            ),
+            preserve_index=False,
+        ).cast(_STEP_SCHEMA)
 
     return fn
 
@@ -140,13 +183,6 @@ _STEP_SCHEMA = pa.schema(
     [("key0", pa.large_string()), ("key", pa.large_string()),
      ("dst", pa.int64()), ("status", pa.int8())]
 )
-
-
-def _as_step(ds: Dataset) -> Dataset:
-    return ds.map_batches(
-        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(_STEP_SCHEMA),
-        batch_format="pandas",
-    )
 
 
 def _take(step: Dataset, status: int, cols: dict[str, pa.DataType]) -> Dataset:
@@ -213,16 +249,20 @@ def _chase_keys(
     ))]
     active = candidates.select_columns(["key0", "key"])
     for _ in range(rounds):
-        # repartition: later rounds otherwise carry hundreds of tiny blocks
-        # into the sort-groupby (engine/join.py bucket_grouped note)
-        a = add_bucket(active, "key", num_buckets).repartition(
-            max(8, num_buckets)
-        )
-        step1 = _as_step(
-            a.groupby("bucket").map_groups(
-                _lookup_fn(origin_dir, "key", next_key="redirect"),
-                batch_format="pandas",
-            )
+        # materialize the shrinking active set: its count sizes the coalesce
+        # (sort-groupby fixed cost scales with input block count) and an
+        # empty set ends the chase — no key can resolve in a later round
+        active = active.materialize()
+        n_active = active.count()
+        if n_active == 0:
+            break
+        rep = max(8, min(num_buckets, -(-n_active // 200_000)))
+        a = add_bucket(active, "key", num_buckets).repartition(rep)
+        # _lookup_fn returns Arrow with the pinned _STEP_SCHEMA, so the
+        # steps need no separate cast stage
+        step1 = a.groupby("bucket").map_groups(
+            _lookup_fn(origin_dir, "key", next_key="redirect"),
+            batch_format="pandas",
         ).materialize()
         resolved.append(_take(step1, _HIT, edge_cols))
         adv1 = _take(step1, _ADV, key_cols)
@@ -236,20 +276,16 @@ def _chase_keys(
             ),
             batch_format="pyarrow",
         )
-        m = add_bucket(miss, "nkey", num_buckets).repartition(max(8, num_buckets))
-        step2 = _as_step(
-            m.groupby("bucket").map_groups(
-                _lookup_fn(
-                    norm_dir, "nkey",
-                    next_key="redirect" if advance_on_norm_redirect else "key",
-                ),
-                batch_format="pandas",
-            )
+        m = add_bucket(miss, "nkey", num_buckets).repartition(rep)
+        step2 = m.groupby("bucket").map_groups(
+            _lookup_fn(
+                norm_dir, "nkey",
+                next_key="redirect" if advance_on_norm_redirect else "key",
+            ),
+            batch_format="pandas",
         ).materialize()
         resolved.append(_take(step2, _HIT, edge_cols))
         adv2 = _take(step2, _ADV, key_cols)
-        # no materialize: `active` has exactly one consumer (next round's
-        # groupby), and the fixed ≤3 rounds match the reference loop anyway
         active = adv1.union(adv2)
     out = resolved[0]
     for r in resolved[1:]:
