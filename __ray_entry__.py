@@ -65,6 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": G.labelprop_cooccur,
         "component_sizes": G.component_sizes,
         "coreness": G.coreness_cooccur,
+        # HITS / personalized PageRank / HyperBall (numpy + exact-BFS
+        # oracles in tests/test_graph_extras.py)
+        "hits_bipartite": G.hits_bipartite,
+        "ppr_bipartite": G.ppr_bipartite,
+        "hyperball_cooccur": G.hyperball_cooccur,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)

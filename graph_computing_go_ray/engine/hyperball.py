@@ -1,0 +1,236 @@
+"""[north-rule] HyperBall — neighborhood function / effective diameter via
+per-vertex HyperLogLog counters run as a superstep program (public
+algorithm: Boldi & Vigna, "In-Core Computation of Geometric Centralities
+with HyperBall", 2013; HLL estimator per Flajolet et al. 2007).
+
+B_t(v) = an HLL sketch of the set of vertices within distance <= t of v.
+    B_0(v)   = {v}
+    B_{t+1}(v) = B_t(v) UNION union_{v->w} B_t(w)
+Each superstep ships every vertex's registers to its in-neighbors (edges
+partitioned by src deliver src's sketch to dst, so edges must point
+FROM the ball owner TO the vertex that absorbs it — pass reverse=True for
+out-ball semantics, or symmetrize for undirected distance). The block
+combiner is an elementwise register MAX per dst (union of HLLs), so a hot
+vertex receives at most (#edge blocks) partial sketches. Convergence:
+no register changed anywhere — exactly when t exceeds the (directed)
+diameter.
+
+Registers are m = 2^b uint8s per vertex stored as a fixed-width binary
+column (Parquet-checkpointable like any other state). The per-superstep
+metrics row carries the per-part sum of ball-size estimates, so the driver
+reads the whole neighborhood function N(t) = sum_v |B_t(v)| from lineage
+manifests without touching vertex state.
+
+Accuracy: rse ~ 1.04/sqrt(m) per vertex (9.2% at b=7); exact for tiny
+balls via the linear-counting small-range branch. The sandbox test
+(tests/test_superstep.py) checks N(t) against exact BFS on a seeded
+random graph and exact convergence at the true diameter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public-domain splitmix64 finalizer)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _init_registers(ids: np.ndarray, b: int) -> np.ndarray:
+    """(n, m) uint8 registers for singleton sketches {id}."""
+    m = 1 << b
+    h = _splitmix64(ids)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(b)
+    # rank = leading-zeros-of-(64-b)-bit-suffix + 1; bit_length via log2 is
+    # unsafe at 64 bits, use a descending bit scan instead
+    rank = np.full(len(ids), 64 - b + 1, dtype=np.uint8)
+    found = np.zeros(len(ids), dtype=bool)
+    for k in range(64 - b - 1, -1, -1):
+        hit = ~found & (((rest >> np.uint64(k)) & np.uint64(1)) == 1)
+        rank[hit] = (64 - b) - k
+        found |= hit
+    regs = np.zeros((len(ids), m), dtype=np.uint8)
+    regs[np.arange(len(ids)), idx] = rank
+    return regs
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _estimate(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL cardinality estimates with the small-range correction."""
+    m = regs.shape[1]
+    e = _alpha(m) * m * m / np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (e <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1e-12))
+    return np.where(small, lin, e)
+
+
+def _unpack(col, m: int) -> np.ndarray:
+    vals = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col)
+    if len(vals) == 0:
+        return np.zeros((0, m), dtype=np.uint8)
+    return np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(len(vals), m)
+
+
+def _max_by_dst(dst: np.ndarray, regs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    order = np.argsort(dst, kind="stable")
+    d = dst[order]
+    r = regs[order]
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    return d[starts], np.maximum.reduceat(r, starts, axis=0)
+
+
+class HyperBallProgram(VertexProgram):
+    name = "hyperball"
+
+    def __init__(self, b: int = 7):
+        self.b = b
+        self.m = 1 << b
+        self.params = {"b": b}
+        self.message_schema = pa.schema(
+            [("part_dst", pa.int64()), ("dst", pa.int64()),
+             ("regs", pa.binary())]
+        )
+
+    def init_state(self, ids, out_degree, in_degree, n_total):
+        regs = _init_registers(ids, self.b)
+        return pd.DataFrame({
+            "id": ids,
+            "regs": list(regs.tobytes()[i * self.m:(i + 1) * self.m]
+                         for i in range(len(ids))),
+        })
+
+    def init_metrics(self, state):
+        regs = _unpack(state["regs"].to_numpy(), self.m)
+        return {"est_sum": float(_estimate(regs).sum()), "changed": -1}
+
+    def gather(self, edges, state_of, global_vals):
+        outs = []
+        part_arr = edges["part"].to_numpy()
+        for p in np.unique(part_arr):
+            msel = part_arr == p
+            st = state_of[int(p)]
+            sid = st["id"].to_numpy()
+            sregs = _unpack(st["regs"].to_numpy(), self.m)
+            pos = np.searchsorted(sid, edges["src"].to_numpy()[msel])
+            u, mx = _max_by_dst(edges["dst"].to_numpy()[msel], sregs[pos])
+            outs.append(pd.DataFrame({
+                "dst": u,
+                "regs": [mx[i].tobytes() for i in range(len(u))],
+            }))
+        if not outs:
+            return pd.DataFrame({"dst": np.array([], np.int64), "regs": []})
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_apply(self, state, msgs, global_vals):
+        sid = state["id"].to_numpy()
+        old = _unpack(state["regs"].to_numpy(), self.m)
+        new = old.copy()
+        if len(msgs):
+            u, mx = _max_by_dst(
+                msgs["dst"].to_numpy(),
+                _unpack(msgs["regs"].to_numpy(), self.m),
+            )
+            pos = np.searchsorted(sid, u)
+            new[pos] = np.maximum(new[pos], mx)
+        changed = int((new != old).any(axis=1).sum())
+        out = state.copy()
+        out["regs"] = [new[i].tobytes() for i in range(len(new))]
+        return out, {
+            "est_sum": float(_estimate(new).sum()),
+            "changed": changed,
+            "n": len(out),
+        }
+
+    def converged(self, metrics):
+        return ("changed" in metrics.columns
+                and (metrics["changed"] >= 0).all()
+                and float(metrics["changed"].sum()) == 0)
+
+
+def hyperball(
+    edges: Dataset,
+    workdir: str,
+    b: int = 7,
+    max_iters: int = 64,
+    num_parts: int = 8,
+    symmetrize: bool = True,
+    reverse: bool = False,
+    resume: bool = True,
+) -> tuple[Dataset, dict]:
+    """Run HyperBall; returns ((id, ball_size) Dataset, info). info carries
+    `neighborhood` = [N(0), N(1), ...] (sum of ball-size estimates per
+    radius, read from the lineage manifests) and `effective_diameter_90`
+    (smallest t with N(t) >= 0.9 * N(inf), linearly interpolated).
+
+    symmetrize=True measures undirected distance; reverse=True on a
+    directed graph measures IN-balls (edges deliver src's sketch to dst,
+    so dst absorbs everything that can reach it within t hops)."""
+    from ..state import checkpoint as ckpt
+    from .superstep import _load_graph_meta, load_edge_blocks
+
+    if reverse and not symmetrize:
+        edges = edges.select_columns(["src", "dst"]).map_batches(
+            lambda t: pa.table({"src": t["dst"], "dst": t["src"]}),
+            batch_format="pyarrow",
+        )
+    info = _load_graph_meta(workdir)
+    if info is None:
+        info = build_graph_partitions(edges, workdir, num_parts,
+                                      symmetrize=symmetrize)
+    prog = HyperBallProgram(b)
+    edges_ds = load_edge_blocks(workdir, info["num_parts"])
+    run = run_supersteps(edges_ds, workdir, prog, info,
+                         max_iters=max_iters, resume=resume)
+
+    neigh = []
+    for it in range(run["final_iter"] + 1):
+        man = ckpt.read_manifest(workdir, it)
+        neigh.append(float(pd.DataFrame(man["metrics"])["est_sum"].sum()))
+    n_inf = neigh[-1]
+    eff = float(len(neigh) - 1)
+    for t in range(len(neigh)):
+        if neigh[t] >= 0.9 * n_inf:
+            if t == 0:
+                eff = 0.0
+            else:
+                lo, hi = neigh[t - 1], neigh[t]
+                frac = (0.9 * n_inf - lo) / max(hi - lo, 1e-12)
+                eff = (t - 1) + float(np.clip(frac, 0.0, 1.0))
+            break
+
+    m = 1 << b
+
+    def est(t: pa.Table) -> pa.Table:
+        regs = _unpack(t["regs"].to_numpy(zero_copy_only=False), m)
+        return pa.table({
+            "id": t["id"],
+            "ball_size": pa.array(_estimate(regs)),
+        })
+
+    balls = final_state(workdir).select_columns(["id", "regs"]).map_batches(
+        est, batch_format="pyarrow"
+    )
+    return balls, {**run, **info, "neighborhood": neigh,
+                   "effective_diameter_90": eff}

@@ -119,11 +119,18 @@ def _load_graph_meta(workdir: str) -> dict | None:
 
 def build_graph_partitions(
     edges: Dataset, workdir: str, num_parts: int, symmetrize: bool = False,
+    edge_attrs: tuple[str, ...] = (),
 ) -> dict:
     """Write CSR edge partitions + degree-annotated vertex shards (iter-less
     base layout). Returns {n_vertices, n_edges, num_parts}. workdir may be a
     local path or a filesystem URI (file://, s3://) — state exchange then
-    runs against shared storage on a multi-node cluster."""
+    runs against shared storage on a multi-node cluster. `edge_attrs` names
+    extra edge columns carried into the partitions (e.g. the HITS direction
+    tag); they are visible to gather() alongside src/dst/part. Attrs and
+    symmetrize are mutually exclusive (callers that need both prepare the
+    doubled edge set themselves)."""
+    if symmetrize and edge_attrs:
+        raise ValueError("symmetrize and edge_attrs are mutually exclusive")
     ckpt.ensure_dir(workdir)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -131,12 +138,15 @@ def build_graph_partitions(
         dst = t["dst"].to_numpy(zero_copy_only=False)
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-        return pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
-             "part": pa.array(part_of(src, num_parts).astype(np.int64))}
-        )
+        cols = {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+                "part": pa.array(part_of(src, num_parts).astype(np.int64))}
+        for c in edge_attrs:
+            cols[c] = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+        return pa.table(cols)
 
-    tagged = edges.select_columns(["src", "dst"]).map_batches(tag, batch_format="pyarrow")
+    tagged = edges.select_columns(
+        ["src", "dst", *edge_attrs]
+    ).map_batches(tag, batch_format="pyarrow")
 
     def csr_sort(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["src", "dst"], ignore_index=True)
@@ -262,11 +272,16 @@ def run_supersteps(
     # a new one, so workers can never serve the previous run's shards
     run_id = ckpt.read_manifest(workdir, 0).get("run_id", "legacy")
 
+    def _seed_val(name: str, typ: pa.DataType, p: int):
+        if name == "part_dst":
+            return p
+        if name == "dst":
+            return -1
+        return b"" if (pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+                       or pa.types.is_fixed_size_binary(typ)) else 0
+
     seed = pa.Table.from_pydict(
-        {name: pa.array(
-            [p if name == "part_dst" else (-1 if name == "dst" else 0)
-             for p in parts],
-            typ)
+        {name: pa.array([_seed_val(name, typ, p) for p in parts], typ)
          for name, typ in zip(program.message_schema.names, program.message_schema.types)},
         schema=program.message_schema,
     )

@@ -92,6 +92,67 @@ def pagerank_bipartite(sf_dir: str) -> Dataset:
     )
 
 
+def hits_bipartite(sf_dir: str) -> Dataset:
+    """HITS hubs/authorities over order→part edges (engine/hits.py);
+    (id, hub, auth) with L2-normalized scores rounded for stability."""
+    from ..engine.hits import hits
+
+    ranks, _info = hits(
+        lineitem_edges(sf_dir), _workdir(sf_dir, "hits"),
+        tol=1e-12, max_iters=100, num_parts=8,
+    )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"],
+             "hub": pa.array(np.round(t["hub"].to_numpy(zero_copy_only=False), 9)),
+             "auth": pa.array(np.round(t["auth"].to_numpy(zero_copy_only=False), 9))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ppr_bipartite(sf_dir: str) -> Dataset:
+    """Personalized PageRank over order→part edges, seeded at the 5
+    smallest part vertices (engine/ppr.py). Seed selection is a distributed
+    sort+limit with a small bounded driver-side dedup — seeds are
+    semantically a user input; this just fixes a deterministic one."""
+    from ..engine.ppr import personalized_pagerank
+
+    edges = lineitem_edges(sf_dir)
+    head = edges.select_columns(["dst"]).sort("dst").limit(50_000).to_pandas()
+    seeds = head["dst"].drop_duplicates().head(5).to_numpy(dtype=np.int64)
+    ranks, _info = personalized_pagerank(
+        edges, _workdir(sf_dir, "ppr"), seeds,
+        tol=1e-12, max_iters=100, num_parts=8,
+    )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"],
+             "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 9))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hyperball_cooccur(sf_dir: str) -> pd.DataFrame:
+    """HyperBall neighborhood function over the undirected part
+    co-occurrence graph (engine/hyperball.py): one row per radius t with
+    the estimated number of vertex pairs within distance <= t, plus the
+    interpolated 90% effective diameter on every row."""
+    from ..engine.hyperball import hyperball
+
+    _balls, info = hyperball(
+        cooccur_edge_ds(sf_dir), _workdir(sf_dir, "hyperball"),
+        b=7, num_parts=8, symmetrize=True,
+    )
+    neigh = info["neighborhood"]
+    return pd.DataFrame({
+        "t": np.arange(len(neigh), dtype=np.int64),
+        "pairs_within_t": np.round(np.array(neigh), 3),
+        "effective_diameter_90": np.round(info["effective_diameter_90"], 3),
+    })
+
+
 def components_cooccur(sf_dir: str) -> Dataset:
     labels, _ = connected_components(
         cooccur_edge_ds(sf_dir), _workdir(sf_dir, "cc"), num_parts=8
