@@ -225,6 +225,87 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events, "
             "round(sum(value), 6) AS sum_value FROM events GROUP BY 1, 2"
         ),
+        # CC oracle: synchronous min-label propagation as a recursive CTE
+        # (exact integer output; label = min vertex id in the component,
+        # matching engine/components.py). 32 rounds >> the cooccur graph's
+        # min-vertex eccentricity at sf0.01.
+        "connected_components": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+            "), verts AS (SELECT DISTINCT u AS id FROM e), "
+            "lp(iter, id, label) AS ("
+            "  SELECT 0, id, id FROM verts "
+            "  UNION ALL "
+            "  SELECT lp.iter + 1, lp.id, LEAST(lp.label, MIN(nbr.label)) "
+            "  FROM lp JOIN e ON e.u = lp.id JOIN lp nbr ON nbr.id = e.v "
+            "  WHERE lp.iter < 32 GROUP BY lp.iter, lp.id, lp.label"
+            ") "
+            "SELECT id, MIN(label) AS label FROM lp GROUP BY id"
+        ),
+        # coreness oracle: the same h-index iteration (Lü et al. 2016) as a
+        # recursive CTE — estimates are monotone non-increasing and converge
+        # exactly to the peeling coreness, so MIN over the 32-round history
+        # is the fixpoint (engine/kcore.py converges in far fewer rounds).
+        "coreness": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+            "), deg AS (SELECT u AS id, COUNT(*) AS d FROM e GROUP BY u), "
+            "ks(iter, id, core) AS ("
+            "  SELECT 0, id, d FROM deg "
+            "  UNION ALL "
+            "  SELECT iter, id, LEAST(cur, MAX(LEAST(nbr_est, rn))) FROM ("
+            "    SELECT ks.iter + 1 AS iter, ks.id, ks.core AS cur, "
+            "           nbr.core AS nbr_est, "
+            "           ROW_NUMBER() OVER (PARTITION BY ks.id "
+            "                              ORDER BY nbr.core DESC) AS rn "
+            "    FROM ks JOIN e ON e.u = ks.id JOIN ks nbr ON nbr.id = e.v "
+            "    WHERE ks.iter < 32"
+            "  ) GROUP BY iter, id, cur"
+            ") "
+            "SELECT id, MIN(core) AS core FROM ks GROUP BY id"
+        ),
+        # LPA oracle: the engine's exact update rule (adopt the most frequent
+        # neighbor label, ties to the smallest label) run synchronously for
+        # the same max_iters=15 cap as labelprop_cooccur; a fixpoint reached
+        # earlier is stable under further rounds, so iter=15 equals the
+        # engine's final state whether it converged or hit the cap. arg_min
+        # key packs (count desc, label asc) into one int64.
+        "label_propagation": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+            "), verts AS (SELECT DISTINCT u AS id FROM e), "
+            "lp(iter, id, label) AS ("
+            "  SELECT 0, id, id FROM verts "
+            "  UNION ALL "
+            "  SELECT iter, id, arg_min(label, label - cnt * 1000000000) FROM ("
+            "    SELECT lp.iter + 1 AS iter, lp.id, nbr.label, COUNT(*) AS cnt "
+            "    FROM lp JOIN e ON e.u = lp.id JOIN lp nbr ON nbr.id = e.v "
+            "    WHERE lp.iter < 15 GROUP BY lp.iter, lp.id, nbr.label"
+            "  ) GROUP BY iter, id"
+            ") "
+            "SELECT id, label FROM lp WHERE iter = 15"
+        ),
+        "component_sizes": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+            "), verts AS (SELECT DISTINCT u AS id FROM e), "
+            "lp(iter, id, label) AS ("
+            "  SELECT 0, id, id FROM verts "
+            "  UNION ALL "
+            "  SELECT lp.iter + 1, lp.id, LEAST(lp.label, MIN(nbr.label)) "
+            "  FROM lp JOIN e ON e.u = lp.id JOIN lp nbr ON nbr.id = e.v "
+            "  WHERE lp.iter < 32 GROUP BY lp.iter, lp.id, lp.label"
+            "), final AS (SELECT id, MIN(label) AS label FROM lp GROUP BY id) "
+            "SELECT label, count(*) AS size FROM final GROUP BY label"
+        ),
         "triangle_count": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
             "  FROM lineitem a JOIN lineitem b "
