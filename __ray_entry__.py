@@ -113,8 +113,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle() -> str:
+    """lang_id oracle built from the SAME marker sets the pipeline uses
+    (functions/text.py LANG_MARKERS): per-doc marker-token counts, argmax
+    with ties broken by the fixed en>de>fr>es order, 'und' when all zero."""
+    from graph_computing_go_ray.functions.text import LANG_MARKERS
+
+    def inlist(ws: frozenset) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(ws))
+
+    return (
+        "WITH toks AS ("
+        "  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w"
+        "  FROM documents"
+        "), scores AS ("
+        "  SELECT doc_id, "
+        f"    COUNT(*) FILTER (w IN ({inlist(LANG_MARKERS['en'])})) AS s_en, "
+        f"    COUNT(*) FILTER (w IN ({inlist(LANG_MARKERS['de'])})) AS s_de, "
+        f"    COUNT(*) FILTER (w IN ({inlist(LANG_MARKERS['fr'])})) AS s_fr, "
+        f"    COUNT(*) FILTER (w IN ({inlist(LANG_MARKERS['es'])})) AS s_es "
+        "  FROM toks GROUP BY doc_id"
+        ") "
+        "SELECT d.doc_id, CASE "
+        "  WHEN GREATEST(COALESCE(s_en,0), COALESCE(s_de,0), COALESCE(s_fr,0),"
+        "                COALESCE(s_es,0)) = 0 THEN 'und' "
+        "  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "  WHEN s_fr >= s_es THEN 'fr' "
+        "  ELSE 'es' END AS lang_pred "
+        "FROM documents d LEFT JOIN scores USING (doc_id)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_oracle(),
         "in_degree": (
             "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem GROUP BY l_partkey"
         ),
