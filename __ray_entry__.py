@@ -24,6 +24,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from graph_computing_go_ray.pipelines import corpus as C
     from graph_computing_go_ray.pipelines import dedup as D
     from graph_computing_go_ray.pipelines import graphalgos as G
     from graph_computing_go_ray.pipelines import relational as R
@@ -110,6 +111,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.top_orders_per_segment,
         # shuffle-based anti-join
         "customers_no_orders": R.customers_no_orders,
+        # corpus statistics (training-data pipeline layer)
+        "hash_sample": C.hash_sample,
+        "source_stats": C.source_stats,
+        "bpe_pair_counts": C.bpe_pair_counts,
+        "token_df": C.token_df,
+        "tfidf_top_terms": C.tfidf_top_terms,
+        # near-dup clustering: jaccard pairs -> connected components -> keep
+        "near_dup_clusters": D.near_dup_clusters,
+        # exact distributed quantiles (two-pass histogram refinement)
+        "price_quantiles": R.price_quantiles,
     }
 
 
@@ -484,6 +495,83 @@ def oracle_sql() -> dict[str, str]:
             "SELECT qid AS query_id, cid AS vec_id, sim FROM s "
             "QUALIFY row_number() OVER (PARTITION BY qid "
             "  ORDER BY sim DESC, cid) <= 5"
+        ),
+        # deterministic content-hash sample: membership is a pure function
+        # of md5(text), identical on both sides
+        "hash_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
+        ),
+        # CASTs: DuckDB sum(BIGINT) yields HUGEINT (decimal128 in Arrow),
+        # which hash-mismatches int64 even at identical values
+        "source_stats": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+            "FROM documents GROUP BY source"
+        ),
+        "bpe_pair_counts": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "  AS ws FROM documents), "
+            "pairs AS (SELECT unnest([ws[i] || ' ' || ws[i+1] "
+            "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS pair "
+            "  FROM toks) "
+            "SELECT pair, count(*) AS n FROM pairs GROUP BY pair "
+            "ORDER BY n DESC, pair LIMIT 20"
+        ),
+        "token_df": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+')) AS token FROM documents) "
+            "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+            "count(*) AS cf FROM toks GROUP BY token "
+            "HAVING count(DISTINCT doc_id) >= 5"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks "
+            "       GROUP BY token), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "s AS (SELECT doc_id, token, "
+            "      tf * log2(nd * 1.0 / df) AS score FROM tf "
+            "      JOIN df USING (token), n) "
+            "SELECT doc_id, token, round(score, 6) AS score FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "  ORDER BY score DESC, token) <= 3"
+        ),
+        # connected components over the jaccard-pair graph via recursive
+        # transitive closure (tiny pair graph at oracle scale); cluster_id =
+        # min doc_id reachable, matching the hash-min superstep fixpoint
+        "near_dup_clusters": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all("
+            "  lower(text), '[a-z0-9]+') AS ws FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+            "  || ' ' || ws[i+2] for i in generate_series(1, "
+            "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "p AS (SELECT u, v FROM inter "
+            "  JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
+            "  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2), "
+            "e AS (SELECT u AS a, v AS b FROM p UNION SELECT v, u FROM p), "
+            "reach AS (SELECT a, b FROM e "
+            "  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
+            "lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+            "  FROM reach GROUP BY a) "
+            "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lab"
+        ),
+        # rank-ceil(q*n) quantile, made explicit so both sides share one
+        # unambiguous definition (quantile_disc interpolation varies)
+        "price_quantiles": (
+            "WITH s AS (SELECT l_extendedprice AS v, row_number() OVER "
+            "  (ORDER BY l_extendedprice) AS rn, count(*) OVER () AS n "
+            "  FROM lineitem), "
+            "qv(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)) "
+            "SELECT CAST(q AS DOUBLE) AS q, v AS value FROM qv JOIN s "
+            "ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))"
         ),
         "cosine_pairs": (
             "WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "

@@ -1,0 +1,238 @@
+"""Corpus-statistics operators over the documents table — the
+training-data-pipeline layer above textstats.py: deterministic hash
+sampling, per-source aggregates, BPE-style adjacent-pair counts, token
+document-frequency, and TF-IDF term scoring. Each backs a queries()
+entry with a DuckDB SQL oracle.
+
+Scale notes (100 TB): every operator is a map_batches partial-aggregate
+followed by one bucketed groupby on the natural key (token / source /
+pair) — no driver-side materialization of anything corpus-sized; the
+only driver-held tables are per-source / top-k results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..engine.join import (
+    bucket_grouped_sum,
+    bucket_join,
+    default_num_buckets,
+)
+from ..functions import text as T
+from ..sources.readers import read_table
+
+ROUND = 6
+
+
+# ---------------------------------------------------------------- sampling
+def hash_sample(sf_dir: str, hex_digits: str = "0123") -> Dataset:
+    """Deterministic content-hash sample of documents: keep docs whose
+    md5(text) starts with one of ``hex_digits`` (default = 4/16 = 25%).
+
+    The canonical reproducible-sampling pattern for training-data splits:
+    membership is a pure function of content, so reruns / backfills of
+    disjoint shards select the same rows with no coordination or RNG
+    state. Embarrassingly parallel (a pure filter per batch)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    wanted = frozenset(hex_digits)
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        mask = np.fromiter((f[0] in wanted for f in fps), bool, count=len(fps))
+        return t.filter(pa.array(mask)).select(["doc_id", "lang"])
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- per-source
+def source_stats(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, sum_chars, n_langs) — the per-domain roll-up of a
+    web corpus (source ≙ crawl domain). Exact int64 sums via per-batch
+    partial aggregation; distinct langs via a distinct-pair pass. The
+    final frame is #sources-sized (tiny) so the combine is driver-side."""
+    docs = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    totals = (
+        bucket_grouped_sum(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["source"], ["n_docs", "sum_chars"], num_buckets=8,
+        )
+        .to_pandas()
+    )
+
+    def lang_pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["source", "lang"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_langs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["source", "lang"]].drop_duplicates()
+        return d.groupby("source", as_index=False).agg(n_langs=("lang", "size"))
+
+    from ..engine.join import bucket_grouped
+
+    langs = bucket_grouped(
+        docs.map_batches(lang_pairs, batch_format="pyarrow"),
+        ["source"], count_langs, num_buckets=8,
+    ).to_pandas()
+
+    out = totals.merge(langs, on="source")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    return out[["source", "n_docs", "sum_chars", "n_langs"]]
+
+
+# ---------------------------------------------------------------- BPE pairs
+def bpe_pair_counts(sf_dir: str, k: int = 20) -> Dataset:
+    """Top-k most frequent adjacent lowercase-token pairs — the inner
+    counting step of one BPE merge round, run corpus-wide.
+
+    Per-batch partial counts (a Counter-equivalent pandas groupby) shrink
+    the shuffle to the batch-local vocabulary of pairs before the bucketed
+    global sum; top-k is a distributed sort + limit. Ties broken by pair
+    text ascending for determinism."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        for txt in t["text"].to_pylist():
+            ws = T.word_tokens(txt)
+            pairs.extend(f"{a} {b}" for a, b in zip(ws[:-1], ws[1:]))
+        if not pairs:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        s = pd.Series(pairs).value_counts()
+        return pa.table({"pair": pa.array(s.index.to_numpy(dtype=object)),
+                         "n": pa.array(s.to_numpy(np.int64))})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    totals = bucket_grouped_sum(
+        partials, ["pair"], ["n"], num_buckets=default_num_buckets()
+    )
+    top = totals.sort(["n", "pair"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: t.cast(pa.schema([("pair", pa.string()), ("n", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------- token DF
+def _tf_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, token, tf) term frequencies; one row per distinct
+    (doc, token). Docs never span batches (one row per doc)."""
+    ids: list[int] = []
+    toks: list[str] = []
+    tfs: list[int] = []
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = T.word_tokens(txt)
+        if not ws:
+            continue
+        s = pd.Series(ws).value_counts()
+        ids.extend([i] * len(s))
+        toks.extend(s.index.tolist())
+        tfs.extend(int(c) for c in s.to_numpy())
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "token": pa.array(toks, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+def token_df(sf_dir: str, min_df: int = 5) -> Dataset:
+    """(token, df, cf) vocabulary statistics: document frequency and
+    collection frequency, restricted to df >= min_df (the long singleton
+    tail is noise for tokenizer training and would dominate the result).
+
+    Shuffle ships only per-batch (token, df_partial, cf_partial) partials —
+    never raw token streams."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _tf_rows(t).to_pandas()
+        if not len(tf):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "cf": pa.array([], pa.int64())})
+        out = tf.groupby("token", as_index=False).agg(
+            df=("doc_id", "size"), cf=("tf", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    totals = bucket_grouped_sum(
+        partials, ["token"], ["df", "cf"], num_buckets=default_num_buckets()
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.cast(pa.schema([("token", pa.string()), ("df", pa.int64()),
+                              ("cf", pa.int64())]))
+        return t.filter(pc.greater_equal(t["df"], min_df))
+
+    return totals.map_batches(flt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- TF-IDF
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
+    """Per-doc top-k tokens by tf-idf, score = tf * log2(N/df); ties by
+    token ascending. Output (doc_id, token, score round 6).
+
+    Fully join-based: the (token, df) table is shuffled onto the
+    (doc, token, tf) rows by token-hash bucket (bucket_join) — the df map
+    is NEVER broadcast (a web-scale vocabulary doesn't fit one task), and
+    the per-doc top-k runs as one vectorized pass per doc-hash bucket."""
+    from ..engine.join import bucket_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    tf = docs.map_batches(_tf_rows, batch_format="pyarrow")
+    df = bucket_grouped_sum(
+        tf.map_batches(
+            lambda t: pa.table({"token": t["token"],
+                                "df": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow",
+        ),
+        ["token"], ["df"], num_buckets=default_num_buckets(),
+    ).map_batches(
+        lambda t: t.cast(pa.schema([("token", pa.string()), ("df", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+    scored = bucket_join(tf, df, on="token", right_on="token", how="inner",
+                         num_buckets=default_num_buckets())
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        score = g["tf"].to_numpy(np.float64) * np.log2(
+            float(n_docs) / g["df"].to_numpy(np.float64)
+        )
+        d = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                          "token": g["token"].to_numpy(object),
+                          "score": score})
+        d = d.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True])
+        return d.groupby("doc_id", as_index=False).head(k)
+
+    out = bucket_grouped(
+        scored, ["doc_id"], topk,
+        out_schema=pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                              ("score", pa.float64())]),
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            2, "score",
+            pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), ROUND)),
+        ),
+        batch_format="pyarrow",
+    )

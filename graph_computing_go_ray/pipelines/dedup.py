@@ -352,3 +352,45 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 12) -> Dataset:
         )
 
     return paired.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ clustering
+def near_dup_clusters(sf_dir: str, threshold: float = 0.2) -> Dataset:
+    """Near-duplicate CLUSTERING — the composition a training-data pipeline
+    actually ships: exact n-gram-Jaccard pairs (ngram_jaccard_pairs) form an
+    undirected graph; connected components (hash-min superstep,
+    engine/components.py) give every paired doc a cluster_id = min doc_id
+    of its component; keep = (doc_id == cluster_id) is the deterministic
+    survivor rule (D1/D2 keep-first semantics applied transitively, so
+    A~B, B~C collapses to one survivor even when A~C was never a pair).
+
+    Output (doc_id, cluster_id, keep) for docs appearing in >= 1 pair;
+    singletons are implicitly kept and not emitted (the pair graph is tiny
+    relative to the corpus, so this result is the small derived table).
+
+    Scale: the pair edges are the only input to the superstep engine; its
+    partitioned gather-scatter never materializes the cluster graph in one
+    place, and at web scale near-dup components are shallow (label
+    propagation converges in a few supersteps)."""
+    from ..engine.components import connected_components
+    from .graphalgos import _workdir
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t["doc_a"], "dst": t["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    labels, _ = connected_components(
+        edges, _workdir(sf_dir, "neardup_cc"), num_parts=8
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "cluster_id": pa.array(lab, pa.int64()),
+             "keep": pa.array(ids == lab)}
+        )
+
+    return labels.map_batches(shape, batch_format="pyarrow")

@@ -685,3 +685,15 @@ def customers_no_orders(sf_dir: str, min_price: float = 400000.0) -> Dataset:
     return typed_seed(out, pa.schema(
         [("c_custkey", pa.int64()), ("c_mktsegment", pa.large_string())]
     ))
+
+
+def price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact l_extendedprice quantiles (rank = ceil(q*n), ascending) via the
+    two-pass histogram refinement of engine/quantile.py — no global sort,
+    driver holds only the K-bin counts + target-bin distinct values."""
+    from ..engine.quantile import exact_quantiles
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantiles(
+        li.materialize(), "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
+    )

@@ -1,0 +1,108 @@
+"""Exact-quantile kernel vs the numpy rank-ceil definition (including a
+planted hot value that overloads one histogram bin), and near-dup
+clustering vs a pure-python union-find over the exact jaccard pairs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from graph_computing_go_ray.engine.quantile import exact_quantiles
+from graph_computing_go_ray.functions import text as T
+from graph_computing_go_ray.pipelines import dedup as D
+
+QS = [0.01, 0.1, 0.5, 0.9, 0.99]
+
+
+def _numpy_quantiles(v: np.ndarray, qs):
+    s = np.sort(v)
+    n = len(s)
+    return {q: float(s[max(1, int(np.ceil(q * n))) - 1]) for q in qs}
+
+
+def test_exact_quantiles_matches_numpy():
+    rng = np.random.RandomState(7)
+    v = np.concatenate([
+        rng.lognormal(3.0, 1.5, size=20_000),       # heavy tail
+        np.full(5_000, 42.0),                        # hot value: one fat bin
+        rng.uniform(-10, 0, size=1_000),             # negative range
+    ])
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(13)
+    got = exact_quantiles(ds, "x", QS, k_bins=64)  # small k: forces fat bins
+    want = _numpy_quantiles(v, QS)
+    for _, r in got.iterrows():
+        assert r["value"] == want[r["q"]], (r["q"], r["value"], want[r["q"]])
+
+
+def test_exact_quantiles_constant_column():
+    ds = rd.from_arrow(pa.table({"x": np.full(100, 3.5)}))
+    got = exact_quantiles(ds, "x", [0.5, 0.99])
+    assert (got["value"] == 3.5).all()
+
+
+def _cluster_corpus(tmpdir: str) -> str:
+    """Chain A~B~C with A!~C plus isolated docs: transitive collapse."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{k}" for k in range(300)]
+    rows = []
+    for i in range(30):
+        words = [vocab[k] for k in rng.randint(0, len(vocab), size=50)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # chain: 100 ~ 101 (small edit), 101 ~ 102 (small edit of 101)
+    base = rows[0]["text"].split()
+    for j, did in enumerate((100, 101, 102)):
+        w = list(base)
+        for k in range(0, 4 * j):  # drift grows along the chain
+            w[3 * k % len(w)] = f"drift{j}_{k}"
+        rows.append({"doc_id": did, "text": " ".join(w)})
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"
+    df["source"] = "synthetic"
+    df["n_chars"] = df["text"].str.len()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmpdir}/documents.parquet")
+    return tmpdir
+
+
+def _oracle_clusters(df: pd.DataFrame, threshold: float):
+    sets = {}
+    for r in df.itertuples():
+        ws = T.word_tokens(r.text)
+        sets[r.doc_id] = {" ".join(ws[k:k + 3]) for k in range(len(ws) - 2)}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sets)
+    paired = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                paired.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in paired}
+
+
+def test_near_dup_clusters_union_find_parity(tmp_path):
+    sf = _cluster_corpus(str(tmp_path))
+    got = D.near_dup_clusters(sf, threshold=0.2).to_pandas()
+    want = _oracle_clusters(pd.read_parquet(f"{sf}/documents.parquet"), 0.2)
+    assert set(got["doc_id"]) == set(want)
+    got_map = dict(zip(got["doc_id"], got["cluster_id"]))
+    assert got_map == want
+    # chain must have collapsed into ONE cluster even if 100!~102
+    assert want[102] == want[100]
+    keep = got.set_index("doc_id")["keep"]
+    assert keep[got_map[100]] and not keep[102]
