@@ -117,6 +117,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": C.bpe_pair_counts,
         "token_df": C.token_df,
         "tfidf_top_terms": C.tfidf_top_terms,
+        # benchmark decontamination (broadcast shingle membership)
+        "benchmark_contamination": C.benchmark_contamination,
+        # deterministic stratified per-source sample (content-hash order)
+        "stratified_sample": C.stratified_sample,
+        # within-doc n-gram repetition ratio (quality signal)
+        "repetition_scores": TX.repetition_scores,
+        # PMI collocations (pair/unigram joins, never-broadcast vocab)
+        "pmi_top_pairs": C.pmi_top_pairs,
         # near-dup clustering: jaccard pairs -> connected components -> keep
         "near_dup_clusters": D.near_dup_clusters,
         # exact distributed quantiles (two-pass histogram refinement)
@@ -539,6 +547,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, token, round(score, 6) AS score FROM s "
             "QUALIFY row_number() OVER (PARTITION BY doc_id "
             "  ORDER BY score DESC, token) <= 3"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "  ORDER BY md5(text), doc_id) <= 10"
+        ),
+        # rep_ratio = 1 - distinct/total word-2-grams; 0 for docs too short
+        "repetition_scores": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ws FROM documents), "
+            "g AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in "
+            "  generate_series(1, greatest(len(ws) - 1, 0))]) AS g FROM toks), "
+            "agg AS (SELECT doc_id, count(*) AS total, count(DISTINCT g) AS d "
+            "  FROM g GROUP BY doc_id) "
+            "SELECT t.doc_id, round(coalesce(1 - a.d * 1.0 / a.total, 0), 6) "
+            "AS rep_ratio FROM toks t LEFT JOIN agg a USING (doc_id)"
+        ),
+        # benchmark = docs with md5(text) LIKE 'f%'; contamination = corpus
+        # docs sharing >= 1 distinct word-8-gram with any benchmark doc
+        "benchmark_contamination": (
+            "WITH toks AS (SELECT doc_id, md5(text) AS fp, "
+            "  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+            "  FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, fp, "
+            "  unnest([array_to_string(ws[i:i+7], ' ') for i in "
+            "  generate_series(1, greatest(len(ws) - 7, 0))]) AS g FROM toks), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE fp LIKE 'f%') "
+            "SELECT doc_id, count(*) AS n_shared FROM grams JOIN bench USING (g) "
+            "WHERE fp NOT LIKE 'f%' GROUP BY doc_id"
+        ),
+        # both sides round pmi to 6 decimals BEFORE the (pmi desc, pair) sort
+        "pmi_top_pairs": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "  AS ws FROM documents), "
+            "pr AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in "
+            "  generate_series(1, greatest(len(ws) - 1, 0))]) AS pair FROM toks), "
+            "pc AS (SELECT pair, count(*) AS n FROM pr GROUP BY pair), "
+            "tp AS (SELECT count(*) AS t FROM pr), "
+            "un AS (SELECT unnest(ws) AS token FROM toks), "
+            "uc AS (SELECT token, count(*) AS c FROM un GROUP BY token), "
+            "tt AS (SELECT count(*) AS t FROM un), "
+            "s AS (SELECT pair, n, round(log2((n * 1.0 / tp.t) / "
+            "  ((ca.c * 1.0 / tt.t) * (cb.c * 1.0 / tt.t))), 6) AS pmi "
+            "  FROM pc JOIN uc ca ON split_part(pair, ' ', 1) = ca.token "
+            "  JOIN uc cb ON split_part(pair, ' ', 2) = cb.token, tp, tt "
+            "  WHERE n >= 5) "
+            "SELECT pair, n, pmi FROM s ORDER BY pmi DESC, pair LIMIT 30"
         ),
         # connected components over the jaccard-pair graph via recursive
         # transitive closure (tiny pair graph at oracle scale); cluster_id =

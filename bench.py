@@ -32,6 +32,9 @@ QUERY_SUBSET = [
     "cooccur_edges", "triangle_count", "order_year_snapshot",
     # round-2 operators
     "events_hopping_window", "events_asof_orders", "unigram_logprob",
+    # round-2 corpus layer
+    "token_df", "tfidf_top_terms", "price_quantiles", "near_dup_clusters",
+    "benchmark_contamination", "pmi_top_pairs",
 ]
 
 

@@ -67,7 +67,7 @@ def source_stats(sf_dir: str) -> pd.DataFrame:
     totals = (
         bucket_grouped_sum(
             docs.map_batches(partial, batch_format="pyarrow"),
-            ["source"], ["n_docs", "sum_chars"], num_buckets=8,
+            ["source"], ["n_docs", "sum_chars"], num_buckets=default_num_buckets(),
         )
         .to_pandas()
     )
@@ -84,7 +84,7 @@ def source_stats(sf_dir: str) -> pd.DataFrame:
 
     langs = bucket_grouped(
         docs.map_batches(lang_pairs, batch_format="pyarrow"),
-        ["source"], count_langs, num_buckets=8,
+        ["source"], count_langs, num_buckets=default_num_buckets(),
     ).to_pandas()
 
     out = totals.merge(langs, on="source")
@@ -235,4 +235,192 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
             pa.array(np.round(t["score"].to_numpy(zero_copy_only=False), ROUND)),
         ),
         batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------- decontamination
+def benchmark_contamination(
+    sf_dir: str, ngram: int = 8, bench_prefix: str = "f",
+) -> Dataset:
+    """Benchmark decontamination: flag corpus docs sharing >= 1 distinct
+    word-``ngram`` shingle with any benchmark doc, reporting the count of
+    shared distinct shingles. The benchmark set here is carved from the
+    corpus deterministically (docs whose md5(text) starts with
+    ``bench_prefix`` — no external data); in production it is the held-out
+    eval suite.
+
+    Scale shape: the benchmark side is TINY relative to the corpus, so its
+    distinct shingle set is collected once and broadcast (ray.put) — the
+    corpus side is a single vectorized membership pass (sorted-array
+    searchsorted over hashed shingles), no shuffle at all. Benchmark docs
+    themselves are excluded from the output."""
+    import ray
+
+    from ..functions.hashing import hash_strings
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingle(txt: str) -> set:
+        ws = T.word_tokens(txt)
+        return {" ".join(ws[k : k + ngram]) for k in range(len(ws) - ngram + 1)}
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        grams: set = set()
+        for fp, txt in zip(fps, t["text"].to_pylist()):
+            if fp.startswith(bench_prefix):
+                grams |= shingle(txt)
+        gh = (hash_strings(np.array(sorted(grams), dtype=object))
+              if grams else np.array([], np.int64))
+        return pa.table({"gram": pa.array(gh, pa.int64())})
+
+    bench = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    bench_arr = np.unique(bench["gram"].to_numpy()) if len(bench) else np.array([], np.int64)
+    bench_ref = ray.put(bench_arr)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bg = ray.get(bench_ref)
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        ids, counts = [], []
+        for i, fp, txt in zip(t["doc_id"].to_pylist(), fps, t["text"].to_pylist()):
+            if fp.startswith(bench_prefix):
+                continue  # the benchmark itself is not "contaminated"
+            gs = sorted(shingle(txt))
+            if not gs:
+                continue
+            gh = hash_strings(np.array(gs, dtype=object))
+            if len(bg):
+                idx = np.searchsorted(bg, gh).clip(max=len(bg) - 1)
+                n = int((bg[idx] == gh).sum())
+            else:
+                n = 0
+            if n > 0:
+                ids.append(i)
+                counts.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_shared": pa.array(counts, pa.int64())})
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- PMI collocations
+def pmi_top_pairs(sf_dir: str, k: int = 30, min_count: int = 5) -> Dataset:
+    """Top-k adjacent-token collocations by pointwise mutual information:
+    pmi = log2( (c_pair / total_pairs) / ((c_a / total_toks) * (c_b / total_toks)) ),
+    restricted to pairs with count >= min_count; ties by pair ascending.
+
+    Two bucketed partial-aggregate passes (pair counts, unigram counts) —
+    the unigram table is joined onto the pair table by token-hash bucket
+    twice (left word, right word), never broadcast (web-scale vocab)."""
+    from ..engine.join import bucket_grouped, bucket_join, rename
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pairs: list[str] = []
+        for txt in t["text"].to_pylist():
+            ws = T.word_tokens(txt)
+            pairs.extend(f"{a} {b}" for a, b in zip(ws[:-1], ws[1:]))
+        if not pairs:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        s = pd.Series(pairs).value_counts()
+        toks = s.index.str.split(" ")
+        return pa.table({"a": pa.array([t[0] for t in toks], pa.string()),
+                         "b": pa.array([t[1] for t in toks], pa.string()),
+                         "n": pa.array(s.to_numpy(np.int64))})
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for txt in t["text"].to_pylist():
+            toks.extend(T.word_tokens(txt))
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        s = pd.Series(toks).value_counts()
+        return pa.table({"token": pa.array(s.index.to_numpy(dtype=object)),
+                         "c": pa.array(s.to_numpy(np.int64))})
+
+    nb = default_num_buckets()
+    # pair counts keyed on the composite (a,b) via the left token's bucket;
+    # materialized because both the grouped sum and the total consume it
+    pair_parts = docs.map_batches(pair_partial, batch_format="pyarrow").materialize()
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["n"].sum()
+
+    pair_counts = bucket_grouped(
+        pair_parts, ["a", "b"], sum_pairs,
+        out_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n", pa.int64())]),
+        num_buckets=nb,
+    ).filter(expr=f"n >= {min_count}").materialize()
+
+    uni = bucket_grouped_sum(
+        docs.map_batches(uni_partial, batch_format="pyarrow"),
+        ["token"], ["c"], num_buckets=nb,
+    ).map_batches(
+        lambda t: t.cast(pa.schema([("token", pa.string()), ("c", pa.int64())])),
+        batch_format="pyarrow",
+    ).materialize()
+
+    total_pairs = int(pd.DataFrame(
+        pair_parts.map_batches(
+            lambda t: pa.table({"s": pa.array([int(np.sum(t["n"].to_numpy()))
+                                               if t.num_rows else 0], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()
+    )["s"].sum())
+    total_toks = int(uni.map_batches(
+        lambda t: pa.table({"s": pa.array([int(np.sum(t["c"].to_numpy()))
+                                           if t.num_rows else 0], pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()["s"].sum())
+
+    j1 = bucket_join(pair_counts, rename(uni, {"token": "a", "c": "ca"}),
+                     on="a", right_on="a", how="inner", num_buckets=nb)
+    j2 = bucket_join(j1, rename(uni, {"token": "b", "c": "cb"}),
+                     on="b", right_on="b", how="inner", num_buckets=nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log2((n / total_pairs) / ((ca / total_toks) * (cb / total_toks)))
+        pair = [f"{x} {y}" for x, y in
+                zip(t["a"].to_pylist(), t["b"].to_pylist())]
+        return pa.table({"pair": pa.array(pair, pa.string()),
+                         "n": pa.array(n.astype(np.int64)),
+                         "pmi": pa.array(np.round(pmi, ROUND), pa.float64())})
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi", "pair"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------------- stratified sample
+def stratified_sample(sf_dir: str, per_source: int = 10) -> Dataset:
+    """Deterministic stratified sample: the first ``per_source`` docs per
+    source under the (md5(text), doc_id) order — a content-hash order, so
+    the sample is reproducible across runs/backfills and unbiased by
+    ingest order. The per-group head is one vectorized sort per source
+    hash-bucket (bucket_grouped); only (doc_id, source, fp) rows shuffle."""
+    from ..engine.join import bucket_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "fp": pa.array(T.md5_fingerprint(t["text"].to_pylist()),
+                                        pa.string())})
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["source", "fp", "doc_id"])
+        return d.groupby("source", as_index=False).head(per_source)[
+            ["doc_id", "source"]
+        ]
+
+    return bucket_grouped(
+        docs.map_batches(fp, batch_format="pyarrow"), ["source"], head,
+        out_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
     )

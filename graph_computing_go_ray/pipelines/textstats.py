@@ -218,3 +218,26 @@ def approx_top_tokens(sf_dir: str, k: int = 20, width: int = 1 << 16,
     import ray.data as rd
 
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def repetition_scores(sf_dir: str, n: int = 2) -> Dataset:
+    """(doc_id, rep_ratio) — fraction of repeated word-``n``-grams per doc,
+    rep_ratio = 1 - distinct_ngrams / total_ngrams (0 = no repetition).
+    The within-document repetition signal of web-corpus quality filters
+    (heavily repetitive pages are boilerplate/spam). Embarrassingly
+    parallel: one pass, no shuffle; docs with < n tokens score 0."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ratios = np.zeros(t.num_rows, np.float64)
+        for j, txt in enumerate(t["text"].to_pylist()):
+            ws = T.word_tokens(txt)
+            total = len(ws) - n + 1
+            if total <= 0:
+                continue
+            grams = [" ".join(ws[k : k + n]) for k in range(total)]
+            ratios[j] = 1.0 - len(set(grams)) / total
+        return pa.table({"doc_id": t["doc_id"],
+                         "rep_ratio": pa.array(np.round(ratios, ROUND))})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
