@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": C.benchmark_contamination,
         # deterministic stratified per-source sample (content-hash order)
         "stratified_sample": C.stratified_sample,
+        # weighted source mixing + hash-shuffle sharding (training output)
+        "training_mix": C.training_mix,
         # within-doc n-gram repetition ratio (quality signal)
         "repetition_scores": TX.repetition_scores,
         # PMI collocations (pair/unigram joins, never-broadcast vocab)
@@ -552,6 +554,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "  ORDER BY md5(text), doc_id) <= 10"
+        ),
+        # even-suffix sources weight 1.0, odd 0.25 (md5 first digit < '4');
+        # shard = md5 first digit, pos = rank within shard by (md5, doc_id)
+        "training_mix": (
+            "WITH kept AS (SELECT doc_id, md5(text) AS fp FROM documents "
+            "  WHERE CAST(substr(source, 4) AS INT) % 2 = 0 "
+            "     OR substr(md5(text), 1, 1) < '4') "
+            "SELECT substr(fp, 1, 1) AS shard, "
+            "row_number() OVER (PARTITION BY substr(fp, 1, 1) "
+            "  ORDER BY fp, doc_id) AS pos, doc_id FROM kept"
         ),
         # rep_ratio = 1 - distinct/total word-2-grams; 0 for docs too short
         "repetition_scores": (

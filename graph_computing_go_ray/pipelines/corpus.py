@@ -424,3 +424,50 @@ def stratified_sample(sf_dir: str, per_source: int = 10) -> Dataset:
         docs.map_batches(fp, batch_format="pyarrow"), ["source"], head,
         out_schema=pa.schema([("doc_id", pa.int64()), ("source", pa.string())]),
     )
+
+
+# ------------------------------------------------------- training mix/shard
+def training_mix(sf_dir: str) -> Dataset:
+    """The final step of a training-data pipeline: weighted source mixing +
+    deterministic hash-shuffle into shards. Sources with an even numeric
+    suffix get weight 1.0, odd get 0.25; inclusion is decided by a
+    content-hash threshold (md5(text) first hex digit < '4' keeps 25%), so
+    the mix is reproducible with no RNG state and composes with backfills.
+    Shard = md5 first hex digit (16 shards); pos = 1-based rank within the
+    shard under the (md5, doc_id) order — hash order IS the shuffle, so
+    the training stream is both shuffled and resumable per shard.
+
+    Output (shard, pos, doc_id). Scale: one stateless pass for the
+    weight/shard columns, then one bucketed per-shard rank (each shard
+    sorts independently; at 100 TB raise the shard-digit count so a shard
+    fits a task)."""
+    from ..engine.join import bucket_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        src = t["source"].to_pylist()
+        keep, shard, fp_out, ids = [], [], [], []
+        for i, s, fp in zip(t["doc_id"].to_pylist(), src, fps):
+            even = int(s[3:]) % 2 == 0
+            if even or fp[0] < "4":
+                ids.append(i)
+                shard.append(fp[0])
+                fp_out.append(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shard": pa.array(shard, pa.string()),
+                         "fp": pa.array(fp_out, pa.string())})
+
+    assigned = docs.map_batches(assign, batch_format="pyarrow")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["shard", "fp", "doc_id"]).reset_index(drop=True)
+        d["pos"] = d.groupby("shard").cumcount() + 1
+        return d[["shard", "pos", "doc_id"]]
+
+    return bucket_grouped(
+        assigned, ["shard"], rank,
+        out_schema=pa.schema([("shard", pa.string()), ("pos", pa.int64()),
+                              ("doc_id", pa.int64())]),
+    )
