@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_bipartite": G.hits_bipartite,
         "ppr_bipartite": G.ppr_bipartite,
         "hyperball_cooccur": G.hyperball_cooccur,
+        "bfs_cooccur": G.bfs_cooccur,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)
@@ -283,6 +284,22 @@ def oracle_sql() -> dict[str, str]:
         # (exact integer output; label = min vertex id in the component,
         # matching engine/components.py). 32 rounds >> the cooccur graph's
         # min-vertex eccentricity at sf0.01.
+        # frontier expansion with UNION-dedup on (id, dist); the dense
+        # co-occurrence graph is shallow, so dist caps at 32 safely
+        "bfs_cooccur": (
+            "WITH RECURSIVE e AS ("
+            "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+            "), seed AS (SELECT min(u) AS s FROM e), "
+            "bfs(id, dist) AS ("
+            "  SELECT s, 0 FROM seed "
+            "  UNION "
+            "  SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.id "
+            "  WHERE bfs.dist < 32"
+            ") "
+            "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY id"
+        ),
         "connected_components": (
             "WITH RECURSIVE e AS ("
             "  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "

@@ -60,7 +60,10 @@ def _degrees(und: Dataset) -> Dataset:
     return bucket_grouped_sum(p, ["id"], ["deg"])
 
 
-def triangle_count(edges: Dataset, num_buckets: int | None = None) -> int:
+def triangle_count(
+    edges: Dataset, num_buckets: int | None = None,
+    broadcast_max_edges: int = 20_000_000,
+) -> int:
     if num_buckets is None:
         from .join import default_num_buckets
 
@@ -98,14 +101,53 @@ def triangle_count(edges: Dataset, num_buckets: int | None = None) -> int:
     from ..functions.pairs import allpairs_by_group
     from .join import add_bucket
 
+    # Fast path: when the ORIENTED DISTINCT edge set is broadcastable
+    # (<= ~160 MB packed) and ids fit 32 bits, wedge tasks close their own
+    # wedges against a ray.put sorted (src<<32|dst) array and emit only a
+    # COUNT — the w>=m wedge set never materializes or shuffles (a dense
+    # graph makes ~35x more wedges than edges). Beyond the threshold the
+    # bucketed semi-join below handles web-scale edge sets.
+    n_edges = oriented.count()
+    max_id = int(deg.max("id"))
+    if n_edges <= broadcast_max_edges and max_id < 2**31:
+        import ray
+
+        def pack(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            d = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table({"e": pa.array((s << np.uint64(32)) | d, pa.uint64())})
+
+        packed = np.sort(
+            oriented.map_batches(pack, batch_format="pyarrow")
+            .to_pandas()["e"].to_numpy()
+        )
+        edge_ref = ray.put(packed)
+
+        def count_wedges(g: pd.DataFrame) -> pd.DataFrame:
+            es = ray.get(edge_ref)
+            df = g.sort_values(["src", "ddeg", "dst"])
+            a, b = allpairs_by_group(df["src"].to_numpy(), df["dst"].to_numpy())
+            if len(a) == 0 or len(es) == 0:
+                return pd.DataFrame({"n": [0]})
+            w = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+            idx = np.searchsorted(es, w).clip(max=len(es) - 1)
+            return pd.DataFrame({"n": [int((es[idx] == w).sum())]})
+
+        counts = add_bucket(oriented, "src", num_buckets, out_col="wbucket").repartition(
+            max(16, min(128, num_buckets))
+        ).groupby("wbucket").map_groups(count_wedges, batch_format="pandas")
+        return int(counts.to_pandas()["n"].sum())
+
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         df = g.sort_values(["src", "ddeg", "dst"])  # neighbor order = orientation order
         a, b = allpairs_by_group(df["src"].to_numpy(), df["dst"].to_numpy())
         return pd.DataFrame({"src": a, "dst": b})
 
-    cand = add_bucket(oriented, "src", num_buckets, out_col="wbucket").groupby(
-        "wbucket"
-    ).map_groups(wedges, batch_format="pandas")
+    # coalesce before the sort-based groupby: Ray's groupby degrades badly
+    # on many tiny blocks (same fix as engine/join.bucket_grouped)
+    cand = add_bucket(oriented, "src", num_buckets, out_col="wbucket").repartition(
+        max(16, min(128, num_buckets))
+    ).groupby("wbucket").map_groups(wedges, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
             pa.schema([("src", pa.int64()), ("dst", pa.int64())])
@@ -130,7 +172,9 @@ def triangle_count(edges: Dataset, num_buckets: int | None = None) -> int:
 
     both = oriented.select_columns(["src", "dst"]).map_batches(
         tag(0), batch_format="pyarrow"
-    ).union(cand.map_batches(tag(1), batch_format="pyarrow"))
+    ).union(cand.map_batches(tag(1), batch_format="pyarrow")).repartition(
+        max(16, min(128, num_buckets))
+    )
 
     def count_matches(g: pd.DataFrame) -> pd.DataFrame:
         e = g[g["side"] == 0][["src", "dst"]]

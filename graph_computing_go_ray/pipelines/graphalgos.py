@@ -190,3 +190,18 @@ def component_sizes(sf_dir: str) -> Dataset:
 
     labels = components_cooccur(sf_dir)
     return grouped_count(labels, "label", "size")
+
+
+def bfs_cooccur(sf_dir: str) -> Dataset:
+    """BFS hop distances over the undirected part co-occurrence graph from
+    the minimum vertex id (deterministic seed, same as the SQL oracle's
+    min(u)); only reached vertices are emitted."""
+    from ..engine.bfs import bfs_depths
+
+    edges = cooccur_edge_ds(sf_dir)
+    seed = edges.min("src")  # u<v pairs: min(u) is the global min vertex
+    out, _ = bfs_depths(
+        edges, [int(seed)], _workdir(sf_dir, f"bfs_{int(seed)}"),
+        num_parts=8, symmetrize=True,
+    )
+    return out.rename_columns({"id": "id", "dist": "dist"})
