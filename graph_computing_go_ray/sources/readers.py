@@ -55,3 +55,55 @@ def parse_ts_filter(
         return t.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def read_any(path: str, columns: list[str] | None = None) -> Dataset:
+    """Format-dispatched source (S1 widened to the formats a web corpus
+    actually arrives in): .parquet (column-pruned at the reader),
+    .csv / .csv.gz (arrow CSV with include_columns pushdown so unneeded
+    columns are never parsed), .jsonl / .json (newline-delimited JSON;
+    JSON has no columnar projection, so pruning happens right after the
+    decode). A directory scans all files of one format inside it."""
+    p = path.rstrip("/")
+    if os.path.isdir(p):
+        names = sorted(os.listdir(p))
+        exts = {n.rsplit(".", 1)[-1] for n in names if "." in n}
+        ext = sorted(exts)[0] if exts else "parquet"
+    else:
+        ext = p.rsplit(".", 1)[-1]
+        if ext == "gz":
+            ext = p.rsplit(".", 2)[-2]
+    if ext == "parquet":
+        return rd.read_parquet(p, columns=columns)
+    if ext == "csv":
+        from pyarrow import csv as pacsv
+
+        convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
+        return rd.read_csv(p, convert_options=convert,
+                           file_extensions=["csv", "gz"])  # skip _SUCCESS markers
+    if ext in ("jsonl", "json"):
+        ds = rd.read_json(p, file_extensions=["json", "jsonl", "gz"])
+        return ds.select_columns(columns) if columns else ds
+    raise ValueError(f"unsupported source format: {ext} ({path})")
+
+
+def export_table(ds: Dataset, out_dir: str, fmt: str = "parquet") -> str:
+    """Partitioned, resumable sink (K1/K3 semantics for any format): skip
+    if the directory's _SUCCESS marker exists, else write one file per
+    block and mark. Never one giant file — a failed run re-runs only
+    unmarked directories."""
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    if fmt == "parquet":
+        ds.write_parquet(out_dir)
+    elif fmt == "csv":
+        ds.write_csv(out_dir)
+    elif fmt in ("jsonl", "json"):
+        ds.write_json(out_dir)
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    with open(marker, "w") as f:
+        f.write("")
+    return out_dir
