@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_mix": C.training_mix,
         # within-doc n-gram repetition ratio (quality signal)
         "repetition_scores": TX.repetition_scores,
+        # winnowing fingerprint (min-md5 over token windows)
+        "winnow_fingerprints": TX.winnow_fingerprints,
         # PMI collocations (pair/unigram joins, never-broadcast vocab)
         "pmi_top_pairs": C.pmi_top_pairs,
         # near-dup clustering: jaccard pairs -> connected components -> keep
@@ -581,6 +583,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT substr(fp, 1, 1) AS shard, "
             "row_number() OVER (PARTITION BY substr(fp, 1, 1) "
             "  ORDER BY fp, doc_id) AS pos, doc_id FROM kept"
+        ),
+        # min over md5 of word-8-gram windows; whole doc when shorter
+        "winnow_fingerprints": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ws FROM documents), "
+            "w AS (SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') "
+            "  for i in generate_series(1, greatest(len(ws) - 7, 0))]) AS win "
+            "  FROM toks), "
+            "short AS (SELECT doc_id, array_to_string(ws, ' ') AS win "
+            "  FROM toks WHERE len(ws) BETWEEN 1 AND 7), "
+            "allw AS (SELECT * FROM w UNION ALL SELECT * FROM short) "
+            "SELECT doc_id, min(md5(win)) AS win_fp FROM allw GROUP BY doc_id"
         ),
         # rep_ratio = 1 - distinct/total word-2-grams; 0 for docs too short
         "repetition_scores": (

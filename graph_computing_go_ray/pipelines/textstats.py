@@ -241,3 +241,34 @@ def repetition_scores(sf_dir: str, n: int = 2) -> Dataset:
                          "rep_ratio": pa.array(np.round(ratios, ROUND))})
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def winnow_fingerprints(sf_dir: str, window: int = 8) -> Dataset:
+    """(doc_id, win_fp) winnowing-style document fingerprint: the minimum
+    md5 over all word-``window``-gram strings of the doc (whole doc when
+    shorter than the window; empty docs emit nothing). Locality-robust —
+    editing one region leaves the corpus-wide minimum window intact with
+    high probability — and, unlike the Karp-Rabin variant above, exactly
+    reproducible in SQL, so it carries a DuckDB oracle. Embarrassingly
+    parallel; hashing is the per-row cost."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = T.word_tokens(txt)
+            if not ws:
+                continue
+            if len(ws) < window:
+                wins = [" ".join(ws)]
+            else:
+                wins = [" ".join(ws[k : k + window])
+                        for k in range(len(ws) - window + 1)]
+            ids.append(i)
+            fps.append(min(hashlib.md5(w.encode()).hexdigest() for w in wins))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "win_fp": pa.array(fps, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
