@@ -124,6 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": C.stratified_sample,
         # weighted source mixing + hash-shuffle sharding (training output)
         "training_mix": C.training_mix,
+        # per-source token-distribution Shannon entropy
+        "token_entropy_per_source": C.token_entropy_per_source,
+        # exact per-source n_chars quantiles via value histograms
+        "chars_quantiles_per_source": C.chars_quantiles_per_source,
         # within-doc n-gram repetition ratio (quality signal)
         "repetition_scores": TX.repetition_scores,
         # winnowing fingerprint (min-md5 over token windows)
@@ -573,6 +577,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "  ORDER BY md5(text), doc_id) <= 10"
+        ),
+        "token_entropy_per_source": (
+            "WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+')) AS tok FROM documents), "
+            "c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "s AS (SELECT source, sum(c) AS t, sum(c * log2(c)) AS sc "
+            "  FROM c GROUP BY source) "
+            "SELECT source, round(log2(t) - sc / t, 6) AS token_entropy FROM s"
+        ),
+        "chars_quantiles_per_source": (
+            "WITH s AS (SELECT source, n_chars AS v, row_number() OVER "
+            "  (PARTITION BY source ORDER BY n_chars) AS rn, "
+            "  count(*) OVER (PARTITION BY source) AS n FROM documents), "
+            "qv(q) AS (VALUES (0.25), (0.5), (0.75)) "
+            "SELECT source, CAST(q AS DOUBLE) AS q, CAST(v AS BIGINT) AS value "
+            "FROM qv JOIN s ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))"
         ),
         # even-suffix sources weight 1.0, odd 0.25 (md5 first digit < '4');
         # shard = md5 first digit, pos = rank within shard by (md5, doc_id)

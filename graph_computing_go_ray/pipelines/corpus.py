@@ -471,3 +471,88 @@ def training_mix(sf_dir: str) -> Dataset:
         out_schema=pa.schema([("shard", pa.string()), ("pos", pa.int64()),
                               ("doc_id", pa.int64())]),
     )
+
+
+# ------------------------------------------------------- per-source entropy
+def token_entropy_per_source(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the token distribution within each source —
+    the corpus-diagnostics analog of the reference's degree-distribution
+    entropy (A4): low-entropy sources are templated/spammy. Exact from
+    integer counts via H = log2(T) - sum(c*log2 c)/T; only per-source
+    scalars reach the driver."""
+    from ..engine.join import bucket_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        src, toks = [], []
+        for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            ws = T.word_tokens(txt)
+            src.extend([s] * len(ws))
+            toks.extend(ws)
+        if not toks:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = pd.DataFrame({"source": src, "token": toks})
+        out = df.groupby(["source", "token"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    counts = bucket_grouped_sum(
+        docs.map_batches(tok_partial, batch_format="pyarrow"),
+        ["source", "token"], ["c"], num_buckets=default_num_buckets(),
+    )
+
+    def ent_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        c = df["c"].to_numpy(np.float64)
+        df["sc"] = c * np.log2(c)
+        out = df.groupby("source", as_index=False).agg(
+            t=("c", "sum"), sc=("sc", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    s = (
+        counts.map_batches(ent_partial, batch_format="pyarrow")
+        .to_pandas().groupby("source", as_index=False)[["t", "sc"]].sum()
+    )
+    ent = np.log2(s["t"].to_numpy(np.float64)) - (
+        s["sc"].to_numpy(np.float64) / s["t"].to_numpy(np.float64)
+    )
+    return pd.DataFrame({"source": s["source"],
+                         "token_entropy": np.round(ent, ROUND)})
+
+
+# ------------------------------------------------------- grouped quantiles
+def chars_quantiles_per_source(sf_dir: str) -> Dataset:
+    """Exact per-source n_chars quantiles (rank = ceil(q*n) ascending).
+    Scales via the VALUE histogram: a (source, n_chars) count table is
+    tiny relative to the docs even when a source has billions of rows, so
+    the per-source rank resolution is a vectorized cumsum over distinct
+    values — never a per-source row sort."""
+    from ..engine.join import bucket_grouped, bucket_grouped_count
+
+    QS = (0.25, 0.5, 0.75)
+    docs = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    hist = bucket_grouped_count(docs, ["source", "n_chars"], "c")
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, sub in g.groupby("source"):
+            sub = sub.sort_values("n_chars")
+            cum = sub["c"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = sub["n_chars"].to_numpy()
+            for q in QS:
+                r = max(1, int(np.ceil(q * n)))
+                rows.append({"source": src, "q": float(q),
+                             "value": int(vals[np.searchsorted(cum, r)])})
+        return pd.DataFrame(rows)
+
+    return bucket_grouped(
+        hist, ["source"], resolve,
+        out_schema=pa.schema([("source", pa.string()), ("q", pa.float64()),
+                              ("value", pa.int64())]),
+    )
