@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_per_source": C.token_entropy_per_source,
         # exact per-source n_chars quantiles via value histograms
         "chars_quantiles_per_source": C.chars_quantiles_per_source,
+        # iterative BPE merge training (pytest oracle: python replica)
+        "bpe_train": C.bpe_train,
         # within-doc n-gram repetition ratio (quality signal)
         "repetition_scores": TX.repetition_scores,
         # winnowing fingerprint (min-md5 over token windows)

@@ -556,3 +556,93 @@ def chars_quantiles_per_source(sf_dir: str) -> Dataset:
         out_schema=pa.schema([("source", pa.string()), ("q", pa.float64()),
                               ("value", pa.int64())]),
     )
+
+
+# ------------------------------------------------------- BPE training loop
+def bpe_train(sf_dir: str, n_merges: int = 5) -> pd.DataFrame:
+    """Train ``n_merges`` BPE merge rounds corpus-wide: each round counts
+    adjacent token pairs over the CURRENT sequences, picks the most
+    frequent pair (ties by (a, b) ascending), and rewrites every sequence
+    with the pair fused left-to-right non-overlapping — the real
+    tokenizer-training loop, not just one count (bpe_pair_counts).
+    Returns one row per round: (round, a, b, n).
+
+    Iterative by nature (each round depends on the last merge), so there
+    is no SQL oracle; tests/test_corpus_bpe.py asserts exact merge-list
+    parity with a pure-python replica. Scale shape per round: per-batch
+    partial pair counts -> bucketed sum -> top-1 via sort+limit (driver
+    holds one row), then a stateless rewrite pass with the winning pair
+    broadcast; sequences are re-materialized once per round so round k
+    never recomputes rounds 1..k-1."""
+    import ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_seqs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "toks": pa.array([T.word_tokens(x) for x in t["text"].to_pylist()],
+                             pa.large_list(pa.large_string())),
+        })
+
+    seqs = docs.map_batches(to_seqs, batch_format="pyarrow").materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for ws in t["toks"].to_pylist():
+            a_out.extend(ws[:-1])
+            b_out.extend(ws[1:])
+        if not a_out:
+            return pa.table({"a": pa.array([], pa.large_string()),
+                             "b": pa.array([], pa.large_string()),
+                             "n": pa.array([], pa.int64())})
+        df = pd.DataFrame({"a": a_out, "b": b_out})
+        out = df.groupby(["a", "b"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "n"}), preserve_index=False
+        )
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["n"].sum()
+
+    from ..engine.join import bucket_grouped
+
+    merges = []
+    for r in range(n_merges):
+        counts = bucket_grouped(
+            seqs.map_batches(pair_partial, batch_format="pyarrow"),
+            ["a", "b"], sum_pairs,
+            out_schema=pa.schema([("a", pa.large_string()),
+                                  ("b", pa.large_string()),
+                                  ("n", pa.int64())]),
+        )
+        top = counts.sort(["n", "a", "b"], descending=[True, False, False]) \
+                    .limit(1).to_pandas()
+        if top.empty or int(top["n"].iloc[0]) < 2:
+            break
+        a, b, n = str(top["a"].iloc[0]), str(top["b"].iloc[0]), int(top["n"].iloc[0])
+        merges.append({"round": r, "a": a, "b": b, "n": n})
+        pair_ref = ray.put((a, b))
+
+        def fuse(t: pa.Table) -> pa.Table:
+            pa_, pb = ray.get(pair_ref)
+            out = []
+            for ws in t["toks"].to_pylist():
+                merged, k = [], 0
+                while k < len(ws):
+                    if k + 1 < len(ws) and ws[k] == pa_ and ws[k + 1] == pb:
+                        merged.append(ws[k] + " " + ws[k + 1])
+                        k += 2
+                    else:
+                        merged.append(ws[k])
+                        k += 1
+                out.append(merged)
+            return pa.table({"doc_id": t["doc_id"],
+                             "toks": pa.array(out, pa.large_list(pa.large_string()))})
+
+        seqs = seqs.map_batches(fuse, batch_format="pyarrow").materialize()
+
+    out = pd.DataFrame(merges, columns=["round", "a", "b", "n"])
+    out["round"] = out["round"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64) if len(out) else out["n"]
+    return out
