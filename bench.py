@@ -218,10 +218,107 @@ def run_scaling() -> dict:
     }
 
 
+CORPUS_DOCS = int(os.environ.get("GCGR_CORPUS_DOCS", "200000"))
+
+
+def _gen_docs(out_dir: str, n_docs: int, seed: int = 7, n_files: int = 32) -> str:
+    """Deterministic synthetic corpus at probe scale: zipf token draws over
+    a 50k vocabulary, ~80 tokens/doc, 2% planted exact duplicates. Cached
+    (one parquet dir with a marker); the generator is NOT timed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = np.array([f"w{i}" for i in range(50_000)], dtype=object)
+    per = n_docs // n_files
+    for f in range(n_files):
+        rng = np.random.RandomState(seed * 1000 + f)
+        texts, ids = [], []
+        for j in range(per):
+            did = f * per + j
+            if j >= per - per // 50 and texts:  # 2% exact dups of earlier docs
+                texts.append(texts[rng.randint(0, len(texts) - 1)])
+            else:
+                k = 60 + int(rng.randint(0, 40))
+                idx = (rng.zipf(1.3, size=k) - 1) % len(vocab)
+                texts.append(" ".join(vocab[idx]))
+            ids.append(did)
+        n_chars = [len(t) for t in texts]
+        tbl = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([("en", "de", "fr", "es")[i % 4] for i in ids]),
+            "source": pa.array([f"src{i % 20}" for i in ids]),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{f:04d}.parquet"))
+    # single-file view expected by read_table(sf_dir, "documents")
+    full = pq.ParquetDataset(out_dir).read()
+    pq.write_table(full, os.path.join(out_dir, "documents.parquet"))
+    for f in range(n_files):
+        os.remove(os.path.join(out_dir, f"part-{f:04d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("")
+    return out_dir
+
+
+def run_corpus_scale() -> dict:
+    """Corpus-layer throughput probe at CORPUS_DOCS (default 200k, 40x the
+    sf0.1 documents table): docs/sec for the dedup / vocabulary / sampling
+    ops — the 100-TB evidence for the LLM-data layer (BASELINE.md §4a)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sf_dir = _gen_docs(f"/tmp/gcgr_bench/docs_{CORPUS_DOCS}", CORPUS_DOCS)
+    from graph_computing_go_ray.pipelines import corpus as C
+    from graph_computing_go_ray.pipelines import dedup as D
+    from graph_computing_go_ray.pipelines import textstats as TX
+
+    ops = {
+        "exact_dedup": lambda: D.exact_dedup_keep(sf_dir).count(),
+        "hash_sample": lambda: C.hash_sample(sf_dir).count(),
+        "token_df": lambda: C.token_df(sf_dir).count(),
+        "repetition_scores": lambda: TX.repetition_scores(sf_dir).count(),
+        "winnow_fingerprints": lambda: TX.winnow_fingerprints(sf_dir).count(),
+        "training_mix": lambda: C.training_mix(sf_dir).count(),
+        "source_stats": lambda: len(C.source_stats(sf_dir)),
+    }
+    times, rows = {}, {}
+    for name, fn in ops.items():
+        t0 = time.time()
+        rows[name] = int(fn())
+        times[name] = round(time.time() - t0, 3)
+    out = {
+        "metric": "corpus_ops_docs_per_sec",
+        "n_docs": CORPUS_DOCS,
+        "num_cpus": NUM_CPUS,
+        "op_sec": times,
+        "op_rows": rows,
+        "docs_per_sec": {k: round(CORPUS_DOCS / v, 1) for k, v in times.items()},
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--pagerank-scale" in sys.argv:
         print(json.dumps(run_pagerank_scale()))
+    elif "--corpus-scale" in sys.argv:
+        print(json.dumps(run_corpus_scale()))
     else:
         print(json.dumps(run_bench()))
