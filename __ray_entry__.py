@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_per_source": C.chars_quantiles_per_source,
         # iterative BPE merge training (pytest oracle: python replica)
         "bpe_train": C.bpe_train,
+        # capstone: quality -> dedup -> near-dup -> decontaminate -> shard
+        "curation_pipeline": C.curation_pipeline,
         # within-doc n-gram repetition ratio (quality signal)
         "repetition_scores": TX.repetition_scores,
         # winnowing fingerprint (min-md5 over token windows)
@@ -579,6 +581,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY source "
             "  ORDER BY md5(text), doc_id) <= 10"
+        ),
+        # the full curation composition in one statement, mirroring the
+        # Ray dataflow stage by stage (quality filter, min-doc_id-per-text
+        # exact-dup survivors, near-dup non-survivor drop via the same
+        # recursive CC closure, 8-gram benchmark decontamination, md5
+        # hash-shard + within-shard rank)
+        "curation_pipeline": (
+            "WITH RECURSIVE "
+            "q AS (SELECT doc_id, md5(text) AS fp FROM documents "
+            "  WHERE n_chars >= 200 AND lang IN ('en', 'fr')), "
+            "ed AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) "
+            "  AS keep_id FROM documents), "
+            "toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ws FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+            "  || ' ' || ws[i+2] for i in generate_series(1, "
+            "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "p AS (SELECT u, v FROM inter "
+            "  JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
+            "  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2), "
+            "e AS (SELECT u AS a, v AS b FROM p UNION SELECT v, u FROM p), "
+            "reach AS (SELECT a, b FROM e "
+            "  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
+            "lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+            "  FROM reach GROUP BY a), "
+            "nd_drop AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id), "
+            "ct AS (SELECT doc_id, md5(text) AS cfp, "
+            "  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+            "  FROM documents), "
+            "cg AS (SELECT DISTINCT doc_id, cfp, "
+            "  unnest([array_to_string(ws[i:i+7], ' ') for i in "
+            "  generate_series(1, greatest(len(ws) - 7, 0))]) AS g FROM ct), "
+            "bench AS (SELECT DISTINCT g FROM cg WHERE cfp LIKE 'f%'), "
+            "cont AS (SELECT DISTINCT doc_id FROM cg JOIN bench USING (g) "
+            "  WHERE cfp NOT LIKE 'f%'), "
+            "kept AS (SELECT q.doc_id, q.fp FROM q JOIN ed ON q.doc_id = ed.doc_id "
+            "  WHERE ed.keep_id = ed.doc_id "
+            "  AND q.doc_id NOT IN (SELECT doc_id FROM nd_drop) "
+            "  AND q.doc_id NOT IN (SELECT doc_id FROM cont)) "
+            "SELECT substr(fp, 1, 1) AS shard, row_number() OVER "
+            "  (PARTITION BY substr(fp, 1, 1) ORDER BY fp, doc_id) AS pos, "
+            "doc_id FROM kept"
         ),
         "token_entropy_per_source": (
             "WITH toks AS (SELECT source, unnest(regexp_extract_all(lower(text), "

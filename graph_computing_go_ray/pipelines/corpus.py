@@ -646,3 +646,120 @@ def bpe_train(sf_dir: str, n_merges: int = 5) -> pd.DataFrame:
     out["round"] = out["round"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64) if len(out) else out["n"]
     return out
+
+
+# ------------------------------------------------------- curation capstone
+def curation_pipeline(sf_dir: str) -> Dataset:
+    """End-to-end corpus curation — the composition a training-data team
+    actually runs, as ONE dataflow: quality filter (n_chars >= 200, lang
+    in {en, fr}) → exact-dup survivors (min doc_id per text, full-corpus
+    semantics) → drop near-dup non-survivors (near_dup_clusters keep
+    rule) → drop benchmark-contaminated docs → deterministic hash-shard
+    with within-shard rank. Output (shard, pos, doc_id).
+
+    Scale shape: the exact-dup survivor flag is a bucketed join of the
+    per-text min back onto the docs (corpus-sized, never broadcast); the
+    near-dup and contamination DROP sets are the small derived tables
+    (paired/contaminated docs only) and ship via ray.put; the final rank
+    is one vectorized pass per shard bucket."""
+    import ray
+
+    from ..engine.join import bucket_grouped, bucket_join, rename
+    from ..functions.hashing import hash_strings
+    from .dedup import _HASH_KEY_2
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang", "n_chars"])
+
+    # --- quality filter (cheap, first)
+    def qual(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.greater_equal(t["n_chars"], 200),
+            pc.is_in(t["lang"], value_set=pa.array(["en", "fr"])),
+        )
+        return t.filter(keep).select(["doc_id", "text"])
+
+    q = docs.map_batches(qual, batch_format="pyarrow").materialize()
+
+    # --- exact-dup survivor flag (FULL corpus semantics, like the oracle's
+    # window over all documents): min doc_id per (hash, hash2) joined back
+    full = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def h(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "text_hash": pa.array(hash_strings(texts)),
+            "h2": pa.array(hash_strings(texts, key=_HASH_KEY_2)),
+            "doc_id": t["doc_id"],
+        })
+
+    hashed = full.map_batches(h, batch_format="pyarrow").materialize()
+
+    def gmin(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["text_hash", "h2"], as_index=False)["doc_id"].min() \
+                .rename(columns={"doc_id": "keep_id"})
+
+    mins = bucket_grouped(
+        hashed, ["text_hash"], gmin,
+        out_schema=pa.schema([("text_hash", pa.int64()), ("h2", pa.int64()),
+                              ("keep_id", pa.int64())]),
+    )
+    joined = bucket_join(
+        hashed, rename(mins, {"h2": "h2_r"}),
+        on="text_hash", right_on="text_hash", how="inner",
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        ok = (
+            (t["h2"].to_numpy(zero_copy_only=False)
+             == t["h2_r"].to_numpy(zero_copy_only=False))
+            & (t["doc_id"].to_numpy(zero_copy_only=False)
+               == t["keep_id"].to_numpy(zero_copy_only=False))
+        )
+        return pa.table({"doc_id": t["doc_id"].filter(pa.array(ok))})
+
+    surv = joined.map_batches(survivors, batch_format="pyarrow")
+
+    # --- small drop sets: near-dup non-survivors + contaminated docs
+    from .dedup import near_dup_clusters
+
+    nd = near_dup_clusters(sf_dir).to_pandas()
+    nd_drop = (nd.loc[~nd["keep"], "doc_id"].to_numpy(np.int64)
+               if len(nd) else np.array([], np.int64))
+    cont = benchmark_contamination(sf_dir).to_pandas()
+    cont_ids = (cont["doc_id"].to_numpy(np.int64)
+                if len(cont) else np.array([], np.int64))
+    drop_ref = ray.put(np.unique(np.concatenate([nd_drop, cont_ids])))
+
+    # --- intersect: quality rows that survived exact dedup, minus drops
+    kept = bucket_join(q, rename(surv, {"doc_id": "doc_id"}),
+                       on="doc_id", right_on="doc_id", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        drops = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(drops):
+            idx = np.searchsorted(drops, ids).clip(max=len(drops) - 1)
+            mask = drops[idx] != ids
+        else:
+            mask = np.ones(len(ids), bool)
+        sub = t.filter(pa.array(mask))
+        fps = T.md5_fingerprint(sub["text"].to_pylist())
+        return pa.table({"doc_id": sub["doc_id"],
+                         "shard": pa.array([f[0] for f in fps], pa.string()),
+                         "fp": pa.array(fps, pa.string())})
+
+    assigned = kept.map_batches(finish, batch_format="pyarrow")
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["shard", "fp", "doc_id"]).reset_index(drop=True)
+        d["pos"] = d.groupby("shard").cumcount() + 1
+        return d[["shard", "pos", "doc_id"]]
+
+    return bucket_grouped(
+        assigned, ["shard"], rank,
+        out_schema=pa.schema([("shard", pa.string()), ("pos", pa.int64()),
+                              ("doc_id", pa.int64())]),
+    )
