@@ -90,30 +90,44 @@ def percent_slice(
     """Rows at rank positions [ceil(N*start/100), ceil(N*end/100)).
 
     Matches sliceWikiItemByPercent (wikiEntropy.go:297-310) including its
-    ceil-based index arithmetic."""
+    ceil-based index arithmetic. start == 0 short-circuits to sort+limit;
+    the general slice is fully distributed: both slice edges become
+    (degree, id) boundary predicates (percent_slice_boundaries) and
+    membership is a vectorized filter — no single-concurrency offset
+    walk, no ranked id list on the driver."""
     if start == 0 and end == 100:
         return ds
     n = total if total is not None else ds.count()
-    start_pos = int(math.ceil(n * start / 100))
     end_pos = int(math.ceil(n * end / 100))
     ranked = rank_desc(ds, degree_col, id_col)
-    if start_pos == 0:
+    if start <= 0:
         return ranked.limit(end_pos)
-    # general slice: limit(end) then drop the first start rows blockwise via
-    # a global offset computed from a count — rare path (no active plan uses it)
     import pyarrow as pa
 
-    head = ranked.limit(end_pos)
+    ds = ds.materialize()  # consumed by the histogram, tie probe, and filter
+    if int(math.ceil(n * start / 100)) >= end_pos:  # empty slice: keep schema
+        import ray.data as rd
 
-    class _Skip:
-        def __init__(self):
-            self.seen = 0
+        schema = ds.schema().base_schema
+        return rd.from_arrow(pa.table(
+            {f.name: pa.array([], f.type) for f in schema}
+        ))
+    bounds = percent_slice_boundaries(ds, degree_col, id_col, [start, end], n)
+    b_start, b_end = bounds[start], bounds[end]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            # NOTE: correct only with preserve_order + single concurrency;
-            # used for parity tests only, never in the scale path.
-            lo = max(0, start_pos - self.seen)
-            self.seen += batch.num_rows
-            return batch.slice(min(lo, batch.num_rows))
+    def member(t: pa.Table) -> pa.Table:
+        deg = t[degree_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = slice_member_mask(deg, ids, b_end) & ~slice_member_mask(
+            deg, ids, b_start
+        )
+        return t.filter(pa.array(mask))
 
-    return head.map_batches(_Skip, batch_format="pyarrow", concurrency=1)
+    from .join import typed_seed
+
+    # seed BEFORE the sort: an all-empty filter output reaches the sort
+    # schema-less otherwise and the slice loses its columns
+    filtered = typed_seed(
+        ds.map_batches(member, batch_format="pyarrow"), ds.schema().base_schema
+    )
+    return rank_desc(filtered, degree_col, id_col)
