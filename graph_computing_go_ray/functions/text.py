@@ -54,18 +54,89 @@ def word_tokens(text: str) -> list[str]:
     return _WORD_RE.findall(text.lower())
 
 
+def batch_word_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a whole batch at once: (tokens, doc_idx) where ``tokens``
+    is one object ndarray of every word token in batch order and
+    ``doc_idx[i]`` indexes the source text. The regex pass per doc IS the
+    tokenizer; everything downstream (tf / pair / shingle counting) should
+    be ONE vectorized groupby over these arrays per batch — never a
+    Python count per document."""
+    from itertools import chain
+
+    toks = [_WORD_RE.findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+    if not int(lens.sum()):
+        return np.array([], object), np.array([], np.int64)
+    flat = np.array(list(chain.from_iterable(toks)), dtype=object)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return flat, doc_idx
+
+
+def batch_adjacent_pairs(texts) -> tuple[np.ndarray, np.ndarray]:
+    """All adjacent token pairs (a, b) of a batch, doc-boundary-aware:
+    vectorized shift + same-doc mask over batch_word_tokens output."""
+    tokens, doc_idx = batch_word_tokens(texts)
+    if len(tokens) < 2:
+        return np.array([], object), np.array([], object)
+    mask = doc_idx[1:] == doc_idx[:-1]
+    return tokens[:-1][mask], tokens[1:][mask]
+
+
+def batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT word-n-gram shingle hashes per text, fully vectorized:
+    (row_idx, gram_hash) arrays, one row per distinct (text, shingle).
+
+    Each distinct token is hashed ONCE (factorize → hash uniques), window
+    hashes combine token hashes with a uint64 polynomial (order-sensitive,
+    so 'a b' != 'b a'), and the per-doc distinct pass is one batch-wide
+    drop_duplicates. Equivalent to hashing the joined shingle string:
+    both identify a shingle by a 63-bit hash; collision probability is the
+    same ~2^-63 and the distinct-count semantics match."""
+    import pandas as pd
+
+    from .hashing import hash_strings
+
+    tokens, doc_idx = batch_word_tokens(texts)
+    if len(tokens) < n:
+        return np.array([], np.int64), np.array([], np.int64)
+    codes, uniques = pd.factorize(tokens)
+    th = hash_strings(uniques)[codes].view(np.uint64)
+    valid = doc_idx[n - 1 :] == doc_idx[: len(doc_idx) - n + 1]
+    n_win = len(tokens) - n + 1
+    base = np.uint64(1099511628211)
+    acc = np.zeros(n_win, dtype=np.uint64)
+    for k in range(n):
+        acc = acc * base + th[k : k + n_win]
+    gh = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)[valid]
+    rows = doc_idx[:n_win][valid]
+    if not len(gh):
+        return np.array([], np.int64), np.array([], np.int64)
+    d = pd.DataFrame({"r": rows, "g": gh}).drop_duplicates()
+    return d["r"].to_numpy(np.int64), d["g"].to_numpy(np.int64)
+
+
 def lang_id(texts) -> list[str]:
-    """Stopword-marker language heuristic; 'und' (undetermined) when no marker hits."""
-    out = []
-    for t in texts:
-        words = word_tokens(t)
-        best_lang, best_score = "und", 0
-        for lang in _LANG_ORDER:
-            score = sum(1 for w in words if w in LANG_MARKERS[lang])
-            if score > best_score:
-                best_lang, best_score = lang, score
-        out.append(best_lang)
-    return out
+    """Stopword-marker language heuristic; 'und' (undetermined) when no
+    marker hits. Vectorized: tokens factorized once per batch, one isin
+    over the distinct vocabulary per language, per-doc scores via bincount.
+    Ties keep the earlier language in _LANG_ORDER (argmax-first ==
+    the strictly-greater update rule of the scalar form)."""
+    import pandas as pd
+
+    n = len(texts)
+    tokens, doc_idx = batch_word_tokens(texts)
+    if not len(tokens):
+        return ["und"] * n
+    codes, uniques = pd.factorize(tokens)
+    uniq = pd.Series(uniques)
+    scores = np.zeros((n, len(_LANG_ORDER)), np.int64)
+    for j, lang in enumerate(_LANG_ORDER):
+        hit = uniq.isin(LANG_MARKERS[lang]).to_numpy()[codes]
+        if hit.any():
+            scores[:, j] = np.bincount(doc_idx[hit], minlength=n)
+    best = scores.argmax(axis=1)
+    has = scores.max(axis=1) > 0
+    return [(_LANG_ORDER[k] if h else "und") for k, h in zip(best, has)]
 
 
 def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -115,25 +186,36 @@ def md5_fingerprint(texts) -> list[str]:
 
 def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
     """Rolling polynomial fingerprint (Karp-Rabin style): min over windowed
-    hashes of word tokens — a locality-robust document fingerprint."""
+    hashes of word tokens — a locality-robust document fingerprint.
+
+    Each DISTINCT token is blake2b-hashed once per batch (factorize) —
+    values are identical to hashing per occurrence, the dominant cost is
+    not."""
+    import pandas as pd
+
     base = np.uint64(1099511628211)
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        ws = word_tokens(t)
-        if not ws:
-            out[i] = 0
-            continue
-        hs = np.array(
-            [int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16) for w in ws],
-            dtype=np.uint64,
-        )
+    out = np.zeros(len(texts), dtype=np.int64)
+    tokens, doc_idx = batch_word_tokens(texts)
+    if not len(tokens):
+        return out
+    codes, uniques = pd.factorize(tokens)
+    uh = np.array(
+        [int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16)
+         for w in uniques],
+        dtype=np.uint64,
+    )
+    th = uh[codes]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(doc_idx)) + 1,
+                             [len(doc_idx)]])
+    present = doc_idx[starts[:-1]]
+    for s, e, i in zip(starts[:-1], starts[1:], present):
+        hs = th[s:e]
         if len(hs) <= window:
             acc = np.uint64(0)
             for h in hs:
                 acc = acc * base + h
             out[i] = int(acc & np.uint64(0x7FFFFFFFFFFFFFFF))
             continue
-        # rolling windows vectorized via cumulative powers
         n_win = len(hs) - window + 1
         wins = np.zeros(n_win, dtype=np.uint64)
         for k in range(window):

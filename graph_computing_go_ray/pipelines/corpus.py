@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -106,16 +107,16 @@ def bpe_pair_counts(sf_dir: str, k: int = 20) -> Dataset:
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        pairs: list[str] = []
-        for txt in t["text"].to_pylist():
-            ws = T.word_tokens(txt)
-            pairs.extend(f"{a} {b}" for a, b in zip(ws[:-1], ws[1:]))
-        if not pairs:
+        a, b = T.batch_adjacent_pairs(t["text"].to_pylist())
+        if not len(a):
             return pa.table({"pair": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        s = pd.Series(pairs).value_counts()
-        return pa.table({"pair": pa.array(s.index.to_numpy(dtype=object)),
-                         "n": pa.array(s.to_numpy(np.int64))})
+        out = (pd.DataFrame({"a": a, "b": b})
+               .groupby(["a", "b"], as_index=False, sort=False).size())
+        # build the "a b" string only for the counted uniques (far fewer)
+        pair = out["a"].str.cat(out["b"], sep=" ")
+        return pa.table({"pair": pa.array(pair.to_numpy(object), pa.string()),
+                         "n": pa.array(out["size"].to_numpy(np.int64))})
 
     partials = docs.map_batches(partial, batch_format="pyarrow")
     totals = bucket_grouped_sum(
@@ -131,21 +132,22 @@ def bpe_pair_counts(sf_dir: str, k: int = 20) -> Dataset:
 # ---------------------------------------------------------------- token DF
 def _tf_rows(t: pa.Table) -> pa.Table:
     """(doc_id, token, tf) term frequencies; one row per distinct
-    (doc, token). Docs never span batches (one row per doc)."""
-    ids: list[int] = []
-    toks: list[str] = []
-    tfs: list[int] = []
-    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        ws = T.word_tokens(txt)
-        if not ws:
-            continue
-        s = pd.Series(ws).value_counts()
-        ids.extend([i] * len(s))
-        toks.extend(s.index.tolist())
-        tfs.extend(int(c) for c in s.to_numpy())
-    return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                     "token": pa.array(toks, pa.string()),
-                     "tf": pa.array(tfs, pa.int64())})
+    (doc, token). Docs never span batches (one row per doc). One
+    factorize-based groupby per BATCH (not one value_counts per doc)."""
+    tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+    if not len(tokens):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+    out = (
+        pd.DataFrame({"doc_id": ids, "token": tokens})
+        .groupby(["doc_id", "token"], as_index=False, sort=False)
+        .size()
+    )
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                     "token": pa.array(out["token"].to_numpy(object), pa.string()),
+                     "tf": pa.array(out["size"].to_numpy(np.int64))})
 
 
 def token_df(sf_dir: str, min_df: int = 5) -> Dataset:
@@ -256,23 +258,14 @@ def benchmark_contamination(
     themselves are excluded from the output."""
     import ray
 
-    from ..functions.hashing import hash_strings
-
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def shingle(txt: str) -> set:
-        ws = T.word_tokens(txt)
-        return {" ".join(ws[k : k + ngram]) for k in range(len(ws) - ngram + 1)}
-
     def bench_grams(t: pa.Table) -> pa.Table:
-        fps = T.md5_fingerprint(t["text"].to_pylist())
-        grams: set = set()
-        for fp, txt in zip(fps, t["text"].to_pylist()):
-            if fp.startswith(bench_prefix):
-                grams |= shingle(txt)
-        gh = (hash_strings(np.array(sorted(grams), dtype=object))
-              if grams else np.array([], np.int64))
-        return pa.table({"gram": pa.array(gh, pa.int64())})
+        texts = t["text"].to_pylist()
+        fps = T.md5_fingerprint(texts)
+        marked = [x for fp, x in zip(fps, texts) if fp.startswith(bench_prefix)]
+        _, gh = T.batch_gram_hashes(marked, ngram)
+        return pa.table({"gram": pa.array(np.unique(gh), pa.int64())})
 
     bench = docs.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
     bench_arr = np.unique(bench["gram"].to_numpy()) if len(bench) else np.array([], np.int64)
@@ -280,25 +273,26 @@ def benchmark_contamination(
 
     def scan(t: pa.Table) -> pa.Table:
         bg = ray.get(bench_ref)
-        fps = T.md5_fingerprint(t["text"].to_pylist())
-        ids, counts = [], []
-        for i, fp, txt in zip(t["doc_id"].to_pylist(), fps, t["text"].to_pylist()):
-            if fp.startswith(bench_prefix):
-                continue  # the benchmark itself is not "contaminated"
-            gs = sorted(shingle(txt))
-            if not gs:
-                continue
-            gh = hash_strings(np.array(gs, dtype=object))
-            if len(bg):
-                idx = np.searchsorted(bg, gh).clip(max=len(bg) - 1)
-                n = int((bg[idx] == gh).sum())
-            else:
-                n = 0
-            if n > 0:
-                ids.append(i)
-                counts.append(n)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "n_shared": pa.array(counts, pa.int64())})
+        texts = t["text"].to_pylist()
+        fps = T.md5_fingerprint(texts)
+        # the benchmark itself is not "contaminated"
+        keep = [(i, x) for i, fp, x in
+                zip(t["doc_id"].to_pylist(), fps, texts)
+                if not fp.startswith(bench_prefix)]
+        if not keep or not len(bg):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        ids = np.fromiter((i for i, _ in keep), np.int64, count=len(keep))
+        rows, gh = T.batch_gram_hashes([x for _, x in keep], ngram)
+        if not len(gh):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_shared": pa.array([], pa.int64())})
+        idx = np.searchsorted(bg, gh).clip(max=len(bg) - 1)
+        hit = bg[idx] == gh
+        n = np.bincount(rows[hit], minlength=len(ids)).astype(np.int64)
+        pos = n > 0
+        return pa.table({"doc_id": pa.array(ids[pos], pa.int64()),
+                         "n_shared": pa.array(n[pos], pa.int64())})
 
     return docs.map_batches(scan, batch_format="pyarrow")
 
@@ -317,28 +311,23 @@ def pmi_top_pairs(sf_dir: str, k: int = 30, min_count: int = 5) -> Dataset:
     docs = read_table(sf_dir, "documents", columns=["text"])
 
     def pair_partial(t: pa.Table) -> pa.Table:
-        pairs: list[str] = []
-        for txt in t["text"].to_pylist():
-            ws = T.word_tokens(txt)
-            pairs.extend(f"{a} {b}" for a, b in zip(ws[:-1], ws[1:]))
-        if not pairs:
+        a, b = T.batch_adjacent_pairs(t["text"].to_pylist())
+        if not len(a):
             return pa.table({"a": pa.array([], pa.string()),
                              "b": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        s = pd.Series(pairs).value_counts()
-        toks = s.index.str.split(" ")
-        return pa.table({"a": pa.array([t[0] for t in toks], pa.string()),
-                         "b": pa.array([t[1] for t in toks], pa.string()),
-                         "n": pa.array(s.to_numpy(np.int64))})
+        out = (pd.DataFrame({"a": a, "b": b})
+               .groupby(["a", "b"], as_index=False, sort=False).size())
+        return pa.table({"a": pa.array(out["a"].to_numpy(object), pa.string()),
+                         "b": pa.array(out["b"].to_numpy(object), pa.string()),
+                         "n": pa.array(out["size"].to_numpy(np.int64))})
 
     def uni_partial(t: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for txt in t["text"].to_pylist():
-            toks.extend(T.word_tokens(txt))
-        if not toks:
+        tokens, _ = T.batch_word_tokens(t["text"].to_pylist())
+        if not len(tokens):
             return pa.table({"token": pa.array([], pa.string()),
                              "c": pa.array([], pa.int64())})
-        s = pd.Series(toks).value_counts()
+        s = pd.Series(tokens).value_counts()
         return pa.table({"token": pa.array(s.index.to_numpy(dtype=object)),
                          "c": pa.array(s.to_numpy(np.int64))})
 
@@ -485,17 +474,14 @@ def token_entropy_per_source(sf_dir: str) -> pd.DataFrame:
     docs = read_table(sf_dir, "documents", columns=["source", "text"])
 
     def tok_partial(t: pa.Table) -> pa.Table:
-        src, toks = [], []
-        for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
-            ws = T.word_tokens(txt)
-            src.extend([s] * len(ws))
-            toks.extend(ws)
-        if not toks:
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        if not len(tokens):
             return pa.table({"source": pa.array([], pa.string()),
                              "token": pa.array([], pa.string()),
                              "c": pa.array([], pa.int64())})
-        df = pd.DataFrame({"source": src, "token": toks})
-        out = df.groupby(["source", "token"], as_index=False).size()
+        src = np.asarray(t["source"].to_pylist(), object)[doc_idx]
+        df = pd.DataFrame({"source": src, "token": tokens})
+        out = df.groupby(["source", "token"], as_index=False, sort=False).size()
         return pa.Table.from_pandas(
             out.rename(columns={"size": "c"}), preserve_index=False
         )
@@ -588,19 +574,24 @@ def bpe_train(sf_dir: str, n_merges: int = 5) -> pd.DataFrame:
     seqs = docs.map_batches(to_seqs, batch_format="pyarrow").materialize()
 
     def pair_partial(t: pa.Table) -> pa.Table:
-        a_out, b_out = [], []
-        for ws in t["toks"].to_pylist():
-            a_out.extend(ws[:-1])
-            b_out.extend(ws[1:])
-        if not a_out:
+        col = t["toks"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
             return pa.table({"a": pa.array([], pa.large_string()),
                              "b": pa.array([], pa.large_string()),
                              "n": pa.array([], pa.int64())})
-        df = pd.DataFrame({"a": a_out, "b": b_out})
-        out = df.groupby(["a", "b"], as_index=False).size()
-        return pa.Table.from_pandas(
-            out.rename(columns={"size": "n"}), preserve_index=False
-        )
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        mask = doc_idx[1:] == doc_idx[:-1]
+        df = pd.DataFrame({"a": flat[:-1][mask], "b": flat[1:][mask]})
+        if not len(df):
+            return pa.table({"a": pa.array([], pa.large_string()),
+                             "b": pa.array([], pa.large_string()),
+                             "n": pa.array([], pa.int64())})
+        out = df.groupby(["a", "b"], as_index=False, sort=False).size()
+        return pa.table({"a": pa.array(out["a"].to_numpy(object), pa.large_string()),
+                         "b": pa.array(out["b"].to_numpy(object), pa.large_string()),
+                         "n": pa.array(out["size"].to_numpy(np.int64))})
 
     def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["a", "b"], as_index=False)["n"].sum()

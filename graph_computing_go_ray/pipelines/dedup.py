@@ -15,7 +15,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
-from ..engine.join import add_bucket, bucket_grouped_count
+from ..engine.join import add_bucket, bucket_grouped_count, default_num_buckets
 from ..engine.degrees import distinct_pairs
 from ..functions import text as T
 from ..functions.hashing import hash_strings, minhash_params
@@ -59,14 +59,11 @@ def exact_dedup_keep(sf_dir: str) -> Dataset:
 
 # ------------------------------------------------------------------ n-gram sets
 def _gram_rows(t: pa.Table, n: int = NGRAM) -> pa.Table:
-    """(doc_id, gram_hash) distinct word-n-gram shingles per doc."""
-    ids, grams = [], []
-    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        ws = T.word_tokens(txt)
-        gs = {" ".join(ws[k : k + n]) for k in range(len(ws) - n + 1)}
-        ids.extend([i] * len(gs))
-        grams.extend(gs)
-    gh = hash_strings(np.array(grams, dtype=object)) if grams else np.array([], np.int64)
+    """(doc_id, gram_hash) distinct word-n-gram shingles per doc —
+    vectorized batch-wide (tokens hashed once, polynomial window combine,
+    one drop_duplicates pass; see functions/text.py batch_gram_hashes)."""
+    rows, gh = T.batch_gram_hashes(t["text"].to_pylist(), n)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)[rows] if len(rows) else rows
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "gram": pa.array(gh, pa.int64())}
     )
@@ -127,7 +124,7 @@ def ngram_jaccard_pairs(
         a, b = allpairs_by_group(df["gram"].to_numpy(), df["doc_id"].to_numpy())
         return pd.DataFrame({"doc_a": a, "doc_b": b})
 
-    cand = add_bucket(capped, "gram", 8).groupby("bucket").map_groups(
+    cand = add_bucket(capped, "gram", default_num_buckets()).groupby("bucket").map_groups(
         pairs, batch_format="pandas"
     ).map_batches(
         lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
@@ -203,22 +200,28 @@ def minhash_signatures(
     a, b = minhash_params(num_perm)
 
     def fn(t: pa.Table) -> pa.Table:
-        ids, sigs = [], []
-        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ws = T.word_tokens(txt)
-            gs = list({" ".join(ws[k : k + n]) for k in range(len(ws) - n + 1)})
-            if not gs:
-                sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-            else:
-                x = hash_strings(np.array(gs, dtype=object)).view(np.uint64)
-                # (num_perm, n_grams) via broadcasting, min over grams
-                vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
-                sig = vals.min(axis=1)
-            ids.append(i)
-            sigs.append(sig.astype(np.int64))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rows, gh = T.batch_gram_hashes(t["text"].to_pylist(), n)
+        sig = np.full((len(ids), num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if len(gh):
+            # rows is sorted (batch order); min per doc via reduceat,
+            # permutations computed in chunks to bound the vals matrix
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(rows)) + 1]
+            )
+            present = rows[starts]
+            x = gh.view(np.uint64)
+            CH = 32
+            for p0 in range(0, num_perm, CH):
+                vals = (x[:, None] * a[None, p0 : p0 + CH]
+                        + b[None, p0 : p0 + CH]) % _MERSENNE
+                sig[present, p0 : p0 + CH] = np.minimum.reduceat(
+                    vals, starts, axis=0
+                )
         return pa.table(
             {"doc_id": pa.array(ids, pa.int64()),
-             "sig": pa.array([s.tolist() for s in sigs],
+             "sig": pa.array(list(sig.astype(np.int64)),
                              pa.list_(pa.int64(), num_perm))}
         )
 
@@ -263,7 +266,7 @@ def minhash_lsh_pairs(
         a, b = allpairs_by_group(key, df["doc_id"].to_numpy())
         return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
 
-    cand = add_bucket(banded, "bh", 8).groupby("bucket").map_groups(
+    cand = add_bucket(banded, "bh", default_num_buckets()).groupby("bucket").map_groups(
         pairs, batch_format="pandas"
     ).map_batches(
         lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
@@ -295,17 +298,24 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------ SimHash
 def simhash64(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash over word-token features (deterministic)."""
+    """64-bit SimHash over word-token features (deterministic). Vectorized
+    batch-wide: tokens hashed once (factorized), per-doc bit scores via
+    one reduceat over the sorted doc index."""
     out = np.zeros(len(texts), dtype=np.uint64)
-    for i, txt in enumerate(texts):
-        ws = T.word_tokens(txt)
-        if not ws:
-            continue
-        hs = hash_strings(np.array(ws, dtype=object)).view(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        score = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits((score > 0)[::-1]).view(np.uint64).byteswap()[0]
+    tokens, doc_idx = T.batch_word_tokens(texts)
+    if not len(tokens):
+        return out.view(np.int64)
+    codes, uniques = pd.factorize(tokens)
+    hs = hash_strings(uniques)[codes].view(np.uint64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int8)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(doc_idx)) + 1])
+    present = doc_idx[starts]
+    ones = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+    lens = np.diff(np.concatenate([starts, [len(doc_idx)]]))
+    score = 2 * ones - lens[:, None]  # (+1 per 1-bit, -1 per 0-bit)
+    packed = np.packbits((score > 0)[:, ::-1], axis=1)
+    out[present] = packed.view(np.uint64).byteswap().ravel()
     return out.view(np.int64)
 
 
@@ -340,7 +350,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 12) -> Dataset:
         a, b = allpairs_by_group(key, df["doc_id"].to_numpy())
         return pd.DataFrame({"doc_a": a, "doc_b": b}).drop_duplicates()
 
-    cand = add_bucket(banded, "bh", 8).groupby("bucket").map_groups(
+    cand = add_bucket(banded, "bh", default_num_buckets()).groupby("bucket").map_groups(
         pairs, batch_format="pandas"
     ).map_batches(
         lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
