@@ -72,6 +72,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_bipartite": G.ppr_bipartite,
         "hyperball_cooccur": G.hyperball_cooccur,
         "bfs_cooccur": G.bfs_cooccur,
+        # graph-metric scalars + link-prediction scores (SQL oracles)
+        "global_clustering": G.global_clustering,
+        "degree_assortativity": G.degree_assortativity,
+        "adamic_adar_topk": G.adamic_adar_topk,
+        # distributed Lloyd's k-means (iterative; numpy-replica pytest oracle)
+        "kmeans_embeddings": S.kmeans_embeddings,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)
@@ -394,6 +400,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_triangles FROM e a "
             "JOIN e b ON b.u = a.u AND b.v > a.v "
             "JOIN e c ON c.u = a.v AND c.v = b.v"
+        ),
+        "global_clustering": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e), "
+            "deg AS (SELECT x, count(*) AS d FROM und GROUP BY x), "
+            "w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg), "
+            "t AS (SELECT count(*) AS n_triangles FROM e a "
+            "  JOIN e b ON b.u = a.u AND b.v > a.v "
+            "  JOIN e c ON c.u = a.v AND c.v = b.v) "
+            "SELECT CAST(n_wedges AS BIGINT) AS n_wedges, "
+            "CAST(n_triangles AS BIGINT) AS n_triangles, "
+            "round(3.0 * n_triangles / n_wedges, 6) AS global_cc FROM w, t"
+        ),
+        "degree_assortativity": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT x, count(*) AS d FROM und GROUP BY x), "
+            "j AS (SELECT du.d AS dx, dv.d AS dy FROM und "
+            "  JOIN deg du ON du.x = und.x JOIN deg dv ON dv.x = und.y), "
+            "m AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dx * dx) AS sxx, "
+            "  sum(dx * dy) AS sxy FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n_endpoints, "
+            "round(CAST(n * sxy - sx * sx AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity FROM m"
+        ),
+        "adamic_adar_topk": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT x, count(*) AS d FROM und GROUP BY x), "
+            "aa AS (SELECT e.u, e.v, sum(1.0 / log2(dw.d)) AS s "
+            "  FROM e JOIN und n1 ON n1.x = e.u "
+            "  JOIN und n2 ON n2.x = e.v AND n2.y = n1.y "
+            "  JOIN deg dw ON dw.x = n1.y GROUP BY e.u, e.v) "
+            "SELECT u, v, round(s, 6) AS aa FROM aa "
+            "ORDER BY round(s, 6) DESC, u, v LIMIT 50"
         ),
         "google_distance": (
             "WITH core AS (SELECT p_partkey FROM part WHERE p_size >= 40), "

@@ -21,6 +21,35 @@ def group_starts_counts(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return starts, ends - starts
 
 
+def allpairs_with_group(
+    sorted_keys: np.ndarray, sorted_vals: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """allpairs_by_group, plus per-pair group association: returns
+    (a, b, group_size, group_start) so callers can derive per-pair weights
+    from the emitting group (e.g. Adamic-Adar 1/log2(deg_center)) without a
+    join — group_start indexes into sorted_keys for the group's key."""
+    starts, counts = group_starts_counts(sorted_keys)
+    out_a, out_b, out_c, out_s = [], [], [], []
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        sel = counts == c
+        g_starts = starts[sel]
+        iu, iv = np.triu_indices(int(c), k=1)
+        idx_a = (g_starts[:, None] + iu[None, :]).ravel()
+        idx_b = (g_starts[:, None] + iv[None, :]).ravel()
+        out_a.append(sorted_vals[idx_a])
+        out_b.append(sorted_vals[idx_b])
+        out_c.append(np.full(len(idx_a), c, dtype=np.int64))
+        out_s.append(np.repeat(g_starts, len(iu)))
+    if not out_a:
+        e = np.array([], dtype=sorted_vals.dtype)
+        z = np.array([], dtype=np.int64)
+        return e, e.copy(), z, z.copy()
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_c), np.concatenate(out_s))
+
+
 def allpairs_by_group(
     sorted_keys: np.ndarray, sorted_vals: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
