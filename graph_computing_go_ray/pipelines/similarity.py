@@ -393,3 +393,68 @@ def embedding_dedup_keep(sf_dir: str, threshold: float = 0.35) -> Dataset:
         return t.filter(pa.array(ds_[idx] != v))
 
     return emb.map_batches(keep, batch_format="pyarrow")
+
+
+def kmeans_embeddings(
+    sf_dir: str, n_clusters: int = 8, n_iters: int = 10, seed: int = 13,
+    sample_size: int = 65536,
+) -> Dataset:
+    """Distributed Lloyd's k-means over the embedding column: per iteration
+    one map_batches pass emits per-batch (cluster, vec_sum, count) PARTIALS
+    (one row per cluster per batch — k x n_batches rows, never vector-scale),
+    the driver combines them into new centroids and re-broadcasts. Init =
+    seeded choice from a BOUNDED sample (same pattern as ivf_topk's
+    quantizer). Output (vec_id, cluster) with deterministic argmin
+    (ties -> lowest cluster index).
+
+    Iterative by nature (no SQL oracle); tests assert exact parity with a
+    single-process numpy Lloyd's replica sharing the init."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    spd = emb.limit(sample_size).to_pandas()
+    sm = np.array(spd["embedding"].to_list(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = sm[rng.choice(len(sm), size=min(n_clusters, len(sm)), replace=False)].copy()
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _emb_to_np(t["embedding"])
+            # squared L2 via the dot-product expansion; argmin tie -> lowest idx
+            d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + (
+                (c * c).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            ks, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(ks), m.shape[1]), np.float64)
+            np.add.at(sums, inv, m)
+            cnt = np.bincount(inv).astype(np.int64)
+            return pa.table(
+                {"cluster": pa.array(ks.astype(np.int64)),
+                 "s": pa.array(list(sums), pa.list_(pa.float64())),
+                 "n": pa.array(cnt)}
+            )
+
+        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = cent.copy()
+        for c_i, g in parts.groupby("cluster"):
+            tot = np.sum(np.array(g["s"].to_list(), np.float64), axis=0)
+            new[int(c_i)] = tot / g["n"].sum()
+        cent = new
+
+    ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _emb_to_np(t["embedding"])
+        d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + (
+            (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "cluster": pa.array(d2.argmin(axis=1).astype(np.int64))}
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")

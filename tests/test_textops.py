@@ -225,3 +225,44 @@ def test_cms_top_tokens_vs_exact():
     n_total = sum(exact.values())
     for t, e in zip(got["token"], got["est_count"]):
         assert exact[t] <= e <= exact[t] + 0.01 * n_total, (t, e, exact[t])
+
+
+def test_kmeans_embeddings_parity():
+    """Distributed Lloyd's == single-process numpy replica sharing the init
+    (same seeded sample choice, same empty-cluster keep-old rule)."""
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.pipelines.similarity import kmeans_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        kmeans_embeddings(sf, n_clusters=8, n_iters=10, seed=13)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), np.float64)
+    rng = np.random.RandomState(13)
+    cent = m[rng.choice(len(m), 8, replace=False)].copy()
+    for _ in range(10):
+        d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cent.T) + (
+            (cent * cent).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        for c in range(8):
+            mask = a == c
+            if mask.any():
+                cent[c] = m[mask].mean(axis=0)
+    d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cent.T) + (
+        (cent * cent).sum(axis=1)[None, :]
+    )
+    expect = pd.DataFrame({"vec_id": ids, "cluster": d2.argmin(axis=1)}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+
+    assert len(out) == len(expect)
+    agree = (out["cluster"].to_numpy() == expect["cluster"].to_numpy()).mean()
+    # partial-sum order can perturb centroids ~1e-15; boundary flips are
+    # theoretically possible but must be vanishingly rare
+    assert agree >= 0.99, f"assignment agreement {agree}"
