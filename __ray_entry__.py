@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_slice_top20": R.percent_slice_top20,
         # joins / shrink (J4-J5, A3)
         "semi_join_shrink": R.semi_join_shrink,
+        # same semantics via Bloom prefilter + exact join on survivors —
+        # the fact-scale keep-set strategy (engine/bloom.py)
+        "bloom_semi_join_shrink": R.bloom_semi_join_shrink,
         "orders_by_nation": R.orders_by_nation,
         "hash_join_orders_customer": R.hash_join_orders_customer,
         # grouped aggregation (A1-at-scale combiner pattern)
@@ -72,6 +75,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_bipartite": G.ppr_bipartite,
         "hyperball_cooccur": G.hyperball_cooccur,
         "bfs_cooccur": G.bfs_cooccur,
+        # strongly connected components by FW/BW min-label peeling
+        # (iterative Tarjan-parity pytest oracle in tests/test_graph_extras.py)
+        "scc_chain": G.scc_chain,
+        # web-link-graph symmetry metric + graph coarsening (SQL oracles)
+        "chain_reciprocity": G.chain_reciprocity,
+        "collapse_nation_brand": G.collapse_nation_brand,
         # graph-metric scalars + link-prediction scores (SQL oracles)
         "global_clustering": G.global_clustering,
         "degree_assortativity": G.degree_assortativity,
@@ -212,6 +221,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn <= ceil(n * 20 / 100.0)"
         ),
         "semi_join_shrink": (
+            "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey WHERE p_size >= 25 GROUP BY 1"
+        ),
+        "bloom_semi_join_shrink": (
             "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem "
             "JOIN part ON l_partkey = p_partkey WHERE p_size >= 25 GROUP BY 1"
         ),
@@ -454,6 +467,31 @@ def oracle_sql() -> dict[str, str]:
             "round((log2(greatest(sa.n, sb.n)) - log2(i)) / "
             "      (log2(t) - log2(least(sa.n, sb.n))), 6) AS distance "
             "FROM inter JOIN sz sa ON u = sa.d JOIN sz sb ON v = sb.d, tot"
+        ),
+        "chain_reciprocity": (
+            "WITH th AS (SELECT l_orderkey, l_linenumber, l_partkey "
+            "            FROM lineitem WHERE l_orderkey % 16 = 0), "
+            "e0 AS (SELECT l_partkey AS src, "
+            "              lead(l_partkey) OVER (PARTITION BY l_orderkey "
+            "                                    ORDER BY l_linenumber) AS dst "
+            "       FROM th), "
+            "e AS (SELECT DISTINCT src, dst FROM e0 "
+            "      WHERE dst IS NOT NULL AND src <> dst), "
+            "ne AS (SELECT count(*) AS n_edges FROM e), "
+            "r AS (SELECT count(*) AS n_reciprocal FROM e a "
+            "      JOIN e b ON a.src = b.dst AND a.dst = b.src) "
+            "SELECT ne.n_edges, r.n_reciprocal, "
+            "round(r.n_reciprocal * 1.0 / ne.n_edges, 6) AS reciprocity "
+            "FROM ne, r"
+        ),
+        "collapse_nation_brand": (
+            "SELECT n_name, p_brand, count(*) AS n_links, "
+            "count(DISTINCT l_orderkey) AS n_src "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN part ON p_partkey = l_partkey "
+            "GROUP BY 1, 2"
         ),
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "

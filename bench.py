@@ -35,6 +35,8 @@ QUERY_SUBSET = [
     # round-2 corpus layer
     "token_df", "tfidf_top_terms", "price_quantiles", "near_dup_clusters",
     "benchmark_contamination", "pmi_top_pairs",
+    # round-2 link-graph metrics
+    "chain_reciprocity", "collapse_nation_brand",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Distributed Bloom-filter semi-join.
+
+The repo's two existing semi-join strategies bracket the scale spectrum:
+broadcast a sorted key array (exact, but the whole set ships to every
+task — fine only while the set is dimension-sized) or a bucketed hash join
+(exact, but shuffles BOTH sides). At 100 TB there is a wide middle ground:
+the keep-set is fact-sized (too big to broadcast exactly) yet the filter
+only needs to DISCARD most rows cheaply before an exact downstream step.
+A Bloom filter is the standard answer: ~1.2 GB of bits covers 1e9 keys at
+1% false positives, built in one pass with a per-block-partial OR-reduce
+and shipped once per task via ``ray.put`` — no shuffle of either side.
+
+Guarantees: NO false negatives (every true member passes); false
+positives at ~``fpp``. Use stand-alone where over-approximation is
+acceptable (pre-filters feeding an exact join) or compose with
+``bucket_join`` on the survivors for an exact semi-join that only
+shuffles the ~fpp-sized remainder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.hashing import hash_strings, splitmix64
+
+
+def _hash_col(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """64-bit hashes of an int or string column (same kernels as the
+    bucketing layer, so int/str keys behave identically everywhere)."""
+    import pyarrow.types as patypes
+
+    if patypes.is_string(arr.type) or patypes.is_large_string(arr.type):
+        return hash_strings(arr.to_pylist()).view(np.uint64)
+    return splitmix64(
+        arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    )
+
+
+def _params(n_keys: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n keys at the target fp rate."""
+    n = max(1, n_keys)
+    m = int(np.ceil(-n * np.log(fpp) / (np.log(2) ** 2)))
+    m = max(64, m)
+    k = max(1, int(round(m / n * np.log(2))))
+    return m, min(k, 16)
+
+
+def _positions(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(h), k) bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = h1 + i*h2 mod m — two derived hashes give k independent-enough
+    probes without k hash passes."""
+    h1 = h % np.uint64(m)
+    h2 = splitmix64(h) % np.uint64(m - 1) + np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def build_bloom(keys: Dataset, col: str, fpp: float = 0.01,
+                n_keys: int | None = None) -> dict:
+    """One-pass distributed build: every block sets its keys' bits in a
+    private bitmap; the (m/8)-byte partials OR-reduce on the driver. The
+    bitmap is the only thing that ever leaves the cluster — the key set
+    itself is never collected."""
+    if n_keys is None:
+        n_keys = keys.count()
+    m, k = _params(n_keys, fpp)
+    nbytes = (m + 7) // 8
+
+    def partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if t.num_rows:
+            pos = _positions(_hash_col(t[col]), m, k).ravel()
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for batch in keys.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in batch["bits"]:
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+    return {"bits": acc, "m": m, "k": k, "n_keys": n_keys, "fpp": fpp}
+
+
+def bloom_contains(bloom: dict, arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized membership mask (True = maybe-member; never a false
+    negative)."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=bool)
+    m, k, bits = bloom["m"], bloom["k"], bloom["bits"]
+    pos = _positions(_hash_col(arr), m, k)
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    bit = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    return ((bits[byte_idx] & bit) != 0).all(axis=1)
+
+
+def bloom_semi_join(ds: Dataset, keys: Dataset, on: str, key_col: str,
+                    fpp: float = 0.01) -> Dataset:
+    """Rows of ``ds`` whose ``on`` value is (probably) in ``keys.key_col``.
+    Over-approximate by ~fpp; compose with an exact bucketed join on the
+    survivors when exactness is required — the Bloom pass means only the
+    matching ~fraction of ``ds`` enters that shuffle."""
+    import ray
+
+    bloom = build_bloom(keys, key_col, fpp)
+    ref = ray.put(bloom)
+
+    def flt(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        return t.filter(pa.array(bloom_contains(b, t[on])))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -69,6 +69,19 @@ def typed_seed(ds: Dataset, schema: pa.Schema) -> Dataset:
     return rd.from_arrow(empty).union(ds)
 
 
+def rename_cols(ds: Dataset, mapping: dict) -> Dataset:
+    """Schema-independent column rename. ``Dataset.rename_columns`` resolves
+    the mapping against the plan's known schema and silently renames NOTHING
+    when that schema is unknown/empty (which Ray 2.49 reports for some lazy
+    typed_seed-union + rename chains) — so rename per batch at the Arrow
+    level instead, which always sees the real column names."""
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(rn, batch_format="pyarrow")
+
+
 def write_parquet_safe(ds: Dataset, path: str, schema: pa.Schema) -> None:
     """write_parquet that guarantees a readable dataset: an empty Dataset
     writes no files at all (a later read_parquet then raises
@@ -418,11 +431,14 @@ def bucket_join(
     Output columns: left columns then right columns minus the join key.
     Integer columns survive outer joins as nullable int64 (not float)."""
     l_schema = left.schema()
-    if l_schema is None:  # schema unknown until executed (e.g. lazy unions)
+    # schema unknown until executed (None), or EMPTY for some lazy
+    # union/rename chains (Ray 2.49 returns a 0-column schema for a
+    # renamed typed_seed union) — both mean "materialize to find out"
+    if l_schema is None or not l_schema.names:
         left = left.materialize()
         l_schema = left.schema()
     r_schema = right.schema()
-    if r_schema is None:
+    if r_schema is None or not r_schema.names:
         right = right.materialize()
         r_schema = right.schema()
     l_cols = list(l_schema.names)

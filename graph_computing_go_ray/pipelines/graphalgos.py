@@ -286,3 +286,171 @@ def adamic_adar_topk(sf_dir: str, k: int = 50) -> Dataset:
 
     scored = adamic_adar_edges(cooccur_edge_ds(sf_dir))
     return scored.sort(["aa", "u", "v"], descending=[True, False, False]).limit(k)
+
+
+def chain_edge_ds(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Directed part-chain edges: within each order (sorted by
+    l_linenumber), consecutive parts link part_i -> part_{i+1}. Distinct,
+    self-loops dropped. Overlapping chains across orders create directed
+    cycles — the SCC test graph. Orders are deterministically thinned to
+    l_orderkey % order_mod == 0 so the graph keeps real SCC structure
+    (hundreds of components + a giant) instead of collapsing into one."""
+    from ..engine.degrees import distinct_pairs
+    from ..engine.join import add_bucket, default_num_buckets
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    def thin(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok % order_mod == 0))
+
+    li = li.map_batches(thin, batch_format="pyarrow")
+    b = add_bucket(li, "l_orderkey", default_num_buckets())
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["l_orderkey", "l_linenumber"])
+        ok = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        same = ok[1:] == ok[:-1]
+        src, dst = pk[:-1][same], pk[1:][same]
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    pairs = b.groupby("bucket").map_groups(gen, batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        ),
+        batch_format="pandas",
+    )
+    return distinct_pairs(pairs, ["src", "dst"])
+
+
+def chain_reciprocity(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Edge reciprocity of the directed part-chain graph — the classic
+    web-link-graph symmetry metric (fraction of edges whose reverse edge
+    also exists). One-row result (n_edges, n_reciprocal, reciprocity).
+
+    Distributed: edges are keyed by the unordered pair (lo=min, hi=max)
+    and hash-bucketed on lo, so an edge and its reverse always land in the
+    same bucket; each bucket counts pairs present in both directions with
+    one vectorized groupby — no all-to-all self-join of the edge table."""
+    from ..engine.join import add_bucket, default_num_buckets
+
+    e = chain_edge_ds(sf_dir, order_mod)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array(np.minimum(src, dst), pa.int64()),
+            "hi": pa.array(np.maximum(src, dst), pa.int64()),
+        })
+
+    b = add_bucket(e.map_batches(keyed, batch_format="pyarrow"),
+                   "lo", default_num_buckets())
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        # edges are distinct with src != dst, so each (lo, hi) group has 1
+        # or 2 rows; 2 rows == both directions present
+        sizes = g.groupby(["lo", "hi"]).size()
+        return pd.DataFrame({
+            "n_edges": [int(len(g))],
+            "n_reciprocal": [int((sizes == 2).sum() * 2)],
+        })
+
+    parts = b.groupby("bucket").map_groups(cnt, batch_format="pandas")
+    pdf = parts.to_pandas()  # one row per bucket — driver-size
+    n_edges = int(pdf["n_edges"].sum()) if len(pdf) else 0
+    n_recip = int(pdf["n_reciprocal"].sum()) if len(pdf) else 0
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array(
+            [round(n_recip / n_edges, ROUND) if n_edges else 0.0], pa.float64()
+        ),
+    }))
+
+
+def collapse_nation_brand(sf_dir: str) -> Dataset:
+    """Graph coarsening (page graph → host graph analog): collapse the
+    order→part edge multigraph by mapping src vertices to the customer's
+    nation and dst vertices to the part's brand, aggregating parallel
+    edges into (n_links = edge count, n_src = distinct source orders).
+
+    Shape at scale: orders→nation is a fact-side bucketed join keyed once
+    on o_orderkey; part→brand and customer→nation are dimension maps
+    broadcast via ray.put; the collapsed graph is tiny (|nations|×|brands|)
+    so partial per-bucket counts reduce cheaply."""
+    from ..engine.degrees import distinct_pairs
+    from ..engine.join import (bucket_grouped_count, bucket_join,
+                               default_num_buckets)
+
+    nb = default_num_buckets()
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    # dimension maps: customer→nation name, part→brand (broadcast)
+    import ray
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"]))),
+    ))
+    part = read_table(sf_dir, "part",
+                      columns=["p_partkey", "p_brand"]).to_pandas()
+    p2b = dict(zip(part["p_partkey"], part["p_brand"]))
+    c2n_ref, p2b_ref = ray.put(c2n), ray.put(p2b)
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        m = ray.get(c2n_ref)
+        names = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)).map(m)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "n_name": pa.array(names, pa.string())})
+
+    on = orders.map_batches(tag_orders, batch_format="pyarrow")
+    j = bucket_join(li, on, on="l_orderkey", right_on="o_orderkey",
+                    how="inner", num_buckets=nb)
+
+    def tag_parts(t: pa.Table) -> pa.Table:
+        m = ray.get(p2b_ref)
+        brands = pd.Series(t["l_partkey"].to_numpy(zero_copy_only=False)).map(m)
+        return pa.table({"n_name": t["n_name"],
+                         "p_brand": pa.array(brands, pa.string()),
+                         "l_orderkey": t["l_orderkey"]})
+
+    tagged = j.map_batches(tag_parts, batch_format="pyarrow")
+    links = bucket_grouped_count(tagged, ["n_name", "p_brand"], "n_links")
+    srcs = bucket_grouped_count(
+        distinct_pairs(tagged, ["n_name", "p_brand", "l_orderkey"]),
+        ["n_name", "p_brand"], "n_src",
+    )
+    # both are |nations|×|brands| result frames — merge driver-side
+    out = links.to_pandas().merge(srcs.to_pandas(), on=["n_name", "p_brand"])
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False).cast(
+        pa.schema([("n_name", pa.string()), ("p_brand", pa.string()),
+                   ("n_links", pa.int64()), ("n_src", pa.int64())])
+    ))
+
+
+def scc_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Strongly connected components of the part-chain graph
+    (engine/scc.py forward/backward min-label peeling); (id, scc_id).
+    The workdir is keyed by order_mod so checkpoint reuse can never pair a
+    resumed superstep with a differently-thinned edge set."""
+    from ..engine.scc import strongly_connected_components
+
+    out, _ = strongly_connected_components(
+        chain_edge_ds(sf_dir, order_mod),
+        _workdir(sf_dir, f"sccfb-m{order_mod}"), num_parts=8,
+    )
+    return out

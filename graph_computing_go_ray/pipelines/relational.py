@@ -96,6 +96,37 @@ def semi_join_shrink(sf_dir: str) -> Dataset:
     return deg_k.in_degree(edges)
 
 
+def bloom_semi_join_shrink(sf_dir: str) -> Dataset:
+    """Same semantics as :func:`semi_join_shrink`, demonstrated via the
+    fact-scale strategy: a Bloom filter built distributed from the keep set
+    prunes the edge table WITHOUT broadcasting the exact key array, then an
+    exact bucketed join over the ~1%-inflated survivors removes the false
+    positives. At 100 TB the Bloom pass means only the matching fraction of
+    the fact table enters the shuffle (engine/bloom.py)."""
+    import pyarrow as pa
+
+    from ..engine.bloom import bloom_semi_join
+    from ..engine.join import (bucket_join, default_num_buckets, rename_cols,
+                               typed_seed)
+
+    part_ids = read_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    keep = part_ids.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], 25)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    keep = typed_seed(keep, pa.schema([("p_partkey", pa.int64())]))
+    pre = bloom_semi_join(lineitem_edges(sf_dir), keep,
+                          on="dst", key_col="p_partkey", fpp=0.01)
+    exact = bucket_join(
+        pre, rename_cols(keep, {"p_partkey": "kid"}),
+        on="dst", right_on="kid", how="inner",
+        num_buckets=default_num_buckets(),
+    ).map_batches(lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+    return deg_k.in_degree(typed_seed(
+        exact, pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    ))
+
+
 # ---------------------------------------------------------------- joins (J1/J5-style)
 def orders_by_nation(sf_dir: str) -> Dataset:
     """Broadcast dimension join: orders → customer → nation, then grouped agg.

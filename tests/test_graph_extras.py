@@ -174,3 +174,86 @@ def test_hyperball_directed_in_balls(graph):
     est = info["neighborhood"]
     for t, ex in enumerate(exact):
         assert est[t] == pytest.approx(ex, rel=0.1), f"t={t}"
+
+
+def test_scc_tarjan_parity():
+    """Distributed FW/BW min-label peeling == single-process Tarjan on the
+    sf0.001 part-chain graph (exact component membership; scc_id = min id)."""
+    from graph_computing_go_ray.pipelines.graphalgos import chain_edge_ds, scc_chain
+
+    sf = "/root/testdata/sf0.001"
+    edges = chain_edge_ds(sf).to_pandas()
+    out = scc_chain(sf).to_pandas().sort_values("id").reset_index(drop=True)
+
+    # iterative Tarjan (explicit stack — the chain graph can be deep)
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+        nodes.add(int(s)); nodes.add(int(d))
+    index = {}; low = {}; on_stack = set(); stack = []
+    comp_of = {}; counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]; counter[0] += 1
+                stack.append(v); on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1)); work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop(); on_stack.discard(w); comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        comp_of[w] = m
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+
+    assert len(out) == len(nodes)
+    got = dict(zip(out["id"].astype(int), out["scc_id"].astype(int)))
+    mismatch = [v for v in nodes if got[v] != comp_of[v]]
+    assert not mismatch, f"{len(mismatch)} SCC mismatches, e.g. {mismatch[:5]}"
+
+
+def test_scc_tiny_with_trim():
+    """Hand-built graph: 3-cycle with an acyclic tendril, a 2-cycle, and a
+    lone edge — trim_rounds=2 exercises the singleton peel path; membership
+    must equal the obvious SCCs with scc_id = min member id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graph_computing_go_ray.engine.scc import strongly_connected_components
+
+    import shutil
+
+    shutil.rmtree("/tmp/gcgr_test_scc_tiny", ignore_errors=True)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 3, 4, 6, 7, 8], pa.int64()),
+        "dst": pa.array([2, 3, 1, 4, 5, 7, 6, 9], pa.int64()),
+    }))
+    out, info = strongly_connected_components(
+        edges, "/tmp/gcgr_test_scc_tiny", num_parts=2, trim_rounds=2,
+        resume=False,
+    )
+    got = dict(zip(*[out.to_pandas()[c].astype(int) for c in ("id", "scc_id")]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}
+    assert info["rounds"] >= 1

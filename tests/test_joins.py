@@ -72,3 +72,27 @@ def test_asof_join_backward_and_ties():
     # lid=4: key 3 missing on right -> dropped
     assert 4 not in m
     assert out["rid"].dtype == np.int64 or str(out["rid"].dtype) == "int64"
+
+
+def test_rename_cols_on_typed_seed_union():
+    """Dataset.rename_columns silently no-ops when the lazy plan reports an
+    empty schema (typed_seed union of a grouped-join output) — rename_cols
+    must still rename, and bucket_join must survive an empty-schema side."""
+    import pyarrow as pa
+
+    from graph_computing_go_ray.engine.join import (bucket_join, rename_cols,
+                                                    typed_seed)
+
+    srcs = rd.from_arrow(pa.table({"id": pa.array([1, 2, 3], pa.int64())}))
+    dsts = rd.from_arrow(pa.table({"id": pa.array([2, 3, 4], pa.int64())}))
+    both = bucket_join(srcs, rename_cols(dsts, {"id": "did"}),
+                       on="id", right_on="did", how="inner", num_buckets=4)
+    both = typed_seed(both, pa.schema([("id", pa.int64())]))
+    left = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3], pa.int64()),
+        "dst": pa.array([2, 3, 4], pa.int64()),
+    }))
+    out = bucket_join(left, rename_cols(both, {"id": "kid"}),
+                      on="src", right_on="kid", how="inner",
+                      num_buckets=4).to_pandas()
+    assert sorted(out["src"].tolist()) == [2, 3]
