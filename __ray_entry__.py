@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)
         "token_counts": TX.token_counts,
+        # sequence-packing assignment via distributed ordered prefix sum
+        "pack_offsets": TX.pack_offsets,
         "quality_scores": TX.quality_scores,
         "fingerprints": TX.fingerprints,
         "lang_id": TX.lang_id,
@@ -496,6 +498,20 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents"
+        ),
+        "pack_offsets": (
+            "WITH t AS (SELECT doc_id, "
+            "  len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "    AS start_pos "
+            "  FROM t) "
+            "SELECT doc_id, n_tokens, start_pos, "
+            "  start_pos + n_tokens AS end_pos, "
+            "  start_pos // 2048 AS first_seq, "
+            "  (start_pos + n_tokens - 1) // 2048 AS last_seq "
+            "FROM o"
         ),
         "quality_scores": (
             "SELECT doc_id, length(text) AS chars, "

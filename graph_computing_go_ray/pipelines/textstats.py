@@ -272,3 +272,31 @@ def winnow_fingerprints(sf_dir: str, window: int = 8) -> Dataset:
                          "win_fp": pa.array(fps, pa.string())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_offsets(sf_dir: str, seqlen: int = 2048) -> Dataset:
+    """Training-sequence packing assignment: each document's global token
+    offset in doc_id order and the [first_seq, last_seq] fixed-length
+    training sequences it lands in — the bookkeeping step before writing
+    packed shards. The global offsets come from the two-pass distributed
+    prefix sum (engine/prefix.py), never a global sort or a driver scan."""
+    from ..engine.prefix import ordered_prefix_sum
+
+    counted = token_counts(sf_dir)
+    off = ordered_prefix_sum(counted, key="doc_id", val="n_tokens",
+                             out="start_pos")
+
+    def spans(t: pa.Table) -> pa.Table:
+        start = t["start_pos"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        end = start + n
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "start_pos": pa.array(start, pa.int64()),
+            "end_pos": pa.array(end, pa.int64()),
+            "first_seq": pa.array(start // seqlen, pa.int64()),
+            "last_seq": pa.array((end - 1) // seqlen, pa.int64()),
+        })
+
+    return off.map_batches(spans, batch_format="pyarrow")
