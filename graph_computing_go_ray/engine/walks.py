@@ -1,0 +1,173 @@
+"""Deterministic random-walk generation (DeepWalk/node2vec precursor).
+
+Embedding pipelines over link graphs start by materializing fixed-length
+random walks from every vertex; at web scale the walk table is bigger than
+the graph, so the generation itself must be a distributed dataflow, not a
+driver loop. Design:
+
+- adjacency lists are built ONCE (groupby(src), neighbors sorted for
+  determinism) and stay sharded — never broadcast;
+- the walk frontier (walk_id, cur) advances one step per round through a
+  bucketed join against the adjacency shards: pick index =
+  splitmix64(walk_id * C1 xor step * C2) mod degree, a counter-based RNG,
+  so every step is reproducible from (walk_id, step) alone — no RNG state
+  to carry, no cross-run nondeterminism, and the same formula replicated
+  in a single-process oracle gives EXACT parity;
+- each round emits its (walk_id, step, vertex) rows; the result is the
+  union of rounds. Walks that hit a sink vertex (no out-edges) stop early
+  (the inner join drops them), matching the oracle.
+
+walk_len rounds = walk_len bucketed joins over a frontier that never
+exceeds n_walks rows — the same shuffle shape as the redirect chase.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions.hashing import splitmix64
+
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def step_choice(walk_ids: np.ndarray, step: int, degrees: np.ndarray) -> np.ndarray:
+    """Counter-based neighbor index: reproducible from (walk_id, step)."""
+    h = splitmix64(
+        walk_ids.astype(np.int64).view(np.uint64) * _C1
+        ^ np.uint64(step) * _C2
+    )
+    return (h % degrees.astype(np.uint64)).astype(np.int64)
+
+
+def _adjacency(edges: Dataset, num_buckets: int) -> Dataset:
+    """(src, neighbors list<int64>) — sorted, distinct neighbors."""
+    from .join import add_bucket
+
+    b = add_bucket(edges, "src", num_buckets)
+
+    def lists(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["src", "dst"]].drop_duplicates().sort_values(["src", "dst"])
+        # plain Python lists: numpy cells would be stored as Ray's tensor
+        # extension struct, which no longer casts to list<int64>
+        out = g.groupby("src")["dst"].apply(lambda s: s.tolist())
+        return pd.DataFrame({"src": out.index.to_numpy(), "neighbors": out.values})
+
+    return b.groupby("bucket").map_groups(lists, batch_format="pandas")
+
+
+def random_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
+                 num_buckets: int | None = None) -> Dataset:
+    """(walk_id, step, vertex) rows for `n_walks` walks per source vertex,
+    walk_id = vertex * n_walks + j. Step 0 is the start vertex."""
+    import ray.data as rd
+
+    from .join import add_bucket, default_num_buckets, typed_seed
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    adj = _adjacency(edges, num_buckets).materialize()
+
+    def starts(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        wid = (src[:, None] * n_walks + np.arange(n_walks)[None, :]).ravel()
+        return pa.table({
+            "walk_id": pa.array(wid, pa.int64()),
+            "cur": pa.array(np.repeat(src, n_walks), pa.int64()),
+        })
+
+    frontier = adj.map_batches(
+        lambda t: starts(t.select(["src"])), batch_format="pyarrow"
+    ).materialize()
+
+    out_schema = pa.schema([("walk_id", pa.int64()), ("step", pa.int64()),
+                            ("vertex", pa.int64())])
+
+    def emit(t: pa.Table, step: int) -> pa.Table:
+        return pa.table({
+            "walk_id": t["walk_id"],
+            "step": pa.array(np.full(t.num_rows, step, np.int64)),
+            "vertex": t["cur"],
+        })
+
+    rows = [frontier.map_batches(lambda t: emit(t, 0), batch_format="pyarrow")]
+    for step in range(1, walk_len + 1):
+
+        def advance(g: pd.DataFrame, _step=step) -> pd.DataFrame:
+            # co-grouped frontier rows (cur) and adjacency rows (src)
+            fr = g[g["__side"] == 0]
+            ad = g[g["__side"] == 1]
+            if not len(fr) or not len(ad):
+                return pd.DataFrame({"walk_id": pd.Series([], dtype=np.int64),
+                                     "cur": pd.Series([], dtype=np.int64)})
+            m = fr[["walk_id", "cur"]].merge(
+                ad[["src", "neighbors"]], left_on="cur", right_on="src"
+            )
+            if not len(m):
+                return pd.DataFrame({"walk_id": pd.Series([], dtype=np.int64),
+                                     "cur": pd.Series([], dtype=np.int64)})
+            degs = np.fromiter((len(x) for x in m["neighbors"]), np.int64,
+                               count=len(m))
+            idx = step_choice(m["walk_id"].to_numpy(), _step, degs)
+            flat = np.concatenate([np.asarray(x) for x in m["neighbors"]])
+            offs = np.concatenate([[0], np.cumsum(degs)[:-1]])
+            return pd.DataFrame({
+                "walk_id": m["walk_id"].to_numpy(),
+                "cur": flat[offs + idx].astype(np.int64),
+            })
+
+        fb = add_bucket(frontier, "cur", num_buckets).map_batches(
+            lambda t: t.append_column(
+                "__side", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        ab = add_bucket(adj, "src", num_buckets).map_batches(
+            lambda t: t.append_column(
+                "__side", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+
+        def pad_f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "walk_id": t["walk_id"] if "walk_id" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "cur": t["cur"] if "cur" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "src": t["src"] if "src" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "neighbors": t["neighbors"].cast(pa.list_(pa.int64()))
+                if "neighbors" in t.column_names
+                else pa.nulls(n, pa.list_(pa.int64())),
+                "bucket": t["bucket"], "__side": t["__side"],
+            })
+
+        both = fb.map_batches(pad_f, batch_format="pyarrow").union(
+            ab.map_batches(pad_f, batch_format="pyarrow")
+        )
+        frontier = both.groupby("bucket").map_groups(
+            advance, batch_format="pandas"
+        )
+        frontier = typed_seed(
+            frontier.map_batches(
+                lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+                    pa.schema([("walk_id", pa.int64()), ("cur", pa.int64())])
+                ),
+                batch_format="pandas",
+            ),
+            pa.schema([("walk_id", pa.int64()), ("cur", pa.int64())]),
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        rows.append(frontier.map_batches(
+            lambda t, _s=step: emit(t, _s), batch_format="pyarrow"
+        ))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return typed_seed(out, out_schema)

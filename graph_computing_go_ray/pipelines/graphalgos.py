@@ -442,6 +442,18 @@ def collapse_nation_brand(sf_dir: str) -> Dataset:
     ))
 
 
+def random_walks_chain(sf_dir: str, walk_len: int = 4,
+                       n_walks: int = 2) -> Dataset:
+    """DeepWalk-style deterministic random walks over the part-chain graph:
+    (walk_id, step, vertex) rows, n_walks walks from every vertex with
+    out-edges, counter-based RNG so runs are reproducible (engine/walks.py;
+    exact single-process parity oracle in tests/test_graph_extras.py)."""
+    from ..engine.walks import random_walks
+
+    return random_walks(chain_edge_ds(sf_dir), walk_len=walk_len,
+                        n_walks=n_walks)
+
+
 def scc_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
     """Strongly connected components of the part-chain graph
     (engine/scc.py forward/backward min-label peeling); (id, scc_id).

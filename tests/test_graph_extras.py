@@ -257,3 +257,41 @@ def test_scc_tiny_with_trim():
     got = dict(zip(*[out.to_pandas()[c].astype(int) for c in ("id", "scc_id")]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}
     assert info["rounds"] >= 1
+
+
+def test_random_walks_exact_parity():
+    """Distributed walk generation == single-process replica with the same
+    counter-based RNG, exactly (every (walk_id, step, vertex) row)."""
+    import numpy as np
+
+    from graph_computing_go_ray.engine.walks import step_choice
+    from graph_computing_go_ray.pipelines.graphalgos import (
+        chain_edge_ds, random_walks_chain)
+
+    sf = "/root/testdata/sf0.001"
+    walk_len, n_walks = 4, 2
+    edges = chain_edge_ds(sf).to_pandas()
+    got = random_walks_chain(sf, walk_len=walk_len, n_walks=n_walks).to_pandas()
+
+    adj = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+    adj = {s: np.array(sorted(ds), dtype=np.int64) for s, ds in adj.items()}
+
+    expect = set()
+    for v in adj:
+        for j in range(n_walks):
+            wid, cur = v * n_walks + j, v
+            expect.add((wid, 0, cur))
+            for step in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if nbrs is None:
+                    break
+                idx = int(step_choice(np.array([wid]), step,
+                                      np.array([len(nbrs)]))[0])
+                cur = int(nbrs[idx])
+                expect.add((wid, step, cur))
+
+    got_set = set(zip(got["walk_id"].astype(int), got["step"].astype(int),
+                      got["vertex"].astype(int)))
+    assert got_set == expect, (len(got_set), len(expect))
