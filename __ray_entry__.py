@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_orders_customer": R.hash_join_orders_customer,
         # grouped aggregation (A1-at-scale combiner pattern)
         "pricing_summary": R.pricing_summary,
+        # hierarchical subtotals: one distributed scan at the finest level,
+        # coarser levels re-aggregated from the tiny result
+        "orders_rollup": R.orders_rollup,
         # M1 string-ts parse + cutoff-year filter
         "orders_ts_filter": R.orders_ts_filter,
         # M2 yearly snapshot selection
@@ -232,6 +235,14 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join_shrink": (
             "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem "
             "JOIN part ON l_partkey = p_partkey WHERE p_size >= 25 GROUP BY 1"
+        ),
+        "orders_rollup": (
+            "WITH t AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y, "
+            "  CAST(month(o_orderdate) AS BIGINT) AS m, "
+            "  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders) "
+            "SELECT coalesce(y, -1) AS o_year, coalesce(m, -1) AS o_month, "
+            "  count(*) AS n_orders, CAST(sum(c) AS DOUBLE) / 100 AS total_price "
+            "FROM t GROUP BY ROLLUP(y, m)"
         ),
         "orders_by_nation": (
             "SELECT n_name, count(*) AS order_count, round(sum(o_totalprice), 6) AS total_price "

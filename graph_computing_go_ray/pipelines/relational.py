@@ -127,6 +127,64 @@ def bloom_semi_join_shrink(sf_dir: str) -> Dataset:
     ))
 
 
+def orders_rollup(sf_dir: str) -> Dataset:
+    """ROLLUP(year, month) over orders: per-month rows, per-year subtotals,
+    and a grand total, with -1 as the 'all' marker (sentinels instead of
+    NULLs keep the result frame canonically sortable/hashable).
+
+    Scale shape: only the FINEST level (year, month) is aggregated
+    distributed — exact cents partials per block, one bucketed groupby;
+    the coarser levels re-aggregate that |years|×12-row result, so the
+    rollup costs one scan regardless of how many levels it emits."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        y = pc.year(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"o_year": y, "o_month": m, "price_c": cents})
+        out = df.groupby(["o_year", "o_month"], as_index=False).agg(
+            n_orders=("price_c", "size"), price_c=("price_c", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ..engine.join import bucket_grouped
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["o_year", "o_month"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), price_c=("price_c", "sum")
+        )
+
+    fine = bucket_grouped(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_year", "o_month"], combine,
+    ).to_pandas()  # |years| x 12 rows — result-frame size
+
+    yearly = fine.groupby("o_year", as_index=False).agg(
+        n_orders=("n_orders", "sum"), price_c=("price_c", "sum")
+    )
+    yearly["o_month"] = -1
+    total = pd.DataFrame({
+        "o_year": [-1], "o_month": [-1],
+        "n_orders": [fine["n_orders"].sum()],
+        "price_c": [fine["price_c"].sum()],
+    })
+    allrows = pd.concat([fine, yearly, total], ignore_index=True)
+    allrows["total_price"] = allrows.pop("price_c").astype(np.int64) / 100.0
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(
+        allrows[["o_year", "o_month", "n_orders", "total_price"]],
+        preserve_index=False,
+    ).cast(pa.schema([
+        ("o_year", pa.int64()), ("o_month", pa.int64()),
+        ("n_orders", pa.int64()), ("total_price", pa.float64()),
+    ])))
+
+
 # ---------------------------------------------------------------- joins (J1/J5-style)
 def orders_by_nation(sf_dir: str) -> Dataset:
     """Broadcast dimension join: orders → customer → nation, then grouped agg.
