@@ -84,9 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-link-graph symmetry metric + graph coarsening (SQL oracles)
         "chain_reciprocity": G.chain_reciprocity,
         "collapse_nation_brand": G.collapse_nation_brand,
-        # DeepWalk-style deterministic walks (exact single-process parity
-        # oracle in tests/test_graph_extras.py)
+        # DeepWalk-style deterministic walks + skip-gram pair extraction
+        # (exact single-process parity oracles in tests/test_graph_extras.py)
         "random_walks_chain": G.random_walks_chain,
+        "skipgram_pairs_chain": G.skipgram_pairs_chain,
         # graph-metric scalars + link-prediction scores (SQL oracles)
         "global_clustering": G.global_clustering,
         "degree_assortativity": G.degree_assortativity,

@@ -171,3 +171,41 @@ def random_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
     for r in rows[1:]:
         out = out.union(r)
     return typed_seed(out, out_schema)
+
+
+def skipgram_pairs(walks: Dataset, window: int = 2,
+                   num_buckets: int | None = None) -> Dataset:
+    """(center, context, n) co-occurrence counts within +-window positions
+    of each walk — the training pairs a word2vec-style embedding consumes.
+    Walks are bucketed by walk_id so every walk's rows co-locate; each
+    bucket emits its pairs with pure array shifts (no per-walk Python), and
+    the final count is one bucketed groupby of the (small-int) pair keys."""
+    from .join import add_bucket, bucket_grouped_count, default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    b = add_bucket(walks, "walk_id", num_buckets)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["walk_id", "step"])
+        wid = g["walk_id"].to_numpy()
+        step = g["step"].to_numpy()
+        v = g["vertex"].to_numpy()
+        us, vs = [], []
+        for d in range(1, window + 1):
+            if len(v) <= d:
+                break
+            ok = (wid[d:] == wid[:-d]) & (step[d:] == step[:-d] + d)
+            us.append(v[:-d][ok]); vs.append(v[d:][ok])
+        if not us:
+            return pd.DataFrame({"center": pd.Series([], dtype=np.int64),
+                                 "context": pd.Series([], dtype=np.int64)})
+        a = np.concatenate(us); c = np.concatenate(vs)
+        # symmetric context window (DeepWalk trains both directions)
+        return pd.DataFrame({
+            "center": np.concatenate([a, c]).astype(np.int64),
+            "context": np.concatenate([c, a]).astype(np.int64),
+        })
+
+    p = b.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return bucket_grouped_count(p, ["center", "context"], "n", num_buckets)

@@ -454,6 +454,19 @@ def random_walks_chain(sf_dir: str, walk_len: int = 4,
                         n_walks=n_walks)
 
 
+def skipgram_pairs_chain(sf_dir: str, walk_len: int = 4, n_walks: int = 2,
+                         window: int = 2) -> Dataset:
+    """(center, context, n) skip-gram training pairs from the deterministic
+    chain-graph walks — the DeepWalk pair-extraction stage
+    (engine/walks.py skipgram_pairs; exact python-replica pytest)."""
+    from ..engine.walks import skipgram_pairs
+
+    return skipgram_pairs(
+        random_walks_chain(sf_dir, walk_len=walk_len, n_walks=n_walks),
+        window=window,
+    )
+
+
 def scc_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
     """Strongly connected components of the part-chain graph
     (engine/scc.py forward/backward min-label peeling); (id, scc_id).

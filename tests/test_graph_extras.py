@@ -295,3 +295,33 @@ def test_random_walks_exact_parity():
     got_set = set(zip(got["walk_id"].astype(int), got["step"].astype(int),
                       got["vertex"].astype(int)))
     assert got_set == expect, (len(got_set), len(expect))
+
+
+def test_skipgram_pairs_parity():
+    """Distributed skip-gram pair counts == python replica over the same
+    deterministic walks (exact multiset)."""
+    from collections import Counter
+
+    from graph_computing_go_ray.engine.walks import skipgram_pairs
+    from graph_computing_go_ray.pipelines.graphalgos import random_walks_chain
+
+    sf = "/root/testdata/sf0.001"
+    walks = random_walks_chain(sf, walk_len=4, n_walks=2).to_pandas()
+    got = skipgram_pairs(
+        __import__("ray").data.from_pandas(walks), window=2
+    ).to_pandas()
+
+    by_walk = {}
+    for wid, step, v in zip(walks["walk_id"], walks["step"], walks["vertex"]):
+        by_walk.setdefault(int(wid), {})[int(step)] = int(v)
+    want = Counter()
+    for seq in by_walk.values():
+        steps = sorted(seq)
+        for i in steps:
+            for d in (1, 2):
+                if i + d in seq:
+                    want[(seq[i], seq[i + d])] += 1
+                    want[(seq[i + d], seq[i])] += 1
+    got_c = Counter({(int(u), int(v)): int(n) for u, v, n in
+                     zip(got["center"], got["context"], got["n"])})
+    assert got_c == want, (len(got_c), len(want))
