@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_bipartite": G.hits_bipartite,
         "ppr_bipartite": G.ppr_bipartite,
         "hyperball_cooccur": G.hyperball_cooccur,
+        # harmonic centrality from the HyperBall lineage (exact-BFS pytest)
+        "harmonic_cooccur": G.harmonic_cooccur,
         "bfs_cooccur": G.bfs_cooccur,
         # strongly connected components by FW/BW min-label peeling
         # (iterative Tarjan-parity pytest oracle in tests/test_graph_extras.py)

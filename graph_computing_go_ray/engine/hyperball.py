@@ -234,3 +234,68 @@ def hyperball(
     )
     return balls, {**run, **info, "neighborhood": neigh,
                    "effective_diameter_90": eff}
+
+
+def harmonic_centrality(
+    edges: Dataset,
+    workdir: str,
+    b: int = 8,
+    max_iters: int = 64,
+    num_parts: int = 8,
+    symmetrize: bool = True,
+    resume: bool = True,
+) -> tuple[Dataset, dict]:
+    """Per-vertex harmonic centrality H(v) = sum_u 1/d(v,u) estimated from
+    the HyperBall lineage (Boldi-Vigna's flagship application): the count
+    of vertices at distance EXACTLY t is |B_t(v)| - |B_{t-1}(v)| (register
+    sets only grow, so the difference is non-negative), and H(v) =
+    sum_t (|B_t| - |B_{t-1}|) / t.
+
+    No extra supersteps: every radius's per-vertex ball estimates are read
+    from the per-iteration state checkpoints the run already wrote; the
+    per-vertex time series co-locate through one bucketed groupby on id
+    (rows = n_vertices x diameter, same scale as the walk table)."""
+    import pandas as pd
+
+    from .join import bucket_grouped
+
+    _balls, info = hyperball(
+        edges, workdir, b=b, max_iters=max_iters, num_parts=num_parts,
+        symmetrize=symmetrize, resume=resume,
+    )
+    m = 1 << b
+    T = info["final_iter"]
+
+    def est_at(t_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            regs = _unpack(t["regs"].to_numpy(zero_copy_only=False), m)
+            return pa.table({
+                "id": t["id"],
+                "t": pa.array(np.full(t.num_rows, t_val, np.int64)),
+                "est": pa.array(_estimate(regs)),
+            })
+        return fn
+
+    series = None
+    for it in range(T + 1):
+        st = final_state(workdir, iteration=it).select_columns(
+            ["id", "regs"]
+        ).map_batches(est_at(it), batch_format="pyarrow")
+        series = st if series is None else series.union(st)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "t"])
+        est = g["est"].to_numpy()
+        ids = g["id"].to_numpy()
+        ts = g["t"].to_numpy()
+        prev = np.concatenate([[0.0], est[:-1]])
+        same = np.concatenate([[False], ids[1:] == ids[:-1]])
+        diff = np.where(same, np.maximum(est - prev, 0.0), 0.0)
+        contrib = np.where(ts > 0, diff / np.maximum(ts, 1), 0.0)
+        out = pd.DataFrame({"id": ids, "h": contrib}).groupby(
+            "id", as_index=False
+        )["h"].sum()
+        return out.rename(columns={"h": "harmonic"})
+
+    out = bucket_grouped(series, ["id"], fold)
+    return out, info

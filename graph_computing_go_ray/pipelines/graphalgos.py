@@ -454,6 +454,19 @@ def random_walks_chain(sf_dir: str, walk_len: int = 4,
                         n_walks=n_walks)
 
 
+def harmonic_cooccur(sf_dir: str) -> Dataset:
+    """Per-vertex harmonic centrality on the undirected co-occurrence
+    graph, from the HyperBall lineage (engine/hyperball.py
+    harmonic_centrality; exact-BFS oracle in tests/test_graph_extras.py)."""
+    from ..engine.hyperball import harmonic_centrality
+
+    out, _ = harmonic_centrality(
+        cooccur_edge_ds(sf_dir), _workdir(sf_dir, "harmonic"),
+        b=8, num_parts=8, symmetrize=True,
+    )
+    return out
+
+
 def skipgram_pairs_chain(sf_dir: str, walk_len: int = 4, n_walks: int = 2,
                          window: int = 2) -> Dataset:
     """(center, context, n) skip-gram training pairs from the deterministic

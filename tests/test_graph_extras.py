@@ -325,3 +325,48 @@ def test_skipgram_pairs_parity():
     got_c = Counter({(int(u), int(v)): int(n) for u, v, n in
                      zip(got["center"], got["context"], got["n"])})
     assert got_c == want, (len(got_c), len(want))
+
+
+def test_harmonic_centrality_vs_exact_bfs(graph):
+    """HyperBall-derived harmonic centrality vs exact BFS H(v) on the
+    undirected module graph; register sets are deterministic, so the
+    realization is fixed — aggregate within 5%, per-vertex within HLL
+    noise bounds."""
+    import os
+
+    from graph_computing_go_ray.engine.hyperball import harmonic_centrality
+
+    edges_pd, edges_ds, root = graph
+    out, info = harmonic_centrality(
+        edges_ds, os.path.join(root, "harm"), b=8, num_parts=4,
+        symmetrize=True,
+    )
+    assert info["converged"]
+    got = out.to_pandas().set_index("id")["harmonic"].to_dict()
+
+    ids, s, t = _index(edges_pd)
+    n = len(ids)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[s, t] = True
+    adj[t, s] = True
+    want = {}
+    for i in range(n):
+        dist = np.full(n, -1)
+        dist[i] = 0
+        frontier = np.zeros(n, bool)
+        frontier[i] = True
+        d = 0
+        while frontier.any():
+            d += 1
+            nxt = (adj[frontier].any(axis=0)) & (dist < 0)
+            dist[nxt] = d
+            frontier = nxt
+        want[ids[i]] = float((1.0 / dist[dist > 0]).sum())
+
+    assert set(got) == set(want)
+    total_got, total_want = sum(got.values()), sum(want.values())
+    assert total_got == pytest.approx(total_want, rel=0.05)
+    rel_err = np.array([abs(got[v] - want[v]) / max(want[v], 1e-9)
+                        for v in want])
+    assert np.median(rel_err) < 0.1
+    assert rel_err.max() < 0.35
