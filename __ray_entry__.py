@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (exact single-process parity oracles in tests/test_graph_extras.py)
         "random_walks_chain": G.random_walks_chain,
         "skipgram_pairs_chain": G.skipgram_pairs_chain,
+        # second-order (p,q)-biased walks, integer-exact choice
+        "node2vec_walks_chain": G.node2vec_walks_chain,
         # graph-metric scalars + link-prediction scores (SQL oracles)
         "global_clustering": G.global_clustering,
         "degree_assortativity": G.degree_assortativity,

@@ -209,3 +209,180 @@ def skipgram_pairs(walks: Dataset, window: int = 2,
 
     p = b.groupby("bucket").map_groups(pairs, batch_format="pandas")
     return bucket_grouped_count(p, ["center", "context"], "n", num_buckets)
+
+
+def biased_choice(walk_ids: np.ndarray, step: int,
+                  totals: np.ndarray) -> np.ndarray:
+    """Counter-based integer target in [0, total) per walk — the biased
+    (node2vec) analog of step_choice; exact in integer arithmetic."""
+    h = splitmix64(
+        walk_ids.astype(np.int64).view(np.uint64) * _C2
+        ^ np.uint64(step) * _C1
+    )
+    return (h % totals.astype(np.uint64)).astype(np.int64)
+
+
+def node2vec_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
+                   w_return: int = 2, w_common: int = 4, w_far: int = 1,
+                   num_buckets: int | None = None) -> Dataset:
+    """Second-order (node2vec) biased walks: the next-vertex weight depends
+    on the PREVIOUS vertex — w_return if the candidate is prev itself,
+    w_common if it is a neighbor of prev, w_far otherwise (integer weights
+    = 1/p : 1 : 1/q up to a common scale, so the weighted pick is exact
+    integer arithmetic and bit-for-bit replicable by the pytest oracle).
+
+    Distribution shape: the frontier carries (walk_id, cur, prev,
+    prev_nbrs) — the previous vertex's neighbor list is what THIS step's
+    adjacency join produced for cur last round, so each step still costs
+    exactly ONE bucketed co-group join against the sharded adjacency, and
+    the second-order dependence never needs a second join. Membership
+    (candidate in prev_nbrs) is one vectorized np.isin over composite
+    (row, vertex) keys; the weighted pick is a global-integer-cumsum
+    searchsorted — no per-walk Python."""
+    from .join import add_bucket, default_num_buckets, typed_seed
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    adj = _adjacency(edges, num_buckets).materialize()
+
+    def starts(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        wid = (src[:, None] * n_walks + np.arange(n_walks)[None, :]).ravel()
+        cur = np.repeat(src, n_walks)
+        return pa.table({
+            "walk_id": pa.array(wid, pa.int64()),
+            "cur": pa.array(cur, pa.int64()),
+            "prev": pa.array(np.full(len(wid), -1, np.int64)),
+            "prev_nbrs": pa.array([[] for _ in range(len(wid))],
+                                  pa.list_(pa.int64())),
+        })
+
+    frontier = adj.map_batches(
+        lambda t: starts(t.select(["src"])), batch_format="pyarrow"
+    ).materialize()
+
+    out_schema = pa.schema([("walk_id", pa.int64()), ("step", pa.int64()),
+                            ("vertex", pa.int64())])
+
+    def emit(t: pa.Table, step: int) -> pa.Table:
+        return pa.table({
+            "walk_id": t["walk_id"],
+            "step": pa.array(np.full(t.num_rows, step, np.int64)),
+            "vertex": t["cur"],
+        })
+
+    f_schema = pa.schema([
+        ("walk_id", pa.int64()), ("cur", pa.int64()), ("prev", pa.int64()),
+        ("prev_nbrs", pa.list_(pa.int64())),
+    ])
+    rows = [frontier.map_batches(lambda t: emit(t, 0), batch_format="pyarrow")]
+    for step in range(1, walk_len + 1):
+
+        def advance(g: pd.DataFrame, _step=step) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "walk_id": pd.Series([], dtype=np.int64),
+                "cur": pd.Series([], dtype=np.int64),
+                "prev": pd.Series([], dtype=np.int64),
+                "prev_nbrs": pd.Series([], dtype=object),
+            })
+            fr = g[g["__side"] == 0]
+            ad = g[g["__side"] == 1]
+            if not len(fr) or not len(ad):
+                return empty
+            m = fr[["walk_id", "cur", "prev", "prev_nbrs"]].merge(
+                ad[["src", "neighbors"]], left_on="cur", right_on="src"
+            )
+            if not len(m):
+                return empty
+            R = len(m)
+            degs = np.fromiter((len(x) for x in m["neighbors"]), np.int64,
+                               count=R)
+            cand = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in m["neighbors"]]
+            )
+            row = np.repeat(np.arange(R, dtype=np.int64), degs)
+            offs = np.concatenate([[0], np.cumsum(degs)[:-1]])
+            prev = m["prev"].to_numpy()
+            # composite (row, vertex) keys: vertex ids are nonneg int64
+            SHIFT = np.int64(1) << np.int64(32)
+            pdegs = np.fromiter((len(x) for x in m["prev_nbrs"]), np.int64,
+                                count=R)
+            if pdegs.sum():
+                pflat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in m["prev_nbrs"]]
+                )
+                prow = np.repeat(np.arange(R, dtype=np.int64), pdegs)
+                common = np.isin(row * SHIFT + cand, prow * SHIFT + pflat)
+            else:
+                common = np.zeros(len(cand), dtype=bool)
+            w = np.where(cand == prev[row], np.int64(w_return),
+                         np.where(common, np.int64(w_common),
+                                  np.int64(w_far)))
+            cum = np.cumsum(w)
+            base = np.concatenate([[0], cum[:-1]])[offs]
+            totals = cum[offs + degs - 1] - base
+            t_row = biased_choice(m["walk_id"].to_numpy(), _step, totals)
+            pick = np.searchsorted(cum, base + t_row, side="right")
+            nxt = cand[pick]
+            return pd.DataFrame({
+                "walk_id": m["walk_id"].to_numpy(),
+                "cur": nxt.astype(np.int64),
+                "prev": m["cur"].to_numpy(),
+                "prev_nbrs": list(m["neighbors"]),
+            })
+
+        fb = add_bucket(frontier, "cur", num_buckets).map_batches(
+            lambda t: t.append_column(
+                "__side", pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        ab = add_bucket(adj, "src", num_buckets).map_batches(
+            lambda t: t.append_column(
+                "__side", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+
+        def pad_f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            lt = pa.list_(pa.int64())
+            return pa.table({
+                "walk_id": t["walk_id"] if "walk_id" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "cur": t["cur"] if "cur" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "prev": t["prev"] if "prev" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "prev_nbrs": t["prev_nbrs"].cast(lt)
+                if "prev_nbrs" in t.column_names else pa.nulls(n, lt),
+                "src": t["src"] if "src" in t.column_names
+                else pa.nulls(n, pa.int64()),
+                "neighbors": t["neighbors"].cast(lt)
+                if "neighbors" in t.column_names else pa.nulls(n, lt),
+                "bucket": t["bucket"], "__side": t["__side"],
+            })
+
+        both = fb.map_batches(pad_f, batch_format="pyarrow").union(
+            ab.map_batches(pad_f, batch_format="pyarrow")
+        )
+        frontier = both.groupby("bucket").map_groups(
+            advance, batch_format="pandas"
+        )
+        frontier = typed_seed(
+            frontier.map_batches(
+                lambda df: pa.Table.from_pandas(
+                    df, preserve_index=False
+                ).cast(f_schema),
+                batch_format="pandas",
+            ),
+            f_schema,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        rows.append(frontier.map_batches(
+            lambda t, _s=step: emit(t, _s), batch_format="pyarrow"
+        ))
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return typed_seed(out, out_schema)

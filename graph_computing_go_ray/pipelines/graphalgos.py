@@ -454,6 +454,17 @@ def random_walks_chain(sf_dir: str, walk_len: int = 4,
                         n_walks=n_walks)
 
 
+def node2vec_walks_chain(sf_dir: str, walk_len: int = 4,
+                         n_walks: int = 2) -> Dataset:
+    """Second-order node2vec biased walks (default integer weights 2:4:1 ~
+    p=2, q=4) over the part-chain graph; exact single-process parity oracle
+    in tests/test_graph_extras.py (engine/walks.py node2vec_walks)."""
+    from ..engine.walks import node2vec_walks
+
+    return node2vec_walks(chain_edge_ds(sf_dir), walk_len=walk_len,
+                          n_walks=n_walks)
+
+
 def harmonic_cooccur(sf_dir: str) -> Dataset:
     """Per-vertex harmonic centrality on the undirected co-occurrence
     graph, from the HyperBall lineage (engine/hyperball.py

@@ -370,3 +370,50 @@ def test_harmonic_centrality_vs_exact_bfs(graph):
                         for v in want])
     assert np.median(rel_err) < 0.1
     assert rel_err.max() < 0.35
+
+
+def test_node2vec_walks_exact_parity():
+    """Distributed second-order biased walks == single-process replica with
+    the same integer-weight counter-based choice, exactly."""
+    import numpy as np
+
+    from graph_computing_go_ray.engine.walks import biased_choice
+    from graph_computing_go_ray.pipelines.graphalgos import (
+        chain_edge_ds, node2vec_walks_chain)
+
+    sf = "/root/testdata/sf0.001"
+    walk_len, n_walks = 4, 2
+    w_return, w_common, w_far = 2, 4, 1
+    edges = chain_edge_ds(sf).to_pandas()
+    got = node2vec_walks_chain(sf, walk_len=walk_len,
+                               n_walks=n_walks).to_pandas()
+
+    adj = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+    adj = {s: np.array(sorted(ds), dtype=np.int64) for s, ds in adj.items()}
+
+    expect = set()
+    for v in adj:
+        for j in range(n_walks):
+            wid, cur, prev = v * n_walks + j, v, -1
+            pn = np.array([], dtype=np.int64)
+            expect.add((wid, 0, cur))
+            for step in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if nbrs is None:
+                    break
+                w = np.where(
+                    nbrs == prev, w_return,
+                    np.where(np.isin(nbrs, pn), w_common, w_far),
+                ).astype(np.int64)
+                cum = np.cumsum(w)
+                t = int(biased_choice(np.array([wid]), step,
+                                      np.array([cum[-1]]))[0])
+                pick = int(np.searchsorted(cum, t, side="right"))
+                prev, pn, cur = cur, nbrs, int(nbrs[pick])
+                expect.add((wid, step, cur))
+
+    got_set = set(zip(got["walk_id"].astype(int), got["step"].astype(int),
+                      got["vertex"].astype(int)))
+    assert got_set == expect, (len(got_set), len(expect))
