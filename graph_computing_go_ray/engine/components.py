@@ -89,5 +89,16 @@ def connected_components(
     edges_ds = load_edge_blocks(workdir, info["num_parts"])
     run = run_supersteps(edges_ds, workdir, prog, info,
                          max_iters=max_iters, resume=resume)
+    if not run["converged"]:
+        # hash-min needs O(diameter) supersteps; truncated labels silently
+        # split components, so surface it (engine/scc.py raises for the
+        # same reason — CC keeps a warning for backwards compatibility)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} "
+            f"supersteps ({workdir}); labels may split components",
+            RuntimeWarning,
+        )
     labels = final_state(workdir).select_columns(["id", "label"])
     return labels, {**run, **info}
