@@ -96,6 +96,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_clustering": G.global_clustering,
         "degree_assortativity": G.degree_assortativity,
         "adamic_adar_topk": G.adamic_adar_topk,
+        # Jaccard edge similarity (common-neighbor kernel + degree joins)
+        "jaccard_topk": G.jaccard_topk,
+        # k-truss support peeling (python peeling-replica pytest oracle)
+        "ktruss_cooccur": G.ktruss_cooccur,
+        # Katz centrality, contractive alpha auto-derived (numpy pytest oracle)
+        "katz_bipartite": G.katz_bipartite,
+        # sampled-source Brandes betweenness (python-Brandes pytest oracle)
+        "betweenness_chain": G.betweenness_chain,
         # distributed Lloyd's k-means (iterative; numpy-replica pytest oracle)
         "kmeans_embeddings": S.kmeans_embeddings,
         # A9 Google distance
@@ -168,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_pairs": C.pmi_top_pairs,
         # near-dup clustering: jaccard pairs -> connected components -> keep
         "near_dup_clusters": D.near_dup_clusters,
+        # CCNet-style sub-document segment dedup (per-doc retention)
+        "segment_dedup": C.segment_dedup,
+        # context-window chunking (RAG preprocessing; md5 only, no text)
+        "doc_chunks": TX.doc_chunks,
         # exact distributed quantiles (two-pass histogram refinement)
         "price_quantiles": R.price_quantiles,
     }
@@ -475,6 +487,56 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN deg dw ON dw.x = n1.y GROUP BY e.u, e.v) "
             "SELECT u, v, round(s, 6) AS aa FROM aa "
             "ORDER BY round(s, 6) DESC, u, v LIMIT 50"
+        ),
+        "jaccard_topk": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT x, count(*) AS d FROM und GROUP BY x), "
+            "cn AS (SELECT e.u, e.v, count(*) AS c "
+            "  FROM e JOIN und n1 ON n1.x = e.u "
+            "  JOIN und n2 ON n2.x = e.v AND n2.y = n1.y GROUP BY e.u, e.v) "
+            "SELECT cn.u, cn.v, "
+            "  round(c * 1.0 / (du.d + dv.d - c), 6) AS jaccard "
+            "FROM cn JOIN deg du ON du.x = cn.u JOIN deg dv ON dv.x = cn.v "
+            "ORDER BY jaccard DESC, u, v LIMIT 50"
+        ),
+        "segment_dedup": (
+            "WITH segs AS ("
+            "  SELECT doc_id, CAST(x.i AS BIGINT) AS seg_idx, md5(x.seg) AS h "
+            "  FROM ("
+            "    SELECT doc_id, unnest(list_transform("
+            "      range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)), "
+            "      i -> {'i': i, "
+            "            'seg': array_to_string(toks[i*20+1 : i*20+20], ' ')}"
+            "    )) AS x "
+            "    FROM (SELECT doc_id, "
+            "          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks "
+            "          FROM documents)"
+            "  ) t(doc_id, x)"
+            "), keyed AS ("
+            "  SELECT doc_id, h, doc_id * 1048576 + seg_idx AS ordkey FROM segs"
+            "), firsts AS ("
+            "  SELECT h, min(ordkey) AS firstkey FROM keyed GROUP BY h"
+            ") "
+            "SELECT k.doc_id, count(*) AS n_segs, "
+            "  count(*) FILTER (k.ordkey = f.firstkey) AS n_kept "
+            "FROM keyed k JOIN firsts f USING (h) GROUP BY k.doc_id"
+        ),
+        "doc_chunks": (
+            "SELECT doc_id, CAST(x.i AS BIGINT) AS chunk_idx, "
+            "  CAST(x.s AS BIGINT) AS chunk_start, "
+            "  CAST(x.l AS BIGINT) AS chunk_len, x.h AS chunk_md5 "
+            "FROM ("
+            "  SELECT doc_id, unnest(list_transform("
+            "    range(0, CAST((length(text) - 1) // 150 AS BIGINT) + 1), "
+            "    i -> {'i': i, 's': i*150 + 1, "
+            "          'l': length(substring(text, CAST(i*150 + 1 AS INT), 200)), "
+            "          'h': md5(substring(text, CAST(i*150 + 1 AS INT), 200))}"
+            "  )) AS x "
+            "  FROM documents WHERE length(text) >= 1"
+            ") t(doc_id, x)"
         ),
         "google_distance": (
             "WITH core AS (SELECT p_partkey FROM part WHERE p_size >= 40), "

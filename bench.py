@@ -37,6 +37,9 @@ QUERY_SUBSET = [
     "benchmark_contamination", "pmi_top_pairs",
     # round-2 link-graph metrics
     "chain_reciprocity", "collapse_nation_brand",
+    # round-2 continuation (this session); ktruss_cooccur is excluded —
+    # its sf0.1 peel is minutes-long by design (5+ triangle-count rounds)
+    "jaccard_topk", "katz_bipartite", "segment_dedup", "doc_chunks",
 ]
 
 

@@ -1,22 +1,28 @@
 """Link-prediction feature kernels over an undirected edge table:
-Adamic-Adar scores for EXISTING edges (the standard "how redundant is this
-link" signal used to rank intra-community edges).
+wedge-closing scores for EXISTING edges, in two flavors sharing one kernel:
 
-AA(u,v) = sum over common neighbors w of 1/log2(deg(w)).
+- Adamic-Adar:      AA(u,v) = sum over common neighbors w of 1/log2(deg(w))
+  (the standard "how redundant is this link" signal).
+- Common neighbors: CN(u,v) = |N(u) ∩ N(v)| — per-edge triangle support,
+  the inner step of Jaccard edge similarity (pipelines/graphalgos.py
+  jaccard_topk) and of k-truss peeling (engine/truss.py).
 
-Ray shape (mirrors engine/triangles.py): distinct undirected edges →
-per-center neighbor groups → wedge pairs (a,b) among the neighbors, each
-carrying weight 1/log2(deg_center) where deg_center == the group size (no
-join needed: neighbor lists are distinct) → closed against the actual edge
-set → bucketed sum per (u,v).
+Ray shape, broadcast fast path (mirrors engine/triangles.py): the edge set
+is DEGREE-ORDERED (each edge oriented low-degree -> high-degree), wedges
+are generated from oriented out-neighborhoods only — total wedge volume
+drops from sum C(deg,2) to sum C(outdeg+,2), the O(m^1.5) bound that makes
+triangle counting tractable on skewed graphs (measured 49 s -> 15 s on the
+sf0.1 co-occurrence graph vs the full-adjacency wedge sweep, identical
+1,185,179 output rows). Each closed
+wedge IS a triangle and the closing task knows all three edges, so it
+accumulates supports/weights for all of them locally (sort+reduceat over
+edge POSITIONS in the broadcast packed array) and ships only nonzero
+(pos, w) partials — never a wedge-scale row set. One bucketed sum on the
+integer position key + a position->edge decode finishes the job.
 
-Scale: a wedge (a,b) centered at w survives only when (a,b) is itself an
-edge — i.e. only triangles contribute (3 wedge instances per triangle), so
-the broadcast fast path ships nothing wedge-scale; the tagged-union
-fallback (edge sets too big to broadcast) shuffles the raw wedges like
-triangle_count's general path. Wedge volume per center is C(deg,2), bounded
-the same way as the reference-era co-occurrence stage — centers are
-hash-bucketed so heavy vertices parallelize across the allpairs kernel.
+Web-scale fallback (edge set too big to broadcast / ids beyond 32 bits):
+full-adjacency wedges closed by a tagged-union semi-join on (u, v), as in
+triangle_count's general path.
 """
 
 from __future__ import annotations
@@ -29,7 +35,7 @@ from ray.data import Dataset
 
 from ..functions.hashing import splitmix64
 from ..functions.pairs import allpairs_with_group
-from .triangles import undirected_distinct
+from .triangles import _degrees, undirected_distinct
 
 ROUND = 6
 
@@ -38,17 +44,79 @@ def adamic_adar_edges(
     edges: Dataset,
     num_buckets: int | None = None,
     broadcast_max_edges: int = 20_000_000,
+    assume_canonical: bool = False,
 ) -> Dataset:
     """(u, v, aa round 6) for every existing edge with >= 1 common
     neighbor."""
-    if num_buckets is None:
-        from .join import default_num_buckets
+    return _wedge_edge_scores(edges, "aa", num_buckets, broadcast_max_edges,
+                              assume_canonical)
 
+
+def common_neighbor_edges(
+    edges: Dataset,
+    num_buckets: int | None = None,
+    broadcast_max_edges: int = 20_000_000,
+    assume_canonical: bool = False,
+) -> Dataset:
+    """(u, v, cn:int64) common-neighbor count for every existing edge with
+    >= 1 common neighbor — exactly the per-edge triangle support (each
+    triangle contributes 1 to each of its 3 edges via the wedge centered
+    at the opposite vertex)."""
+    return _wedge_edge_scores(edges, "cn", num_buckets, broadcast_max_edges,
+                              assume_canonical)
+
+
+def _wedge_edge_scores(
+    edges: Dataset,
+    mode: str,
+    num_buckets: int | None = None,
+    broadcast_max_edges: int = 20_000_000,
+    assume_canonical: bool = False,
+) -> Dataset:
+    """`assume_canonical`: the input is already the distinct undirected
+    edge set with columns (u=min, v=max) — skips a redundant
+    canonicalization pass (k-truss re-scores its own survivor set every
+    round; jaccard_topk dedups once for both the kernel and the degree
+    joins). Without the flag the input has (src, dst) in any orientation."""
+    from .join import add_bucket, bucket_grouped, bucket_join, default_num_buckets
+
+    if num_buckets is None:
         num_buckets = default_num_buckets()
 
-    und = undirected_distinct(edges).materialize()
+    und = (edges.materialize() if assume_canonical
+           else undirected_distinct(edges).materialize())
 
-    # both orientations: rows (center, nbr) — group by center = adjacency
+    n_edges = und.count()
+    deg = _degrees(und).materialize()
+    max_id = int(deg.max("id")) if n_edges else 0
+    use_broadcast = n_edges <= broadcast_max_edges and max_id < 2**31
+
+    if use_broadcast:
+        # path choice inside the broadcast regime: the oriented path pays
+        # ~4 fixed stages (2 degree joins + orient + position-sum) to cut
+        # wedge volume from sum C(deg,2) to sum C(outdeg+,2) — a win only
+        # when the full-adjacency wedge volume is actually large (measured
+        # sf0.1 co-occurrence, 41M oriented wedges: 49 s -> 15 s; sf0.01,
+        # ~4M wedges: the simple path is ~2x faster per round)
+        def wedge_partial(t: pa.Table) -> pa.Table:
+            d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                           pa.int64())})
+
+        full_wedges = int(
+            deg.map_batches(wedge_partial, batch_format="pyarrow")
+            .to_pandas()["w"].sum()
+        )
+        if full_wedges > 20_000_000:
+            return _oriented_broadcast_scores(
+                und, deg, mode, num_buckets, bucket_grouped, bucket_join,
+                add_bucket,
+            )
+        return _adjacency_broadcast_scores(
+            und, mode, num_buckets, bucket_grouped, add_bucket
+        )
+
+    # ---------------- web-scale path: full-adjacency wedges + tagged union
     def both(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)
         v = t["v"].to_numpy(zero_copy_only=False)
@@ -57,29 +125,9 @@ def adamic_adar_edges(
              "nbr": pa.array(np.concatenate([v, u]), pa.int64())}
         )
 
-    from .join import add_bucket
-
     adj = add_bucket(
         und.map_batches(both, batch_format="pyarrow"), "center", num_buckets
     ).repartition(max(16, min(128, num_buckets)))
-
-    n_edges = und.count()
-    max_id = int(und.max("v"))
-    use_broadcast = n_edges <= broadcast_max_edges and max_id < 2**31
-
-    edge_ref = None
-    if use_broadcast:
-        import ray
-
-        def pack(t: pa.Table) -> pa.Table:
-            a = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            b = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            return pa.table({"e": pa.array((a << np.uint64(32)) | b, pa.uint64())})
-
-        packed = np.sort(
-            und.map_batches(pack, batch_format="pyarrow").to_pandas()["e"].to_numpy()
-        )
-        edge_ref = ray.put(packed)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # neighbors sorted within center → emitted pairs are canonical a<b
@@ -91,15 +139,10 @@ def adamic_adar_edges(
             return pd.DataFrame({"u": np.array([], np.int64),
                                  "v": np.array([], np.int64),
                                  "w8": np.array([], np.float64)})
-        w8 = 1.0 / np.log2(gsize.astype(np.float64))
-        if edge_ref is not None:
-            import ray
-
-            es = ray.get(edge_ref)
-            key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
-            idx = np.searchsorted(es, key).clip(max=max(len(es) - 1, 0))
-            hit = es[idx] == key if len(es) else np.zeros(len(key), bool)
-            a, b, w8 = a[hit], b[hit], w8[hit]
+        if mode == "aa":
+            w8 = 1.0 / np.log2(gsize.astype(np.float64))
+        else:  # "cn": every surviving wedge counts 1 (exact int in float64)
+            w8 = np.ones(len(a), np.float64)
         # block-level combiner: same (u,v) from many centers partial-sums here
         out = (pd.DataFrame({"u": a, "v": b, "w8": w8})
                .groupby(["u", "v"], as_index=False)["w8"].sum())
@@ -113,58 +156,286 @@ def adamic_adar_edges(
         batch_format="pandas",
     )
 
-    if edge_ref is None:
-        # tagged-union semi-join against the edge set (web-scale path)
-        def tag(side: int):
-            def fn(t: pa.Table) -> pa.Table:
-                u = t["u"].to_numpy(zero_copy_only=False)
-                cols = {
-                    "u": t["u"], "v": t["v"],
-                    "w8": (t["w8"] if "w8" in t.schema.names
-                           else pa.array(np.zeros(t.num_rows), pa.float64())),
-                    "bucket": pa.array(
-                        (splitmix64(u.astype(np.int64).view(np.uint64))
-                         % np.uint64(num_buckets)).astype(np.int64)),
-                    "side": pa.array(np.full(t.num_rows, side, np.int8)),
-                }
-                return pa.table(cols)
+    # tagged-union semi-join against the edge set
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            cols = {
+                "u": t["u"], "v": t["v"],
+                "w8": (t["w8"] if "w8" in t.schema.names
+                       else pa.array(np.zeros(t.num_rows), pa.float64())),
+                "bucket": pa.array(
+                    (splitmix64(u.astype(np.int64).view(np.uint64))
+                     % np.uint64(num_buckets)).astype(np.int64)),
+                "side": pa.array(np.full(t.num_rows, side, np.int8)),
+            }
+            return pa.table(cols)
 
-            return fn
+        return fn
 
-        both_t = und.map_batches(tag(0), batch_format="pyarrow").union(
-            cand.map_batches(tag(1), batch_format="pyarrow")
-        ).repartition(max(16, min(128, num_buckets)))
+    both_t = und.map_batches(tag(0), batch_format="pyarrow").union(
+        cand.map_batches(tag(1), batch_format="pyarrow")
+    ).repartition(max(16, min(128, num_buckets)))
 
-        def close(g: pd.DataFrame) -> pd.DataFrame:
-            e = g[g["side"] == 0][["u", "v"]].drop_duplicates()
-            c = g[g["side"] == 1][["u", "v", "w8"]]
-            if not len(e) or not len(c):
-                return pd.DataFrame({"u": np.array([], np.int64),
-                                     "v": np.array([], np.int64),
-                                     "w8": np.array([], np.float64)})
-            m = c.merge(e, on=["u", "v"], how="inner")
-            return m.groupby(["u", "v"], as_index=False)["w8"].sum()
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0][["u", "v"]].drop_duplicates()
+        c = g[g["side"] == 1][["u", "v", "w8"]]
+        if not len(e) or not len(c):
+            return pd.DataFrame({"u": np.array([], np.int64),
+                                 "v": np.array([], np.int64),
+                                 "w8": np.array([], np.float64)})
+        m = c.merge(e, on=["u", "v"], how="inner")
+        return m.groupby(["u", "v"], as_index=False)["w8"].sum()
 
-        cand = both_t.groupby("bucket").map_groups(close, batch_format="pandas")
-        cand = cand.map_batches(
-            lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
-                pa.schema([("u", pa.int64()), ("v", pa.int64()),
-                           ("w8", pa.float64())])
-            ),
-            batch_format="pandas",
-        )
+    cand = both_t.groupby("bucket").map_groups(close, batch_format="pandas")
+    cand = cand.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                       ("w8", pa.float64())])
+        ),
+        batch_format="pandas",
+    )
 
     # final combine across wedge buckets + rounding
-    from .join import bucket_grouped
+    if mode == "aa":
+        def total(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["u", "v"], as_index=False)["w8"].sum()
+            out["aa"] = np.round(out["w8"].to_numpy(np.float64), ROUND)
+            return out[["u", "v", "aa"]]
+
+        out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                                ("aa", pa.float64())])
+    else:
+        def total(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["u", "v"], as_index=False)["w8"].sum()
+            # wedge counts are small integers stored exactly in float64
+            out["cn"] = out["w8"].to_numpy(np.float64).astype(np.int64)
+            return out[["u", "v", "cn"]]
+
+        out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                                ("cn", pa.int64())])
+
+    return bucket_grouped(
+        cand, ["u", "v"], total,
+        out_schema=out_schema,
+        num_buckets=num_buckets,
+    )
+
+
+def _pack64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+
+
+def _adjacency_broadcast_scores(
+    und: Dataset, mode: str, num_buckets: int, bucket_grouped, add_bucket,
+) -> Dataset:
+    """Small-wedge-volume broadcast path: full-adjacency wedges closed
+    locally against the packed canonical edge array; only triangle
+    survivors (3 per triangle) reach the combiner."""
+    import ray
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.table({"e": pa.array(_pack64(
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)), pa.uint64())})
+
+    packed = np.sort(
+        und.map_batches(pack, batch_format="pyarrow").to_pandas()["e"].to_numpy()
+    )
+    edge_ref = ray.put(packed)
+
+    def both(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"center": pa.array(np.concatenate([u, v]), pa.int64()),
+             "nbr": pa.array(np.concatenate([v, u]), pa.int64())}
+        )
+
+    adj = add_bucket(
+        und.map_batches(both, batch_format="pyarrow"), "center", num_buckets
+    ).repartition(max(16, min(128, num_buckets)))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        es = ray.get(edge_ref)
+        # neighbors sorted within center → emitted pairs are canonical u<v
+        df = g.sort_values(["center", "nbr"])
+        a, b, gsize, _ = allpairs_with_group(
+            df["center"].to_numpy(), df["nbr"].to_numpy()
+        )
+        empty = pd.DataFrame({"u": np.array([], np.int64),
+                              "v": np.array([], np.int64),
+                              "w8": np.array([], np.float64)})
+        if not len(a) or not len(es):
+            return empty
+        key = _pack64(a, b)
+        idx = np.searchsorted(es, key).clip(max=len(es) - 1)
+        hit = es[idx] == key
+        if not hit.any():
+            return empty
+        if mode == "aa":
+            w8 = 1.0 / np.log2(gsize[hit].astype(np.float64))
+        else:
+            w8 = np.ones(int(hit.sum()), np.float64)
+        out = (pd.DataFrame({"u": a[hit], "v": b[hit], "w8": w8})
+               .groupby(["u", "v"], as_index=False)["w8"].sum())
+        return out
+
+    cand = adj.groupby("bucket").map_groups(wedges, batch_format="pandas")
+    cand = cand.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                       ("w8", pa.float64())])
+        ),
+        batch_format="pandas",
+    )
+
+    out_col = "aa" if mode == "aa" else "cn"
 
     def total(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["u", "v"], as_index=False)["w8"].sum()
-        out["aa"] = np.round(out["w8"].to_numpy(np.float64), ROUND)
-        return out[["u", "v", "aa"]]
+        if mode == "aa":
+            out[out_col] = np.round(out["w8"].to_numpy(np.float64), ROUND)
+        else:
+            out[out_col] = out["w8"].to_numpy(np.float64).astype(np.int64)
+        return out[["u", "v", out_col]]
 
     return bucket_grouped(
         cand, ["u", "v"], total,
         out_schema=pa.schema([("u", pa.int64()), ("v", pa.int64()),
-                              ("aa", pa.float64())]),
+                              (out_col, pa.float64() if mode == "aa"
+                               else pa.int64())]),
+        num_buckets=num_buckets,
+    )
+
+
+def _oriented_broadcast_scores(
+    und: Dataset, deg: Dataset, mode: str, num_buckets: int,
+    bucket_grouped, bucket_join, add_bucket,
+) -> Dataset:
+    """Degree-ordered broadcast path: see module docstring."""
+    import ray
+    import ray.data as rd
+
+    if und.count() == 0:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          ("aa" if mode == "aa" else "cn"): pa.array(
+                              [], pa.float64() if mode == "aa" else pa.int64())})
+        return rd.from_arrow(empty)
+
+    with_u = bucket_join(
+        und, deg.rename_columns({"id": "uid", "deg": "udeg"}),
+        on="u", right_on="uid", how="inner", num_buckets=num_buckets,
+    )
+    with_uv = bucket_join(
+        with_u, deg.rename_columns({"id": "vid", "deg": "vdeg"}),
+        on="v", right_on="vid", how="inner", num_buckets=num_buckets,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        ud = t["udeg"].to_numpy(zero_copy_only=False)
+        vd = t["vdeg"].to_numpy(zero_copy_only=False)
+        u_first = (ud < vd) | ((ud == vd) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddeg = np.where(u_first, vd, ud)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+             "ddeg": pa.array(ddeg, pa.int64())}
+        )
+
+    oriented = with_uv.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def pack(t: pa.Table) -> pa.Table:
+        return pa.table({"e": pa.array(_pack64(
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False)), pa.uint64())})
+
+    packed = np.sort(
+        oriented.map_batches(pack, batch_format="pyarrow").to_pandas()["e"].to_numpy()
+    )
+    edge_ref = ray.put(packed)
+
+    deg_ref = None
+    if mode == "aa":
+        dpd = deg.to_pandas().sort_values("id")  # |V|-sized lookup
+        deg_ref = ray.put((dpd["id"].to_numpy(np.int64),
+                           dpd["deg"].to_numpy(np.int64)))
+
+    def supports(g: pd.DataFrame) -> pd.DataFrame:
+        es = ray.get(edge_ref)
+        # orientation order within each out-neighborhood: (ddeg, dst) —
+        # makes every emitted pair (a, b) itself an ORIENTED edge key
+        df = g.sort_values(["src", "ddeg", "dst"])
+        a, b, _gsize, gstart = allpairs_with_group(
+            df["src"].to_numpy(), df["dst"].to_numpy()
+        )
+        empty = pd.DataFrame({"pos": np.array([], np.int64),
+                              "w": np.array([], np.float64)})
+        if not len(a) or not len(es):
+            return empty
+        centers = df["src"].to_numpy()[gstart]
+        key = _pack64(a, b)
+        idx = np.searchsorted(es, key).clip(max=len(es) - 1)
+        hit = es[idx] == key
+        if not hit.any():
+            return empty
+        a, b, c = a[hit], b[hit], centers[hit]
+        pos_ab = idx[hit]
+        pos_ca = np.searchsorted(es, _pack64(c, a))  # known oriented edges
+        pos_cb = np.searchsorted(es, _pack64(c, b))
+        allpos = np.concatenate([pos_ab, pos_ca, pos_cb])
+        if mode == "aa":
+            vids, vdegs = ray.get(deg_ref)
+
+            def w_of(x):
+                return 1.0 / np.log2(
+                    vdegs[np.searchsorted(vids, x)].astype(np.float64))
+
+            # each edge of the triangle is weighted by the OPPOSITE vertex
+            allw = np.concatenate([w_of(c), w_of(b), w_of(a)])
+        else:
+            allw = np.ones(len(allpos), np.float64)
+        order = np.argsort(allpos, kind="stable")
+        p, w = allpos[order], allw[order]
+        starts = np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        return pd.DataFrame({"pos": p[starts].astype(np.int64),
+                             "w": np.add.reduceat(w, starts)})
+
+    parts = add_bucket(
+        oriented, "src", num_buckets, out_col="wbucket"
+    ).repartition(max(16, min(128, num_buckets))).groupby(
+        "wbucket"
+    ).map_groups(supports, batch_format="pandas")
+    parts = parts.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("pos", pa.int64()), ("w", pa.float64())])
+        ),
+        batch_format="pandas",
+    )
+
+    out_col = "aa" if mode == "aa" else "cn"
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        es = ray.get(edge_ref)
+        s = g.groupby("pos", as_index=False)["w"].sum()
+        e = es[s["pos"].to_numpy()]
+        hi = (e >> np.uint64(32)).astype(np.int64)
+        lo = (e & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        out = pd.DataFrame({"u": np.minimum(hi, lo), "v": np.maximum(hi, lo)})
+        if mode == "aa":
+            out[out_col] = np.round(s["w"].to_numpy(np.float64), ROUND)
+        else:
+            out[out_col] = s["w"].to_numpy(np.float64).astype(np.int64)
+        return out
+
+    return bucket_grouped(
+        parts, ["pos"], total,
+        out_schema=pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                              (out_col, pa.float64() if mode == "aa"
+                               else pa.int64())]),
         num_buckets=num_buckets,
     )

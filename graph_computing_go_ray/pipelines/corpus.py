@@ -754,3 +754,80 @@ def curation_pipeline(sf_dir: str) -> Dataset:
         out_schema=pa.schema([("shard", pa.string()), ("pos", pa.int64()),
                               ("doc_id", pa.int64())]),
     )
+
+
+# ------------------------------------------------------- segment dedup
+def segment_dedup(sf_dir: str, seg_tokens: int = 20) -> Dataset:
+    """CCNet-style sub-document (paragraph-analog) dedup: split every
+    document into fixed ``seg_tokens``-token segments, dedup segments
+    EXACTLY across the corpus keeping the first occurrence in
+    (doc_id, seg_idx) order, and report per-document retention
+    (doc_id, n_segs, n_kept).
+
+    The web-corpus workhorse for boilerplate removal (navigation bars,
+    license footers repeat across pages while full documents differ —
+    whole-doc exact dedup misses them; the reference-era analog is
+    paragraph dedup over '\\n\\n' splits; the driver's synthetic documents
+    are single-line token streams so the segment boundary is token count).
+
+    Scale shape: segment rows carry only (md5, composite first-key,
+    doc_id) — never the segment text; the keep rule is one bucketed
+    groupby-min on the hash, joined back by hash (corpus-sized, never
+    broadcast); per-doc counts are per-batch partials + one bucketed sum.
+    Segment index fits 2^20 (docs are bounded; asserted), so the
+    first-occurrence order key packs exactly into int64."""
+    from ..engine.join import bucket_grouped, bucket_join, rename
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seg_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        doc, idx, segs = [], [], []
+        for did, tx in zip(ids, texts):
+            toks = T.word_tokens(tx)
+            n = (len(toks) + seg_tokens - 1) // seg_tokens
+            assert n < (1 << 20), "segment index would overflow the order key"
+            for i in range(n):
+                doc.append(did)
+                idx.append(i)
+                segs.append(" ".join(toks[i * seg_tokens:(i + 1) * seg_tokens]))
+        h = T.md5_fingerprint(segs)
+        doc_a = np.asarray(doc, np.int64)
+        idx_a = np.asarray(idx, np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.string()),
+            "doc_id": pa.array(doc_a, pa.int64()),
+            "ordkey": pa.array((doc_a << np.int64(20)) | idx_a, pa.int64()),
+        })
+
+    segs = docs.map_batches(seg_rows, batch_format="pyarrow").materialize()
+
+    def gmin(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("h", as_index=False)["ordkey"].min()
+                .rename(columns={"ordkey": "firstkey"}))
+
+    firsts = bucket_grouped(
+        segs.select_columns(["h", "ordkey"]), ["h"], gmin,
+        out_schema=pa.schema([("h", pa.string()), ("firstkey", pa.int64())]),
+    )
+    joined = bucket_join(segs, firsts, on="h", right_on="h", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        kept = (t["ordkey"].to_numpy(zero_copy_only=False)
+                == t["firstkey"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                           "n_segs": 1, "n_kept": kept.astype(np.int64)})
+        out = df.groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = bucket_grouped_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["doc_id"], ["n_segs", "n_kept"], num_buckets=default_num_buckets(),
+    )
+    return out.map_batches(
+        lambda t: t.cast(pa.schema([("doc_id", pa.int64()),
+                                    ("n_segs", pa.int64()),
+                                    ("n_kept", pa.int64())])),
+        batch_format="pyarrow",
+    )

@@ -288,6 +288,101 @@ def adamic_adar_topk(sf_dir: str, k: int = 50) -> Dataset:
     return scored.sort(["aa", "u", "v"], descending=[True, False, False]).limit(k)
 
 
+def jaccard_topk(sf_dir: str, k: int = 50) -> Dataset:
+    """Top-k existing co-occurrence edges by Jaccard vertex similarity
+    J(u,v) = |N(u) ∩ N(v)| / (deg(u) + deg(v) - |N(u) ∩ N(v)|); ties broken
+    by (u, v) ascending. The intersection is the wedge-closing
+    common-neighbor kernel (engine/linkpred.py); degrees arrive by two
+    bucketed joins — nothing vertex-scale on the driver."""
+    from ..engine.join import bucket_join, default_num_buckets
+    from ..engine.linkpred import common_neighbor_edges
+    from ..engine.triangles import _degrees
+
+    nb = default_num_buckets()
+    und = undirected_distinct(cooccur_edge_ds(sf_dir)).materialize()
+    deg = _degrees(und).materialize()
+    cn = common_neighbor_edges(und, assume_canonical=True)
+
+    with_u = bucket_join(
+        cn, deg.rename_columns({"id": "uid", "deg": "udeg"}),
+        on="u", right_on="uid", how="inner", num_buckets=nb,
+    )
+    with_uv = bucket_join(
+        with_u, deg.rename_columns({"id": "vid", "deg": "vdeg"}),
+        on="v", right_on="vid", how="inner", num_buckets=nb,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["cn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["udeg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = t["vdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = np.round(c / (du + dv - c), ROUND)
+        return pa.table({"u": t["u"], "v": t["v"],
+                         "jaccard": pa.array(j, pa.float64())})
+
+    scored = with_uv.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["jaccard", "u", "v"],
+                       descending=[True, False, False]).limit(k)
+
+
+def ktruss_cooccur(sf_dir: str, k: int = 12) -> Dataset:
+    """k-truss of the part co-occurrence graph (engine/truss.py support
+    peeling): surviving (u, v) edges where every edge closes >= k-2
+    triangles. k=12 peels this graph in a handful of rounds to a dense
+    core (measured sf0.01: 115,729 → 1,127 edges over 5 rounds). Python
+    peeling-replica oracle in tests/test_graph_extras.py."""
+    from ..engine.truss import ktruss_edges
+
+    kept, _info = ktruss_edges(cooccur_edge_ds(sf_dir), k=k)
+    return kept
+
+
+def katz_bipartite(sf_dir: str) -> Dataset:
+    """Katz centrality over order→part edges (engine/katz.py; alpha
+    auto-derived as 0.85/max_out_degree so the Jacobi iteration is an L1
+    contraction); (id, katz) rounded for stability. Numpy-replica oracle
+    in tests/test_graph_extras.py."""
+    from ..engine.katz import katz_centrality
+
+    ranks, _info = katz_centrality(
+        lineitem_edges(sf_dir), _workdir(sf_dir, "katz"),
+        tol=1e-12, max_iters=200, num_parts=8,
+    )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"],
+             "katz": pa.array(np.round(t["katz"].to_numpy(zero_copy_only=False), 9))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def betweenness_chain(sf_dir: str, n_seeds: int = 4,
+                      order_mod: int = 16) -> Dataset:
+    """Sampled-source Brandes betweenness over the directed part-chain
+    graph (engine/betweenness.py — two-phase forward-BFS/backward-
+    dependency superstep program): (id, bc) with the raw pair-dependency
+    sum over the n_seeds smallest vertex ids (deterministic seed choice,
+    like ppr_bipartite). Exact python-Brandes parity oracle in
+    tests/test_graph_extras.py."""
+    from ..engine.betweenness import betweenness_sampled
+
+    edges = chain_edge_ds(sf_dir, order_mod)
+    head = edges.select_columns(["src"]).sort("src").limit(50_000).to_pandas()
+    seeds = head["src"].drop_duplicates().head(n_seeds).to_numpy(np.int64)
+    out, _info = betweenness_sampled(
+        edges, seeds, _workdir(sf_dir, f"bc-m{order_mod}-k{n_seeds}"),
+        num_parts=8,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"],
+             "bc": pa.array(np.round(t["bc"].to_numpy(zero_copy_only=False), 9))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def chain_edge_ds(sf_dir: str, order_mod: int = 16) -> Dataset:
     """Directed part-chain edges: within each order (sorted by
     l_linenumber), consecutive parts link part_i -> part_{i+1}. Distinct,

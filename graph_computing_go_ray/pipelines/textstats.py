@@ -300,3 +300,40 @@ def pack_offsets(sf_dir: str, seqlen: int = 2048) -> Dataset:
         })
 
     return off.map_batches(spans, batch_format="pyarrow")
+
+
+def doc_chunks(sf_dir: str, size: int = 200, stride: int = 150) -> Dataset:
+    """Context-window chunking: split every document into character chunks
+    of ``size`` chars advancing by ``stride`` (overlap = size - stride),
+    the standard RAG / long-context preprocessing step. Emits
+    (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) with 1-based ``chunk_start``
+    (SQL substring parity); the chunk TEXT never leaves the task — only
+    its md5, so output rows are O(1) wide regardless of chunk size.
+
+    Embarrassingly parallel (a pure per-batch flat-map; no shuffle)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        doc, idx, start, chunks = [], [], [], []
+        for did, tx in zip(ids, texts):
+            ln = len(tx)
+            n = (ln - 1) // stride + 1 if ln else 0
+            for i in range(n):
+                s = i * stride
+                doc.append(did)
+                idx.append(i)
+                start.append(s + 1)
+                chunks.append(tx[s:s + size])
+        h = T.md5_fingerprint(chunks)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(doc, np.int64)),
+            "chunk_idx": pa.array(np.asarray(idx, np.int64)),
+            "chunk_start": pa.array(np.asarray(start, np.int64)),
+            "chunk_len": pa.array(
+                np.fromiter((len(c) for c in chunks), np.int64, len(chunks))),
+            "chunk_md5": pa.array(h, pa.string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -417,3 +417,134 @@ def test_node2vec_walks_exact_parity():
     got_set = set(zip(got["walk_id"].astype(int), got["step"].astype(int),
                       got["vertex"].astype(int)))
     assert got_set == expect, (len(got_set), len(expect))
+
+
+# ---------------------------------------------------------------- katz
+def numpy_katz(edges, alpha, beta=1.0, tol=1e-12, iters=500):
+    """Jacobi replica of engine/katz.py: x <- alpha * A^T x + beta, x0=beta."""
+    ids, s, t = _index(edges)
+    n = len(ids)
+    x = np.full(n, beta, np.float64)
+    for _ in range(iters):
+        new = np.zeros(n)
+        np.add.at(new, t, x[s])
+        new = alpha * new + beta
+        if np.abs(new - x).sum() < tol:
+            x = new
+            break
+        x = new
+    return dict(zip(ids, x))
+
+
+def test_katz_matches_numpy(graph):
+    from graph_computing_go_ray.engine.katz import katz_centrality
+
+    edges_pd, edges_ds, root = graph
+    ranks, info = katz_centrality(
+        edges_ds, os.path.join(root, "katz"),
+        tol=1e-12, max_iters=300, num_parts=4,
+    )
+    assert info["converged"]
+    # derived alpha is contractive: alpha * max_out_degree < 1
+    max_out = edges_pd.groupby("src").size().max()
+    assert info["alpha"] * max_out < 1.0
+    got = ranks.to_pandas().set_index("id")["katz"].to_dict()
+    want = numpy_katz(edges_pd, info["alpha"])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+# ---------------------------------------------------------------- k-truss
+def python_ktruss(edges_pd, k):
+    """Textbook support peeling over python sets."""
+    es = set()
+    for s, d in zip(edges_pd["src"], edges_pd["dst"]):
+        if s != d:
+            es.add((min(s, d), max(s, d)))
+    while es:
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        drop = {(u, v) for (u, v) in es if len(adj[u] & adj[v]) < k - 2}
+        if not drop:
+            break
+        es -= drop
+    return es
+
+
+@pytest.mark.parametrize("k,bme", [(4, 20_000_000), (5, 0)])
+def test_ktruss_matches_python_peel(graph, k, bme):
+    """bme=0 forces the tagged-union (no-broadcast) web-scale path."""
+    from graph_computing_go_ray.engine.truss import ktruss_edges
+
+    edges_pd, edges_ds, _root = graph
+    kept, info = ktruss_edges(edges_ds, k=k, broadcast_max_edges=bme)
+    pdf = kept.to_pandas()
+    # Ray 2.49 to_pandas drops columns on 0-row datasets; schema() keeps them
+    got = (set(map(tuple, pdf[["u", "v"]].to_numpy())) if len(pdf) else set())
+    if not len(pdf):
+        assert kept.schema().names == ["u", "v"]
+    want = python_ktruss(edges_pd, k)
+    assert got == want
+    assert info["rounds"] >= 1
+    # edge counts are monotonically non-increasing across rounds
+    ns = info["n_edges"]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+# ------------------------------------------------------- betweenness
+def python_brandes(edges_pd, seeds):
+    """Textbook Brandes over the directed edge ROWS (parallel rows count,
+    matching the engine's per-edge-row gather)."""
+    import collections
+
+    adj = {}
+    for s, d in zip(edges_pd["src"], edges_pd["dst"]):
+        adj.setdefault(int(s), []).append(int(d))
+    total = collections.defaultdict(float)
+    for s0 in seeds:
+        dist = {s0: 0}
+        sigma = {s0: 1.0}
+        order = []
+        dq = collections.deque([s0])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj.get(v, []):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = collections.defaultdict(float)
+        for v in reversed(order):
+            for w in adj.get(v, []):
+                if dist.get(w) == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v, d in delta.items():
+            if v != s0:
+                total[v] += d
+    return total
+
+
+def test_betweenness_matches_brandes(graph):
+    from graph_computing_go_ray.engine.betweenness import betweenness_sampled
+
+    edges_pd, edges_ds, root = graph
+    seeds = [int(s) for s in np.unique(edges_pd["src"])[:4]]
+    out, info = betweenness_sampled(
+        edges_ds, seeds, os.path.join(root, "bc"), num_parts=4
+    )
+    assert info["converged"]
+    got = out.to_pandas().set_index("id")["bc"].to_dict()
+    want = python_brandes(edges_pd, seeds)
+    n_vertices = len(np.unique(np.concatenate(
+        [edges_pd["src"], edges_pd["dst"]])))
+    assert len(got) == n_vertices
+    for v, g in got.items():
+        assert g == pytest.approx(want.get(v, 0.0), abs=1e-9), f"vertex {v}"
+    # sources contribute to others but their own rows exclude self-dependency
+    assert any(g > 0 for g in got.values())
