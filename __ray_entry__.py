@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_bipartite": G.katz_bipartite,
         # sampled-source Brandes betweenness (python-Brandes pytest oracle)
         "betweenness_chain": G.betweenness_chain,
+        # weighted PageRank, w = l_quantity (numpy-replica pytest oracle)
+        "weighted_pagerank": G.weighted_pagerank_bipartite,
+        # Luby maximal independent set (exact python-replica pytest oracle)
+        "mis_cooccur": G.mis_cooccur,
         # distributed Lloyd's k-means (iterative; numpy-replica pytest oracle)
         "kmeans_embeddings": S.kmeans_embeddings,
         # A9 Google distance
@@ -178,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": D.near_dup_clusters,
         # CCNet-style sub-document segment dedup (per-doc retention)
         "segment_dedup": C.segment_dedup,
+        # content-hash importance sampling at a per-doc quality rate
+        "quality_weighted_sample": C.quality_weighted_sample,
         # context-window chunking (RAG preprocessing; md5 only, no text)
         "doc_chunks": TX.doc_chunks,
         # exact distributed quantiles (two-pass histogram refinement)
@@ -523,6 +529,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k.doc_id, count(*) AS n_segs, "
             "  count(*) FILTER (k.ordkey = f.firstkey) AS n_kept "
             "FROM keyed k JOIN firsts f USING (h) GROUP BY k.doc_id"
+        ),
+        "quality_weighted_sample": (
+            "WITH rated AS ("
+            "  SELECT doc_id, source, "
+            "    LEAST(1.0, GREATEST(0.05, n_chars / 400.0)) AS rate, "
+            "    substring(md5(text), 1, 8) AS fp8 "
+            "  FROM documents"
+            ") "
+            "SELECT doc_id, source, rate FROM rated "
+            "WHERE fp8 < lpad(lower(to_hex(CAST(LEAST(floor(rate * "
+            "  4294967296.0), 4294967295.0) AS BIGINT))), 8, '0')"
         ),
         "doc_chunks": (
             "SELECT doc_id, CAST(x.i AS BIGINT) AS chunk_idx, "

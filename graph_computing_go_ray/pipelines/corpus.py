@@ -831,3 +831,40 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 20) -> Dataset:
                                     ("n_kept", pa.int64())])),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- quality-weighted sample
+def quality_weighted_sample(sf_dir: str) -> Dataset:
+    """Importance sampling for training-data mixing: keep each document
+    with probability rate(doc) = clip(n_chars / 400, 0.05, 1.0) — longer
+    (higher-quality-proxy) docs kept at higher rates — decided by a pure
+    function of content (md5), so reruns and disjoint shards agree with no
+    RNG state (the weighted generalization of hash_sample).
+
+    Membership test runs entirely in hex-string space: the first 8 md5 hex
+    chars compared lexicographically against lpad(hex(floor(rate*2^32)))
+    is EXACTLY the numeric u < rate test (fixed-width lowercase hex orders
+    like the integers), which keeps the DuckDB oracle and the Ray side
+    bit-identical with no platform float parsing. Embarrassingly parallel:
+    a pure filter per batch."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rate = np.clip(n / 400.0, 0.05, 1.0)
+        thresh = np.minimum(np.floor(rate * 4294967296.0),
+                            4294967295.0).astype(np.int64)
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        keep = np.fromiter(
+            (f[:8] < format(th, "08x") for f, th in zip(fps, thresh)),
+            bool, count=len(fps))
+        kept = t.filter(pa.array(keep))
+        kn = kept["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "source": kept["source"],
+            "rate": pa.array(np.clip(kn / 400.0, 0.05, 1.0), pa.float64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")

@@ -357,6 +357,43 @@ def katz_bipartite(sf_dir: str) -> Dataset:
     )
 
 
+def weighted_pagerank_bipartite(sf_dir: str) -> Dataset:
+    """Weighted PageRank over order→part edges with w = l_quantity
+    (engine/wpagerank.py — per-edge normalized weights precomputed into
+    the CSR blocks); (id, rank) rounded for stability. Numpy-replica
+    oracle in tests/test_graph_extras.py."""
+    from ..engine.wpagerank import weighted_pagerank
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_quantity"])
+    edges = li.rename_columns({"l_orderkey": "src", "l_partkey": "dst",
+                               "l_quantity": "w"})
+    ranks, _info = weighted_pagerank(
+        edges, _workdir(sf_dir, "wpagerank"),
+        tol=1e-10, max_iters=100, num_parts=8,
+    )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"],
+             "rank": pa.array(np.round(t["rank"].to_numpy(zero_copy_only=False), 9))}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def mis_cooccur(sf_dir: str) -> Dataset:
+    """Luby maximal independent set over the part co-occurrence graph
+    (engine/mis.py — deterministic counter-based priorities); (id, in_mis).
+    Exact python-replica parity + independence/maximality pytest in
+    tests/test_graph_extras.py."""
+    from ..engine.mis import maximal_independent_set
+
+    out, _info = maximal_independent_set(
+        cooccur_edge_ds(sf_dir), _workdir(sf_dir, "mis"), num_parts=8
+    )
+    return out
+
+
 def betweenness_chain(sf_dir: str, n_seeds: int = 4,
                       order_mod: int = 16) -> Dataset:
     """Sampled-source Brandes betweenness over the directed part-chain

@@ -548,3 +548,83 @@ def test_betweenness_matches_brandes(graph):
         assert g == pytest.approx(want.get(v, 0.0), abs=1e-9), f"vertex {v}"
     # sources contribute to others but their own rows exclude self-dependency
     assert any(g > 0 for g in got.values())
+
+
+# ----------------------------------------------------- weighted pagerank
+def numpy_weighted_pagerank(edges, w, d=0.85, tol=1e-10, iters=500):
+    """Replica of engine/wpagerank.py: contributions weighted by
+    w(u,v)/W(u); dangling = zero out-weight."""
+    ids, s, t = _index(edges)
+    n = len(ids)
+    wsum = np.zeros(n)
+    np.add.at(wsum, s, w)
+    nw = w / wsum[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[wsum == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, r[s] * nw)
+        new = (1 - d) / n + d * (contrib + dang / n)
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta < tol:
+            break
+    return dict(zip(ids, r))
+
+
+def test_weighted_pagerank_matches_numpy(graph):
+    from graph_computing_go_ray.engine.wpagerank import weighted_pagerank
+
+    edges_pd, _edges_ds, root = graph
+    rng = np.random.RandomState(5)
+    w = rng.randint(1, 10, size=len(edges_pd)).astype(np.float64)
+    ewd = edges_pd.assign(w=w)
+    ranks, info = weighted_pagerank(
+        rd.from_pandas(ewd), os.path.join(root, "wpr"),
+        tol=1e-12, max_iters=300, num_parts=4,
+    )
+    assert info["converged"]
+    got = ranks.to_pandas().set_index("id")["rank"].to_dict()
+    want = numpy_weighted_pagerank(edges_pd, w)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_pagerank_rejects_nonpositive(graph, tmp_path):
+    from graph_computing_go_ray.engine.wpagerank import weighted_pagerank
+
+    edges_pd, _e, _root = graph
+    bad = edges_pd.assign(w=0.0)
+    with pytest.raises(Exception):
+        weighted_pagerank(rd.from_pandas(bad), str(tmp_path / "wprbad"),
+                          num_parts=2)
+
+
+# ----------------------------------------------------------- Luby MIS
+def test_mis_matches_python_replica(graph):
+    from graph_computing_go_ray.engine.mis import (
+        maximal_independent_set, python_mis_replica)
+
+    edges_pd, edges_ds, root = graph
+    out, info = maximal_independent_set(
+        edges_ds, os.path.join(root, "mis"), num_parts=4
+    )
+    assert info["converged"]
+    pdf = out.to_pandas()
+    got = set(pdf.loc[pdf["in_mis"] == 1, "id"].astype(int))
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    want = python_mis_replica(
+        list(zip(edges_pd["src"], edges_pd["dst"])), ids)
+    assert got == want
+    # structural: independence + maximality on the undirected graph
+    nbrs = {}
+    for s, d in zip(edges_pd["src"], edges_pd["dst"]):
+        if s != d:
+            nbrs.setdefault(int(s), set()).add(int(d))
+            nbrs.setdefault(int(d), set()).add(int(s))
+    for v in got:
+        assert not (nbrs.get(v, set()) & got), f"edge inside MIS at {v}"
+    for v in map(int, ids):
+        assert v in got or (nbrs.get(v, set()) & got), f"{v} not dominated"
