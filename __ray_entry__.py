@@ -108,8 +108,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": G.weighted_pagerank_bipartite,
         # Luby maximal independent set (exact python-replica pytest oracle)
         "mis_cooccur": G.mis_cooccur,
+        # weighted shortest paths, frontier Bellman-Ford (Dijkstra pytest)
+        "sssp_chain": G.sssp_chain,
         # distributed Lloyd's k-means (iterative; numpy-replica pytest oracle)
         "kmeans_embeddings": S.kmeans_embeddings,
+        # distributed PCA via moment partials (numpy-replica pytest oracle)
+        "pca_embeddings": S.pca_embeddings,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)
@@ -184,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": C.segment_dedup,
         # content-hash importance sampling at a per-doc quality rate
         "quality_weighted_sample": C.quality_weighted_sample,
+        # bigram-LM conditional probabilities, denominator co-bucketed
+        "bigram_lm_top": C.bigram_lm_top,
         # context-window chunking (RAG preprocessing; md5 only, no text)
         "doc_chunks": TX.doc_chunks,
         # exact distributed quantiles (two-pass histogram refinement)
@@ -529,6 +535,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k.doc_id, count(*) AS n_segs, "
             "  count(*) FILTER (k.ordkey = f.firstkey) AS n_kept "
             "FROM keyed k JOIN firsts f USING (h) GROUP BY k.doc_id"
+        ),
+        "bigram_lm_top": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "  AS ws FROM documents), "
+            "pairs AS (SELECT unnest([{'a': ws[i], 'b': ws[i+1]} "
+            "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS x "
+            "  FROM toks), "
+            "pc AS (SELECT x.a AS a, x.b AS b, count(*) AS n "
+            "  FROM pairs GROUP BY 1, 2), "
+            "tot AS (SELECT a, sum(n) AS na FROM pc GROUP BY a) "
+            "SELECT pc.a, pc.b, n, round(n * 1.0 / na, 6) AS p "
+            "FROM pc JOIN tot USING (a) WHERE n >= 5 "
+            "ORDER BY p DESC, pc.a, pc.b LIMIT 50"
         ),
         "quality_weighted_sample": (
             "WITH rated AS ("

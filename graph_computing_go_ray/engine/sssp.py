@@ -1,0 +1,141 @@
+"""Single-source (multi-seed) weighted shortest paths as a frontier
+Bellman-Ford superstep program — the weighted generalization of
+engine/bfs.py (public algorithm; the frontier form is the standard Pregel
+SSSP).
+
+Every superstep, vertices whose distance IMPROVED in the previous round
+offer dist+w over their out-edges; receivers keep the minimum. Converges
+when no vertex improves — #supersteps bounded by the hop count of the
+longest shortest path (negative weights are rejected: they could demand
+|V|-1 rounds and break the frontier optimization's early-exit reasoning
+only under negative cycles, which have no shortest paths at all).
+
+Edge weights ride in the CSR blocks as an edge attribute, so no
+per-superstep join. Per-(block, dst) min combiners bound message volume
+like BFS. Unreached vertices hold the sentinel -1 in the output.
+
+Parity: exact against a python Dijkstra replica (integer weights in the
+tests make distances exact; with float weights both sides compute the
+same candidate sums, so min agrees).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+
+_INF = np.float64(np.inf)
+
+
+class SsspProgram(VertexProgram):
+    name = "sssp"
+    message_schema = pa.schema(
+        [("part_dst", pa.int64()), ("dst", pa.int64()), ("dist", pa.float64())]
+    )
+
+    def __init__(self, seeds):
+        self.params = {"seeds": sorted(int(s) for s in seeds)}
+
+    def init_state(self, ids, out_degree, in_degree, n_total):
+        seeds = np.asarray(self.params["seeds"], np.int64)
+        is_seed = np.isin(ids, seeds)
+        return pd.DataFrame({
+            "id": ids,
+            "dist": np.where(is_seed, 0.0, _INF),
+            "improved": is_seed.astype(np.int8),
+        })
+
+    def init_metrics(self, state):
+        return {"changed": int(state["improved"].sum())}
+
+    def converged(self, metrics):
+        return "changed" in metrics.columns and int(metrics["changed"].sum()) == 0
+
+    def gather(self, edges, state_of, global_vals):
+        outs = []
+        part_arr = edges["part"].to_numpy()
+        for p in np.unique(part_arr):
+            m = part_arr == p
+            st = state_of[int(p)]
+            sid = st["id"].to_numpy()
+            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
+            frontier = st["improved"].to_numpy()[pos] == 1
+            if not frontier.any():
+                continue
+            offer = (st["dist"].to_numpy()[pos][frontier]
+                     + edges["w"].to_numpy()[m][frontier])
+            dst = edges["dst"].to_numpy()[m][frontier]
+            order = np.argsort(dst, kind="stable")
+            d, of = dst[order], offer[order]
+            starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+            outs.append(pd.DataFrame(
+                {"dst": d[starts], "dist": np.minimum.reduceat(of, starts)}))
+        if not outs:
+            return pd.DataFrame({"dst": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    def reduce_apply(self, state, msgs, global_vals):
+        sid = state["id"].to_numpy()
+        dist = state["dist"].to_numpy().copy()
+        improved = np.zeros(len(sid), np.int8)
+        if len(msgs):
+            d = msgs["dst"].to_numpy()
+            dm = msgs["dist"].to_numpy()
+            order = np.argsort(d, kind="stable")
+            dd, dmm = d[order], dm[order]
+            starts = np.flatnonzero(np.concatenate([[True], dd[1:] != dd[:-1]]))
+            pos = np.searchsorted(sid, dd[starts])
+            offers = np.minimum.reduceat(dmm, starts)
+            better = offers < dist[pos]
+            dist[pos[better]] = offers[better]
+            improved[pos[better]] = 1
+        out = state.copy()
+        out["dist"] = dist
+        out["improved"] = improved
+        return out, {"changed": int(improved.sum()), "n": len(out)}
+
+
+def sssp(
+    edges: Dataset, seeds, workdir: str, weight_col: str = "w",
+    max_iters: int = 256, num_parts: int = 8, resume: bool = True,
+) -> tuple[Dataset, dict]:
+    """((id, dist) with -1 for unreached, run info). Weights must be
+    >= 0."""
+    from .superstep import _load_graph_meta, load_edge_blocks
+
+    info = _load_graph_meta(workdir)
+    if info is None:
+        def prep(t: pa.Table) -> pa.Table:
+            w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if (w < 0).any():
+                raise ValueError("sssp requires non-negative weights")
+            return pa.table({"src": t["src"], "dst": t["dst"],
+                             "w": pa.array(w, pa.float64())})
+
+        ew = edges.select_columns(["src", "dst", weight_col]).map_batches(
+            prep, batch_format="pyarrow"
+        )
+        info = build_graph_partitions(ew, workdir, num_parts,
+                                      edge_attrs=("w",))
+    prog = SsspProgram(seeds)
+    edges_ds = load_edge_blocks(workdir, info["num_parts"])
+    run = run_supersteps(edges_ds, workdir, prog, info,
+                         max_iters=max_iters, resume=resume)
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": t["id"],
+            "dist": pa.array(np.where(np.isinf(d), -1.0, d), pa.float64()),
+        })
+
+    out = final_state(workdir).select_columns(["id", "dist"]).map_batches(
+        fin, batch_format="pyarrow"
+    )
+    return out, {**run, **info}

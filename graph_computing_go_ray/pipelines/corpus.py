@@ -868,3 +868,49 @@ def quality_weighted_sample(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- bigram LM
+def bigram_lm_top(sf_dir: str, k: int = 50, min_count: int = 5) -> Dataset:
+    """Top-k next-token conditional probabilities P(b | a) =
+    count(a,b) / count(a, *) over adjacent lowercase-token pairs — the
+    counting core of an n-gram language model (and of the perplexity-proxy
+    quality filters built from one). Pairs below ``min_count`` are cut.
+
+    Shape: per-batch partial pair counts (batch-local vocabulary), then ONE
+    bucketed exchange keyed on the left token — every (a, *) row
+    co-locates, so the conditional denominator is computed inside the same
+    bucket task as the numerator (no second shuffle, no vocab broadcast).
+    Top-k = distributed sort + limit, ties broken by (a, b)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a, b = T.batch_adjacent_pairs(t["text"].to_pylist())
+        if not len(a):
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        out = (pd.DataFrame({"a": a, "b": b})
+               .groupby(["a", "b"], as_index=False, sort=False).size())
+        return pa.table({"a": pa.array(out["a"].to_numpy(object), pa.string()),
+                         "b": pa.array(out["b"].to_numpy(object), pa.string()),
+                         "n": pa.array(out["size"].to_numpy(np.int64))})
+
+    from ..engine.join import bucket_grouped
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        pc = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        na = pc.groupby("a")["n"].transform("sum")
+        pc["p"] = np.round(pc["n"].to_numpy(np.float64)
+                           / na.to_numpy(np.float64), ROUND)
+        return pc[pc["n"] >= min_count][["a", "b", "n", "p"]]
+
+    scored = bucket_grouped(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["a"], finish,
+        out_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("n", pa.int64()), ("p", pa.float64())]),
+        num_buckets=default_num_buckets(),
+    )
+    return scored.sort(["p", "a", "b"],
+                       descending=[True, False, False]).limit(k)

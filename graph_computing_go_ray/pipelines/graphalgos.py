@@ -357,6 +357,31 @@ def katz_bipartite(sf_dir: str) -> Dataset:
     )
 
 
+def sssp_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Weighted single-source shortest paths over the part-chain graph
+    (engine/sssp.py frontier Bellman-Ford). Edge weights are the
+    deterministic synthetic w = (src + dst) % 9 + 1 (the chain edge table
+    carries no natural weight; the formula is documented so the pytest
+    Dijkstra oracle replicates it). Seed = global min vertex id. Output
+    (id, dist) with -1 for unreached."""
+    from ..engine.sssp import sssp as sssp_kernel
+
+    edges = chain_edge_ds(sf_dir, order_mod)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(((s + d) % 9 + 1).astype(np.float64))})
+
+    ew = edges.map_batches(weigh, batch_format="pyarrow")
+    seed = int(edges.min("src"))
+    out, _info = sssp_kernel(
+        ew, [seed], _workdir(sf_dir, f"sssp-m{order_mod}"), num_parts=8,
+    )
+    return out
+
+
 def weighted_pagerank_bipartite(sf_dir: str) -> Dataset:
     """Weighted PageRank over order→part edges with w = l_quantity
     (engine/wpagerank.py — per-edge normalized weights precomputed into

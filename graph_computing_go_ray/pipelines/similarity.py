@@ -458,3 +458,52 @@ def kmeans_embeddings(
         )
 
     return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def pca_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Distributed PCA over the embedding column — the dimensionality-
+    reduction step before ANN/IVF at scale. One map_batches pass emits
+    per-batch moment PARTIALS (count, sum vector, flattened X^T X — one
+    d + d^2 row per batch, never vector-scale); the driver combines them
+    into the exact covariance and eigendecomposes the tiny d x d matrix.
+
+    Output: one row per top-k component with its explained-variance ratio
+    and the first 4 loading values (sign convention: the largest-|.|
+    loading is made positive, so results are replica-comparable).
+    Exact numpy-replica parity pytest in tests/test_queries_extra ops
+    (tests/test_textops.py::test_pca_matches_numpy)."""
+    emb = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _emb_to_np(t["embedding"])
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+            "xtx": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_list()), axis=0)
+    d = len(s)
+    xtx = np.sum(np.stack(parts["xtx"].to_list()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = evals[order]
+    evecs_k = evecs[:, order]
+    # deterministic sign: largest-|.| loading positive
+    for j in range(evecs_k.shape[1]):
+        i = int(np.abs(evecs_k[:, j]).argmax())
+        if evecs_k[i, j] < 0:
+            evecs_k[:, j] = -evecs_k[:, j]
+    total_var = float(evals.sum())
+    rows = []
+    for j in range(len(evals_k)):
+        rows.append({
+            "component": j,
+            "explained_var_ratio": round(float(evals_k[j]) / total_var, 6),
+            **{f"load_{i}": round(float(evecs_k[i, j]), 6) for i in range(4)},
+        })
+    return pd.DataFrame(rows)

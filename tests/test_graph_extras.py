@@ -628,3 +628,75 @@ def test_mis_matches_python_replica(graph):
         assert not (nbrs.get(v, set()) & got), f"edge inside MIS at {v}"
     for v in map(int, ids):
         assert v in got or (nbrs.get(v, set()) & got), f"{v} not dominated"
+
+
+# ----------------------------------------------------------- weighted SSSP
+def python_dijkstra(edges_pd, w, seeds):
+    import heapq
+
+    adj = {}
+    for (s, d), wt in zip(zip(edges_pd["src"], edges_pd["dst"]), w):
+        adj.setdefault(int(s), []).append((int(d), float(wt)))
+    dist = {}
+    h = [(0.0, int(s)) for s in seeds]
+    for _, s in h:
+        dist[s] = 0.0
+    heapq.heapify(h)
+    while h:
+        dv, v = heapq.heappop(h)
+        if dv > dist.get(v, np.inf):
+            continue
+        for u, wt in adj.get(v, []):
+            nd = dv + wt
+            if nd < dist.get(u, np.inf):
+                dist[u] = nd
+                heapq.heappush(h, (nd, u))
+    return dist
+
+
+def test_sssp_matches_dijkstra(graph):
+    from graph_computing_go_ray.engine.sssp import sssp
+
+    edges_pd, _eds, root = graph
+    rng = np.random.RandomState(3)
+    w = rng.randint(1, 20, size=len(edges_pd)).astype(np.float64)
+    seeds = [int(np.unique(edges_pd["src"])[0])]
+    out, info = sssp(
+        rd.from_pandas(edges_pd.assign(w=w)), seeds,
+        os.path.join(root, "sssp"), num_parts=4,
+    )
+    assert info["converged"]
+    got = out.to_pandas().set_index("id")["dist"].to_dict()
+    want = python_dijkstra(edges_pd, w, seeds)
+    for v, g in got.items():
+        if g < 0:
+            assert v not in want
+        else:
+            assert g == want[v], f"vertex {v}"  # integer weights: exact
+    assert got[seeds[0]] == 0.0
+
+
+def test_sssp_rejects_negative(graph, tmp_path):
+    from graph_computing_go_ray.engine.sssp import sssp
+
+    edges_pd, _e, _root = graph
+    with pytest.raises(Exception):
+        sssp(rd.from_pandas(edges_pd.assign(w=-1.0)), [0],
+             str(tmp_path / "ssspbad"), num_parts=2)
+
+
+def test_sssp_chain_parity():
+    """sssp_chain's documented weight formula vs Dijkstra at sf0.001."""
+    from graph_computing_go_ray.pipelines.graphalgos import chain_edge_ds, sssp_chain
+
+    sf = "/root/testdata/sf0.001"
+    edges = chain_edge_ds(sf).to_pandas()
+    w = ((edges["src"].to_numpy() + edges["dst"].to_numpy()) % 9 + 1).astype(float)
+    seed = int(edges["src"].min())
+    want = python_dijkstra(edges, w, [seed])
+    got = sssp_chain(sf).to_pandas().set_index("id")["dist"].to_dict()
+    for v, g in got.items():
+        if g < 0:
+            assert v not in want
+        else:
+            assert g == want[v]

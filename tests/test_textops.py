@@ -266,3 +266,37 @@ def test_kmeans_embeddings_parity():
     # partial-sum order can perturb centroids ~1e-15; boundary flips are
     # theoretically possible but must be vanishingly rare
     assert agree >= 0.99, f"assignment agreement {agree}"
+
+
+def test_pca_matches_numpy():
+    """Distributed moment partials == single-process numpy PCA (same sign
+    convention), sf0.001 embeddings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.pipelines.similarity import pca_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    got = pca_embeddings(sf, k=8)
+
+    m = np.array(
+        pq.read_table(f"{sf}/embeddings.parquet")["embedding"].to_pylist(),
+        dtype=np.float64)
+    cov = np.cov(m, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    evals_k, evecs_k = evals[order], evecs[:, order]
+    for j in range(evecs_k.shape[1]):
+        i = int(np.abs(evecs_k[:, j]).argmax())
+        if evecs_k[i, j] < 0:
+            evecs_k[:, j] = -evecs_k[:, j]
+    ratio = evals_k / evals.sum()
+    assert len(got) == 8
+    np.testing.assert_allclose(
+        got["explained_var_ratio"].to_numpy(), np.round(ratio, 6), atol=2e-6)
+    for i in range(4):
+        np.testing.assert_allclose(
+            got[f"load_{i}"].to_numpy(), np.round(evecs_k[i, :], 6), atol=2e-6)
+    # ratios are a decreasing probability-like sequence
+    r = got["explained_var_ratio"].to_numpy()
+    assert (np.diff(r) <= 1e-12).all() and (r > 0).all() and r.sum() <= 1.0
