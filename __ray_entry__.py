@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_keep": S.embedding_dedup_keep,
         # gap-based sessionization (streaming-shaped)
         "events_sessionize": R.events_sessionize,
+        # ordered conversion funnel: view -> click -> purchase
+        "events_funnel": R.events_funnel,
         # as-of join (custom operator Ray Data lacks natively)
         "events_asof_orders": R.events_asof_orders,
         # hopping (sliding) window aggregate
@@ -174,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_per_source": C.chars_quantiles_per_source,
         # iterative BPE merge training (pytest oracle: python replica)
         "bpe_train": C.bpe_train,
+        # tokenizer application: per-doc raw vs BPE token counts
+        "bpe_apply": C.bpe_apply,
         # capstone: quality -> dedup -> near-dup -> decontaminate -> shard
         "curation_pipeline": C.curation_pipeline,
         # within-doc n-gram repetition ratio (quality signal)
@@ -535,6 +539,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k.doc_id, count(*) AS n_segs, "
             "  count(*) FILTER (k.ordkey = f.firstkey) AS n_kept "
             "FROM keyed k JOIN firsts f USING (h) GROUP BY k.doc_id"
+        ),
+        "events_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "  JOIN v USING (user_id) "
+            "  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "  JOIN c USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "  SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v "
+            "  UNION ALL SELECT 2, 'click', count(*) FROM c "
+            "  UNION ALL SELECT 3, 'purchase', count(*) FROM p)"
         ),
         "bigram_lm_top": (
             "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "

@@ -914,3 +914,49 @@ def bigram_lm_top(sf_dir: str, k: int = 50, min_count: int = 5) -> Dataset:
     )
     return scored.sort(["p", "a", "b"],
                        descending=[True, False, False]).limit(k)
+
+
+def bpe_apply(sf_dir: str, n_merges: int = 5) -> Dataset:
+    """Tokenizer APPLICATION: encode every document with the merge list
+    learned by bpe_train (same corpus here; in production the merges come
+    from a training run) and report per-doc (doc_id, n_tokens_raw,
+    n_tokens_bpe) — the compression bookkeeping used to size training
+    shards after tokenization.
+
+    Scale shape: the merge list is tiny and broadcast once via ray.put;
+    encoding is a stateless per-batch pass applying merges in training
+    order, left-to-right non-overlapping (the exact fuse rule of
+    bpe_train, so train->apply round-trips are consistent). Exact parity
+    with a pure-python replica in tests/test_corpus_bpe.py."""
+    import ray
+
+    merges_df = bpe_train(sf_dir, n_merges=n_merges)
+    merges = [(str(r["a"]), str(r["b"])) for _, r in merges_df.iterrows()]
+    m_ref = ray.put(merges)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        ms = ray.get(m_ref)
+        raw_n, bpe_n = [], []
+        for x in t["text"].to_pylist():
+            ws = T.word_tokens(x)
+            raw_n.append(len(ws))
+            for a, b in ms:
+                merged, k = [], 0
+                while k < len(ws):
+                    if k + 1 < len(ws) and ws[k] == a and ws[k + 1] == b:
+                        merged.append(ws[k] + " " + ws[k + 1])
+                        k += 2
+                    else:
+                        merged.append(ws[k])
+                        k += 1
+                ws = merged
+            bpe_n.append(len(ws))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens_raw": pa.array(np.asarray(raw_n, np.int64)),
+            "n_tokens_bpe": pa.array(np.asarray(bpe_n, np.int64)),
+        })
+
+    return docs.map_batches(encode, batch_format="pyarrow")

@@ -786,3 +786,44 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     return exact_quantiles(
         li.materialize(), "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99]
     )
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    earliest view, the earliest click STRICTLY AFTER that view, and the
+    earliest purchase strictly after that click; output = per-stage user
+    counts (stage, event_type, n_users) — the canonical product-analytics
+    conversion table.
+
+    Vectorized per user hash bucket: stage timestamps come from three
+    grouped mins + two filtered merges over ALL rows of the bucket (no
+    per-user Python); the result is 3 rows, summed from per-bucket
+    partials on the driver."""
+    from ..engine.join import bucket_grouped
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == "view"]
+             .groupby("user_id", as_index=False)["ts"].min()
+             .rename(columns={"ts": "t1"}))
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] > c["t1"]]
+             .groupby("user_id", as_index=False)["ts"].min()
+             .rename(columns={"ts": "t2"}))
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = (p[p["ts"] > p["t2"]]
+             .groupby("user_id", as_index=False)["ts"].min())
+        return pd.DataFrame({"s1": [len(v)], "s2": [len(c)], "s3": [len(p)]})
+
+    parts = bucket_grouped(
+        ev, ["user_id"], funnel_bucket,
+        out_schema=pa.schema([("s1", pa.int64()), ("s2", pa.int64()),
+                              ("s3", pa.int64())]),
+    ).to_pandas()  # one row per bucket — driver-sized
+    return pd.DataFrame({
+        "stage": np.array([1, 2, 3], np.int64),
+        "event_type": ["view", "click", "purchase"],
+        "n_users": np.array([parts["s1"].sum(), parts["s2"].sum(),
+                             parts["s3"].sum()], np.int64),
+    })

@@ -45,3 +45,36 @@ def test_bpe_train_matches_python_replica():
     got = bpe_train(SF, n_merges=5)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert len(want) == 5  # corpus is rich enough for all rounds
+
+
+def test_bpe_apply_round_trip_parity():
+    """bpe_apply's per-doc BPE token counts == a pure-python encode with
+    the same merge list and fuse rule."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.functions.text import word_tokens
+    from graph_computing_go_ray.pipelines.corpus import bpe_apply, bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    merges = [(str(r["a"]), str(r["b"]))
+              for _, r in bpe_train(sf, n_merges=3).iterrows()]
+    got = bpe_apply(sf, n_merges=3).to_pandas().set_index("doc_id")
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = word_tokens(text)
+        raw = len(ws)
+        for a, b in merges:
+            merged, k = [], 0
+            while k < len(ws):
+                if k + 1 < len(ws) and ws[k] == a and ws[k + 1] == b:
+                    merged.append(ws[k] + " " + ws[k + 1])
+                    k += 2
+                else:
+                    merged.append(ws[k])
+                    k += 1
+            ws = merged
+        assert got.loc[did, "n_tokens_raw"] == raw
+        assert got.loc[did, "n_tokens_bpe"] == len(ws)
+        assert got.loc[did, "n_tokens_bpe"] <= raw
