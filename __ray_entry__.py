@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_cooccur": G.mis_cooccur,
         # weighted shortest paths, frontier Bellman-Ford (Dijkstra pytest)
         "sssp_chain": G.sssp_chain,
+        # percolation robustness: hash-drop p of edges -> giant CC size
+        "robustness_curve": G.robustness_curve,
+        # Zipf rank-frequency slope of the corpus vocabulary
+        "zipf_slope": C.zipf_slope,
         # distributed Lloyd's k-means (iterative; numpy-replica pytest oracle)
         "kmeans_embeddings": S.kmeans_embeddings,
         # distributed PCA via moment partials (numpy-replica pytest oracle)
@@ -539,6 +543,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k.doc_id, count(*) AS n_segs, "
             "  count(*) FILTER (k.ordkey = f.firstkey) AS n_kept "
             "FROM keyed k JOIN firsts f USING (h) GROUP BY k.doc_id"
+        ),
+        "zipf_slope": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+')) AS token FROM documents), "
+            "counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token), "
+            "ranked AS (SELECT n, row_number() OVER "
+            "  (ORDER BY n DESC, token) AS rank FROM counts) "
+            "SELECT CAST(count(*) AS BIGINT) AS vocab_size, "
+            "  round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope FROM ranked"
         ),
         "events_funnel": (
             "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "

@@ -960,3 +960,37 @@ def bpe_apply(sf_dir: str, n_merges: int = 5) -> Dataset:
         })
 
     return docs.map_batches(encode, batch_format="pyarrow")
+
+
+def zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares
+    slope of ln(count) against ln(rank) over the full vocabulary (rank 1 =
+    most frequent; ties broken by token ascending). One row:
+    (vocab_size, zipf_slope) — the standard sanity probe that a scraped
+    corpus has natural-language frequency structure (slope ≈ -1).
+
+    Counts are distributed partials + one bucketed sum; only the
+    VOCABULARY-sized count table reaches the driver for ranking and the
+    closed-form slope (sums in float64, matching DuckDB's regr_slope)."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        toks, cnts = np.unique(flat, return_counts=True)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    counts = bucket_grouped_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["token"], ["n"], num_buckets=default_num_buckets(),
+    ).to_pandas()  # vocabulary-sized
+    counts = counts.sort_values(["n", "token"],
+                                ascending=[False, True], ignore_index=True)
+    rank = np.arange(1, len(counts) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(counts["n"].to_numpy(np.float64))
+    n = float(len(x))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame([{"vocab_size": np.int64(len(counts)),
+                          "zipf_slope": round(float(slope), 6)}])

@@ -660,3 +660,49 @@ def scc_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
         _workdir(sf_dir, f"sccfb-m{order_mod}"), num_parts=8,
     )
     return out
+
+
+def robustness_curve(sf_dir: str, fracs=(0.0, 0.25, 0.5),
+                     order_mod: int = 16) -> pd.DataFrame:
+    """Random-failure robustness of the part-chain graph (viewed
+    undirected): deterministically remove a hash-chosen fraction p of the
+    distinct edges and report the surviving giant component —
+    (frac, n_edges, giant_size) per p. The classic percolation probe of a
+    web graph's resilience, composed from the hash-sampling filter and
+    the hash-min connected-components superstep (one workdir per p so
+    checkpoints never mix).
+
+    Edge survival is a pure function of the edge key (splitmix64 of the
+    packed (u<<32)|v), so the python union-find oracle in
+    tests/test_graph_extras.py replicates the exact same subsets."""
+    from ..engine.degrees import grouped_count
+    from ..functions.hashing import splitmix64
+
+    edges = chain_edge_ds(sf_dir, order_mod).materialize()
+    rows = []
+    for p in fracs:
+        thresh = np.uint64(int(p * 2**64)) if p > 0 else np.uint64(0)
+
+        def keep(t: pa.Table, _th=thresh) -> pa.Table:
+            u = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = splitmix64((u << np.uint64(32)) | v)
+            return t.filter(pa.array(h >= _th))
+
+        surv = edges.map_batches(keep, batch_format="pyarrow").materialize()
+        n_edges = surv.count()
+        if n_edges == 0:
+            rows.append({"frac": float(p), "n_edges": 0, "giant_size": 0})
+            continue
+        labels, _ = connected_components(
+            surv, _workdir(sf_dir, f"robust-m{order_mod}-p{int(p*100)}"),
+            num_parts=8,
+        )
+        sizes = grouped_count(labels, "label", "size")
+        giant = int(sizes.max("size"))
+        rows.append({"frac": float(p), "n_edges": int(n_edges),
+                     "giant_size": giant})
+    out = pd.DataFrame(rows)
+    out["n_edges"] = out["n_edges"].astype(np.int64)
+    out["giant_size"] = out["giant_size"].astype(np.int64)
+    return out

@@ -700,3 +700,41 @@ def test_sssp_chain_parity():
             assert v not in want
         else:
             assert g == want[v]
+
+
+def test_robustness_curve_matches_union_find():
+    """Hash-drop percolation + distributed CC == union-find on the same
+    deterministic surviving edge subsets (sf0.001 chain graph)."""
+    from graph_computing_go_ray.functions.hashing import splitmix64
+    from graph_computing_go_ray.pipelines.graphalgos import (
+        chain_edge_ds, robustness_curve)
+
+    sf = "/root/testdata/sf0.001"
+    edges = chain_edge_ds(sf).to_pandas()
+    got = robustness_curve(sf)
+    assert list(got["frac"]) == [0.0, 0.25, 0.5]
+    for _, row in got.iterrows():
+        p = row["frac"]
+        th = np.uint64(int(p * 2**64)) if p > 0 else np.uint64(0)
+        u = edges["src"].to_numpy().astype(np.uint64)
+        v = edges["dst"].to_numpy().astype(np.uint64)
+        keep = splitmix64((u << np.uint64(32)) | v) >= th
+        es = edges[keep]
+        assert row["n_edges"] == len(es)
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(es["src"], es["dst"]):
+            parent[find(int(s))] = find(int(d))
+        from collections import Counter
+
+        sizes = Counter(find(x) for x in list(parent))
+        assert row["giant_size"] == (max(sizes.values()) if sizes else 0)
+    # monotone: dropping more edges never grows the giant component
+    g = got["giant_size"].to_numpy()
+    assert (np.diff(g) <= 0).all()
