@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_topk": G.adamic_adar_topk,
         # Jaccard edge similarity (common-neighbor kernel + degree joins)
         "jaccard_topk": G.jaccard_topk,
+        # per-vertex local clustering coefficient from CN edge supports
+        "local_clustering": G.local_clustering_per_vertex,
         # k-truss support peeling (python peeling-replica pytest oracle)
         "ktruss_cooccur": G.ktruss_cooccur,
         # Katz centrality, contractive alpha auto-derived (numpy pytest oracle)
@@ -521,6 +523,23 @@ def oracle_sql() -> dict[str, str]:
             "  round(c * 1.0 / (du.d + dv.d - c), 6) AS jaccard "
             "FROM cn JOIN deg du ON du.x = cn.u JOIN deg dv ON dv.x = cn.v "
             "ORDER BY jaccard DESC, u, v LIMIT 50"
+        ),
+        "local_clustering": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT x, count(*) AS d FROM und GROUP BY x), "
+            "cn AS (SELECT e.u, e.v, count(*) AS c "
+            "  FROM e JOIN und n1 ON n1.x = e.u "
+            "  JOIN und n2 ON n2.x = e.v AND n2.y = n1.y GROUP BY e.u, e.v), "
+            "tri AS (SELECT x, CAST(sum(c) AS BIGINT) AS c2 FROM ("
+            "  SELECT u AS x, c FROM cn UNION ALL SELECT v, c FROM cn"
+            ") GROUP BY x) "
+            "SELECT d.x AS id, d.d AS deg, "
+            "  CAST(COALESCE(tri.c2, 0) / 2 AS BIGINT) AS n_tri, "
+            "  round(COALESCE(tri.c2, 0) * 1.0 / (d.d * (d.d - 1)), 6) AS lcc "
+            "FROM deg d LEFT JOIN tri ON tri.x = d.x WHERE d.d >= 2"
         ),
         "segment_dedup": (
             "WITH segs AS ("

@@ -45,11 +45,12 @@ def adamic_adar_edges(
     num_buckets: int | None = None,
     broadcast_max_edges: int = 20_000_000,
     assume_canonical: bool = False,
+    deg: Dataset | None = None,
 ) -> Dataset:
     """(u, v, aa round 6) for every existing edge with >= 1 common
     neighbor."""
     return _wedge_edge_scores(edges, "aa", num_buckets, broadcast_max_edges,
-                              assume_canonical)
+                              assume_canonical, deg)
 
 
 def common_neighbor_edges(
@@ -57,13 +58,14 @@ def common_neighbor_edges(
     num_buckets: int | None = None,
     broadcast_max_edges: int = 20_000_000,
     assume_canonical: bool = False,
+    deg: Dataset | None = None,
 ) -> Dataset:
     """(u, v, cn:int64) common-neighbor count for every existing edge with
     >= 1 common neighbor — exactly the per-edge triangle support (each
     triangle contributes 1 to each of its 3 edges via the wedge centered
     at the opposite vertex)."""
     return _wedge_edge_scores(edges, "cn", num_buckets, broadcast_max_edges,
-                              assume_canonical)
+                              assume_canonical, deg)
 
 
 def _wedge_edge_scores(
@@ -72,6 +74,7 @@ def _wedge_edge_scores(
     num_buckets: int | None = None,
     broadcast_max_edges: int = 20_000_000,
     assume_canonical: bool = False,
+    deg: Dataset | None = None,
 ) -> Dataset:
     """`assume_canonical`: the input is already the distinct undirected
     edge set with columns (u=min, v=max) — skips a redundant
@@ -87,7 +90,8 @@ def _wedge_edge_scores(
            else undirected_distinct(edges).materialize())
 
     n_edges = und.count()
-    deg = _degrees(und).materialize()
+    if deg is None:  # callers that already hold the degree table pass it in
+        deg = _degrees(und).materialize()
     max_id = int(deg.max("id")) if n_edges else 0
     use_broadcast = n_edges <= broadcast_max_edges and max_id < 2**31
 

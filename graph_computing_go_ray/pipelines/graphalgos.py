@@ -288,6 +288,59 @@ def adamic_adar_topk(sf_dir: str, k: int = 50) -> Dataset:
     return scored.sort(["aa", "u", "v"], descending=[True, False, False]).limit(k)
 
 
+def local_clustering_per_vertex(sf_dir: str) -> Dataset:
+    """Local clustering coefficient per vertex of the part co-occurrence
+    graph: lcc(v) = 2·t(v) / (deg(v)·(deg(v)-1)) over vertices with
+    deg >= 2, where t(v) = triangles containing v = half the sum of
+    common-neighbor counts over v's incident edges (each triangle v-u-w is
+    counted via both (v,u) and (v,w)). One CN-kernel pass + an explode +
+    bucketed sum + one degree join — the per-vertex refinement of
+    global_clustering. Output (id, deg, n_tri, lcc)."""
+    from ..engine.join import bucket_grouped_sum, bucket_join, default_num_buckets
+    from ..engine.linkpred import common_neighbor_edges
+    from ..engine.triangles import _degrees
+
+    nb = default_num_buckets()
+    und = undirected_distinct(cooccur_edge_ds(sf_dir)).materialize()
+    deg = _degrees(und).materialize()
+    cn = common_neighbor_edges(und, assume_canonical=True, deg=deg)
+
+    def explode(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        c = t["cn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": pa.array(np.concatenate([u, v]), pa.int64()),
+            "c": pa.array(np.concatenate([c, c]), pa.int64()),
+        })
+
+    tri2 = bucket_grouped_sum(
+        cn.map_batches(explode, batch_format="pyarrow"),
+        ["id"], ["c"], num_buckets=nb,
+    )  # per-vertex 2*t(v)
+
+    joined = bucket_join(
+        deg, tri2.rename_columns({"id": "tid"}),
+        on="id", right_on="tid", how="left", num_buckets=nb,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["c"].to_numpy(zero_copy_only=False)
+        c2 = np.where(np.isnan(c2.astype(np.float64)), 0, c2).astype(np.int64)
+        keep = d >= 2
+        d, c2, ids = d[keep], c2[keep], t["id"].to_numpy(zero_copy_only=False)[keep]
+        lcc = np.round(c2.astype(np.float64) / (d * (d - 1)), ROUND)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "deg": pa.array(d, pa.int64()),
+            "n_tri": pa.array(c2 // 2, pa.int64()),
+            "lcc": pa.array(lcc, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def jaccard_topk(sf_dir: str, k: int = 50) -> Dataset:
     """Top-k existing co-occurrence edges by Jaccard vertex similarity
     J(u,v) = |N(u) ∩ N(v)| / (deg(u) + deg(v) - |N(u) ∩ N(v)|); ties broken
@@ -301,7 +354,7 @@ def jaccard_topk(sf_dir: str, k: int = 50) -> Dataset:
     nb = default_num_buckets()
     und = undirected_distinct(cooccur_edge_ds(sf_dir)).materialize()
     deg = _degrees(und).materialize()
-    cn = common_neighbor_edges(und, assume_canonical=True)
+    cn = common_neighbor_edges(und, assume_canonical=True, deg=deg)
 
     with_u = bucket_join(
         cn, deg.rename_columns({"id": "uid", "deg": "udeg"}),
