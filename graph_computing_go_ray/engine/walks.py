@@ -95,6 +95,7 @@ def random_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
         })
 
     rows = [frontier.map_batches(lambda t: emit(t, 0), batch_format="pyarrow")]
+    ab_cached = None  # the adjacency co-group side is identical every step
     for step in range(1, walk_len + 1):
 
         def advance(g: pd.DataFrame, _step=step) -> pd.DataFrame:
@@ -125,11 +126,13 @@ def random_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
                 "__side", pa.array(np.zeros(t.num_rows, np.int8))),
             batch_format="pyarrow",
         )
-        ab = add_bucket(adj, "src", num_buckets).map_batches(
-            lambda t: t.append_column(
-                "__side", pa.array(np.ones(t.num_rows, np.int8))),
-            batch_format="pyarrow",
-        )
+        if ab_cached is None:
+            ab_cached = add_bucket(adj, "src", num_buckets).map_batches(
+                lambda t: t.append_column(
+                    "__side", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            ).materialize()
+        ab = ab_cached
 
         def pad_f(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -146,9 +149,11 @@ def random_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
                 "bucket": t["bucket"], "__side": t["__side"],
             })
 
+        # coalesce before the sort-based groupby: many tiny union blocks
+        # degrade Ray's groupby badly (same fix as engine/join.bucket_grouped)
         both = fb.map_batches(pad_f, batch_format="pyarrow").union(
             ab.map_batches(pad_f, batch_format="pyarrow")
-        )
+        ).repartition(max(16, min(128, num_buckets)))
         frontier = both.groupby("bucket").map_groups(
             advance, batch_format="pandas"
         )
@@ -276,6 +281,7 @@ def node2vec_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
         ("prev_nbrs", pa.list_(pa.int64())),
     ])
     rows = [frontier.map_batches(lambda t: emit(t, 0), batch_format="pyarrow")]
+    ab_cached = None  # the adjacency co-group side is identical every step
     for step in range(1, walk_len + 1):
 
         def advance(g: pd.DataFrame, _step=step) -> pd.DataFrame:
@@ -336,11 +342,13 @@ def node2vec_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
                 "__side", pa.array(np.zeros(t.num_rows, np.int8))),
             batch_format="pyarrow",
         )
-        ab = add_bucket(adj, "src", num_buckets).map_batches(
-            lambda t: t.append_column(
-                "__side", pa.array(np.ones(t.num_rows, np.int8))),
-            batch_format="pyarrow",
-        )
+        if ab_cached is None:
+            ab_cached = add_bucket(adj, "src", num_buckets).map_batches(
+                lambda t: t.append_column(
+                    "__side", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            ).materialize()
+        ab = ab_cached
 
         def pad_f(t: pa.Table) -> pa.Table:
             n = t.num_rows
@@ -361,9 +369,11 @@ def node2vec_walks(edges: Dataset, walk_len: int = 5, n_walks: int = 1,
                 "bucket": t["bucket"], "__side": t["__side"],
             })
 
+        # coalesce before the sort-based groupby: many tiny union blocks
+        # degrade Ray's groupby badly (same fix as engine/join.bucket_grouped)
         both = fb.map_batches(pad_f, batch_format="pyarrow").union(
             ab.map_batches(pad_f, batch_format="pyarrow")
-        )
+        ).repartition(max(16, min(128, num_buckets)))
         frontier = both.groupby("bucket").map_groups(
             advance, batch_format="pandas"
         )
