@@ -168,10 +168,75 @@ def _trim(active: "Dataset", num_buckets: int, max_trim: int = 8) -> "Dataset":
     return active
 
 
+def _local_scc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact SCCs of a SMALL edge frame in one task (iterative Tarjan,
+    explicit stack); (id, scc_id = min member id). The standard hybrid
+    finish: once distributed peeling has shrunk the active remainder below
+    one block's worth of edges, more superstep fixpoints only pay fixed
+    scheduling cost per round — solve the remainder in-memory instead."""
+    adj: dict[int, list] = {}
+    nodes: set = set()
+    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        adj.setdefault(int(s), []).append(int(d))
+        nodes.add(int(s))
+        nodes.add(int(d))
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp_of: dict = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            neigh = adj.get(v, [])
+            for i in range(pi, len(neigh)):
+                w = neigh[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    comp_of[w] = m
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    ids = sorted(comp_of)
+    return pd.DataFrame({"id": np.array(ids, np.int64),
+                         "scc_id": np.array([comp_of[i] for i in ids],
+                                            np.int64)})
+
+
 def strongly_connected_components(
     edges: Dataset, workdir: str, max_rounds: int = 30,
     num_parts: int = 8, max_iters: int = 100, resume: bool = True,
-    trim_rounds: int = 0,
+    trim_rounds: int = 0, local_cutoff: int = 100_000,
 ) -> tuple[Dataset, dict]:
     """(id, scc_id) for every vertex of the directed edge table;
     scc_id = min vertex id of the component.
@@ -181,7 +246,13 @@ def strongly_connected_components(
     vertices) the trim's ~4 shuffles/iteration cost more wall-time than the
     min-reach supersteps they avoid; at web scale (billions of vertices,
     most of them acyclic tendrils) trim shrinks the fixpoint input by
-    orders of magnitude and should be enabled."""
+    orders of magnitude and should be enabled.
+
+    local_cutoff: from round 2 on, an active remainder with at most this
+    many edges is finished by ONE exact in-task Tarjan (_local_scc) instead
+    of further fixpoint rounds — the first round always runs distributed
+    (it does the web-scale work: giant SCC + coloring classes), and the
+    cutoff is sized to a single block's worth of edges. 0 disables."""
     import ray.data as rd
 
     from .join import default_num_buckets, typed_seed
@@ -200,10 +271,24 @@ def strongly_connected_components(
 
     identified: list[Dataset] = []
     rounds = 0
+    local_finish = False
     for r in range(max_rounds):
         if r < trim_rounds:
             active = _trim(active, nb)  # singleton peel before the fixpoints
-        if active.count() == 0:
+        n_act = active.count()
+        if n_act == 0:
+            break
+        if r >= 1 and local_cutoff and n_act <= local_cutoff:
+            # hybrid finish: the remainder fits one block — solve exactly
+            # in-memory rather than paying more per-round fixed costs
+            loc = _local_scc(active.to_pandas())
+            identified.append(rd.from_arrow(
+                pa.Table.from_pandas(loc, preserve_index=False).cast(
+                    pa.schema([("id", pa.int64()), ("scc_id", pa.int64())])
+                )
+            ))
+            rounds = r + 1
+            local_finish = True
             break
         rounds = r + 1
         fw = _minreach(active, f"{workdir}/r{r}_fw", num_parts, max_iters,
@@ -266,7 +351,7 @@ def strongly_connected_components(
             lambda t: pa.table({"id": t["id"], "scc_id": t["id"]}),
             batch_format="pyarrow",
         )
-    return out, {"rounds": rounds}
+    return out, {"rounds": rounds, "local_finish": local_finish}
 
 
 def _vertex_ids(edges: Dataset) -> Dataset:

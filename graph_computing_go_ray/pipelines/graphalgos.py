@@ -25,8 +25,9 @@ from ..sources.readers import lineitem_edges, read_table
 ROUND = 6
 
 
-ALGO_VERSION = "v2"  # bump when superstep/program semantics change so
+ALGO_VERSION = "v3"  # bump when superstep/program semantics change so
 # checkpoint reuse can never serve results from an older engine
+# (v3: SCC hybrid local finish changes the per-round workdir lineage)
 
 
 def _workdir(sf_dir: str, algo: str) -> str:

@@ -738,3 +738,19 @@ def test_robustness_curve_matches_union_find():
     # monotone: dropping more edges never grows the giant component
     g = got["giant_size"].to_numpy()
     assert (np.diff(g) <= 0).all()
+
+
+def test_scc_distributed_only_matches_hybrid(graph, tmp_path):
+    """local_cutoff=0 (pure multi-round peeling) and the default hybrid
+    local finish produce identical SCCs."""
+    from graph_computing_go_ray.engine.scc import strongly_connected_components
+
+    edges_pd, edges_ds, _root = graph
+    a, ia = strongly_connected_components(
+        edges_ds, str(tmp_path / "scc_d"), num_parts=4, local_cutoff=0)
+    b, ib = strongly_connected_components(
+        edges_ds, str(tmp_path / "scc_h"), num_parts=4)
+    pa_ = a.to_pandas().sort_values("id", ignore_index=True)
+    pb_ = b.to_pandas().sort_values("id", ignore_index=True)
+    assert pa_.equals(pb_)
+    assert not ia["local_finish"] and (ib["local_finish"] or ib["rounds"] <= 1)
