@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": C.curation_pipeline,
         # within-doc n-gram repetition ratio (quality signal)
         "repetition_scores": TX.repetition_scores,
+        # per-doc distinct-bigram diversity ratio (Gopher-style signal)
+        "distinct_ngram_ratio": TX.distinct_ngram_ratio,
         # winnowing fingerprint (min-md5 over token windows)
         "winnow_fingerprints": TX.winnow_fingerprints,
         # PMI collocations (pair/unigram joins, never-broadcast vocab)
@@ -562,6 +564,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT k.doc_id, count(*) AS n_segs, "
             "  count(*) FILTER (k.ordkey = f.firstkey) AS n_kept "
             "FROM keyed k JOIN firsts f USING (h) GROUP BY k.doc_id"
+        ),
+        "distinct_ngram_ratio": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ws FROM documents), "
+            "g AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+            "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS gram "
+            "  FROM t) "
+            "SELECT doc_id, count(*) AS n_grams, "
+            "  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct, "
+            "  round(count(DISTINCT gram) * 1.0 / count(*), 6) "
+            "    AS distinct_ratio "
+            "FROM g GROUP BY doc_id"
         ),
         "zipf_slope": (
             "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "

@@ -337,3 +337,42 @@ def doc_chunks(sf_dir: str, size: int = 200, stride: int = 150) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_ngram_ratio(sf_dir: str) -> Dataset:
+    """Per-document distinct-bigram ratio (doc_id, n_grams, n_distinct,
+    distinct_ratio) over docs with >= 1 bigram — the Gopher-style
+    repetition signal expressed as diversity (a low ratio flags looping /
+    boilerplate text). Shuffle-free: every document lives in one row, so
+    one vectorized per-batch pass (tokens -> adjacent-pair keys -> grouped
+    nunique) covers the corpus."""
+    from ..functions.text import batch_word_tokens
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, doc_idx = batch_word_tokens(t["text"].to_pylist())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64()),
+                             "distinct_ratio": pa.array([], pa.float64())})
+        same = doc_idx[1:] == doc_idx[:-1]
+        d = doc_idx[:-1][same]
+        gram = pd.Series(flat[:-1][same]).str.cat(
+            pd.Series(flat[1:][same]), sep=" ")
+        df = pd.DataFrame({"d": d, "g": gram.to_numpy(object)})
+        agg = df.groupby("d")["g"].agg(["size", "nunique"])
+        out_ids = ids[agg.index.to_numpy()]
+        ng = agg["size"].to_numpy(np.int64)
+        nd = agg["nunique"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "n_grams": pa.array(ng),
+            "n_distinct": pa.array(nd),
+            "distinct_ratio": pa.array(
+                np.round(nd / ng.astype(np.float64), 6), pa.float64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
