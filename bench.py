@@ -341,6 +341,15 @@ def run_corpus_scale() -> dict:
         "winnow_fingerprints": lambda: TX.winnow_fingerprints(sf_dir).count(),
         "training_mix": lambda: C.training_mix(sf_dir).count(),
         "source_stats": lambda: len(C.source_stats(sf_dir)),
+        # round-2 continuation ops
+        "segment_dedup": lambda: C.segment_dedup(sf_dir).count(),
+        "quality_weighted_sample":
+            lambda: C.quality_weighted_sample(sf_dir).count(),
+        "bigram_lm_top": lambda: C.bigram_lm_top(sf_dir).count(),
+        "distinct_ngram_ratio":
+            lambda: TX.distinct_ngram_ratio(sf_dir).count(),
+        "doc_chunks": lambda: TX.doc_chunks(sf_dir).count(),
+        "zipf_slope": lambda: len(C.zipf_slope(sf_dir)),
     }
     times, rows = {}, {}
     for name, fn in ops.items():
