@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": G.weighted_pagerank_bipartite,
         # Luby maximal independent set (exact python-replica pytest oracle)
         "mis_cooccur": G.mis_cooccur,
+        # Jones-Plassmann greedy coloring (exact python-replica pytest)
+        "coloring_chain": G.coloring_chain,
         # weighted shortest paths, frontier Bellman-Ford (Dijkstra pytest)
         "sssp_chain": G.sssp_chain,
         # percolation robustness: hash-drop p of edges -> giant CC size

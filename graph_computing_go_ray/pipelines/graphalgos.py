@@ -473,6 +473,24 @@ def mis_cooccur(sf_dir: str) -> Dataset:
     return out
 
 
+def coloring_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Jones-Plassmann greedy coloring of the part-chain graph viewed
+    undirected (engine/coloring.py — fixed deterministic priorities, one
+    superstep round per JP phase); (id, color). The sparse chain graph is
+    the right target: JP's round count tracks the priority-path depth, so
+    on the near-clique co-occurrence graph it degenerates toward
+    color-at-a-time (measured 36 colors / 82 s at sf0.01) while the chain
+    graph colors in a handful of rounds. Exact python-replica parity plus
+    properness/maxdeg+1 pytest in tests/test_graph_extras.py."""
+    from ..engine.coloring import jones_plassmann_coloring
+
+    out, _info = jones_plassmann_coloring(
+        chain_edge_ds(sf_dir, order_mod),
+        _workdir(sf_dir, f"jpcolor-m{order_mod}"), num_parts=8,
+    )
+    return out
+
+
 def betweenness_chain(sf_dir: str, n_seeds: int = 4,
                       order_mod: int = 16) -> Dataset:
     """Sampled-source Brandes betweenness over the directed part-chain

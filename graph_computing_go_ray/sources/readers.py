@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
 
@@ -84,6 +85,26 @@ def read_any(path: str, columns: list[str] | None = None) -> Dataset:
     if ext in ("jsonl", "json"):
         ds = rd.read_json(p, file_extensions=["json", "jsonl", "gz"])
         return ds.select_columns(columns) if columns else ds
+    if ext == "orc":
+        # Ray 2.49 has no read_orc: dispatch one decode task per file via
+        # a path dataset; pyarrow's ORC reader prunes columns at the
+        # stripe reader, so projection still happens before Arrow
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(p, n) for n in os.listdir(p) if n.endswith(".orc")
+            )
+        else:
+            files = [p]
+        paths = rd.from_items(files).repartition(max(1, len(files)))
+
+        def load(t: pa.Table) -> pa.Table:
+            from pyarrow import orc
+
+            tabs = [orc.ORCFile(f).read(columns=columns)
+                    for f in t["item"].to_pylist()]
+            return pa.concat_tables(tabs) if tabs else pa.table({})
+
+        return paths.map_batches(load, batch_format="pyarrow", batch_size=1)
     raise ValueError(f"unsupported source format: {ext} ({path})")
 
 
@@ -102,6 +123,20 @@ def export_table(ds: Dataset, out_dir: str, fmt: str = "parquet") -> str:
         ds.write_csv(out_dir)
     elif fmt in ("jsonl", "json"):
         ds.write_json(out_dir)
+    elif fmt == "orc":
+        # one ORC file per block, uuid-named inside the writing task (the
+        # same no-giant-file layout as the built-in writers)
+        def write_block(t: pa.Table) -> pa.Table:
+            import uuid
+
+            from pyarrow import orc
+
+            fp = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+            orc.write_table(t, fp)
+            return pa.table({"path": pa.array([fp], pa.string()),
+                             "rows": pa.array([t.num_rows], pa.int64())})
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
     else:
         raise ValueError(f"unsupported sink format: {fmt}")
     with open(marker, "w") as f:

@@ -754,3 +754,33 @@ def test_scc_distributed_only_matches_hybrid(graph, tmp_path):
     pb_ = b.to_pandas().sort_values("id", ignore_index=True)
     assert pa_.equals(pb_)
     assert not ia["local_finish"] and (ib["local_finish"] or ib["rounds"] <= 1)
+
+
+# ----------------------------------------------------- JP graph coloring
+def test_coloring_matches_python_replica(graph):
+    from graph_computing_go_ray.engine.coloring import (
+        jones_plassmann_coloring, python_coloring_replica)
+
+    edges_pd, edges_ds, root = graph
+    out, info = jones_plassmann_coloring(
+        edges_ds, os.path.join(root, "jp"), num_parts=4
+    )
+    assert info["converged"]
+    pdf = out.to_pandas()
+    got = dict(zip(pdf["id"].astype(int), pdf["color"].astype(int)))
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    want = python_coloring_replica(
+        list(zip(edges_pd["src"], edges_pd["dst"])), ids)
+    assert got == want
+    # structural: proper coloring, palette bounded by maxdeg + 1
+    nbrs = {}
+    for s, d in zip(edges_pd["src"], edges_pd["dst"]):
+        if s != d:
+            nbrs.setdefault(int(s), set()).add(int(d))
+            nbrs.setdefault(int(d), set()).add(int(s))
+    for v, c in got.items():
+        assert c >= 0
+        for u in nbrs.get(v, ()):
+            assert got[u] != c, f"edge ({v},{u}) monochromatic"
+    maxdeg = max(len(x) for x in nbrs.values())
+    assert max(got.values()) <= maxdeg

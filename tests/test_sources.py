@@ -42,3 +42,19 @@ def test_read_any_single_file_dispatch(tmp_path):
     df.to_csv(p, index=False)
     got = read_any(p, columns=["a"]).to_pandas()
     assert list(got.columns) == ["a"] and sorted(got["a"]) == [1, 2]
+
+
+def test_roundtrip_orc(tmp_path):
+    """ORC export -> read_any with column pruning round-trips exactly."""
+    src = read_table(SF, "documents", columns=["doc_id", "lang", "n_chars"])
+    want = _canon(src.to_pandas())
+    out = str(tmp_path / "orc")
+    export_table(src, out, fmt="orc")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    files = [n for n in os.listdir(out) if n.endswith(".orc")]
+    assert files, "no ORC part files written"
+    got = _canon(read_any(out, columns=["doc_id", "lang", "n_chars"]).to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # column pruning: a narrower projection returns only those columns
+    narrow = read_any(out, columns=["doc_id"]).to_pandas()
+    assert list(narrow.columns) == ["doc_id"]
