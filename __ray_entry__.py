@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # harmonic centrality from the HyperBall lineage (exact-BFS pytest)
         "harmonic_cooccur": G.harmonic_cooccur,
         "bfs_cooccur": G.bfs_cooccur,
+        # double-sweep diameter lower bound (python-BFS parity pytest)
+        "diameter_2sweep": G.diameter_2sweep,
         # strongly connected components by FW/BW min-label peeling
         # (iterative Tarjan-parity pytest oracle in tests/test_graph_extras.py)
         "scc_chain": G.scc_chain,

@@ -208,6 +208,29 @@ def bfs_cooccur(sf_dir: str) -> Dataset:
     return out.rename_columns({"id": "id", "dist": "dist"})
 
 
+def diameter_2sweep(sf_dir: str) -> pd.DataFrame:
+    """Double-sweep diameter lower bound of the undirected part
+    co-occurrence graph (Magnien/Latapy/Habib's classic heuristic): BFS
+    from the min vertex id, take the farthest vertex (ties -> min id),
+    BFS again from it — the second eccentricity lower-bounds the true
+    diameter and is usually tight on web-ish graphs. One row
+    (seed1, seed2, lb_diameter). Composition of the engine/bfs.py kernel;
+    exact python-BFS parity pytest in tests/test_graph_extras.py."""
+    from ..engine.bfs import bfs_depths
+
+    edges = cooccur_edge_ds(sf_dir)
+    seed1 = int(edges.min("src"))
+    d1, _ = bfs_depths(edges, [seed1], _workdir(sf_dir, f"dsw1_{seed1}"),
+                       num_parts=8, symmetrize=True)
+    far = d1.sort(["dist", "id"], descending=[True, False]).limit(1).to_pandas()
+    seed2 = int(far["id"].iloc[0])
+    d2, _ = bfs_depths(edges, [seed2], _workdir(sf_dir, f"dsw2_{seed2}"),
+                       num_parts=8, symmetrize=True)
+    lb = int(d2.max("dist"))
+    return pd.DataFrame([{"seed1": np.int64(seed1), "seed2": np.int64(seed2),
+                          "lb_diameter": np.int64(lb)}])
+
+
 def global_clustering(sf_dir: str) -> pd.DataFrame:
     """Global clustering coefficient of the part co-occurrence graph:
     3 * n_triangles / n_wedges (0 when wedge-free), with the exact wedge

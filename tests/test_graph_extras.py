@@ -254,7 +254,10 @@ def test_scc_tiny_with_trim():
         edges, "/tmp/gcgr_test_scc_tiny", num_parts=2, trim_rounds=2,
         resume=False,
     )
-    got = dict(zip(*[out.to_pandas()[c].astype(int) for c in ("id", "scc_id")]))
+    # one to_pandas (two calls re-execute the pipeline in different row
+    # orders and scramble the zip — see test_triangles_bfs)
+    pdf_ = out.to_pandas()
+    got = dict(zip(pdf_["id"].astype(int), pdf_["scc_id"].astype(int)))
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}
     assert info["rounds"] >= 1
 
@@ -784,3 +787,41 @@ def test_coloring_matches_python_replica(graph):
             assert got[u] != c, f"edge ({v},{u}) monochromatic"
     maxdeg = max(len(x) for x in nbrs.values())
     assert max(got.values()) <= maxdeg
+
+
+def test_diameter_2sweep_matches_python_bfs():
+    """Double-sweep lower bound == python BFS replica of the same seed
+    rule on the sf0.001 co-occurrence graph."""
+    import collections
+
+    from graph_computing_go_ray.pipelines.graphalgos import (
+        cooccur_edge_ds, diameter_2sweep)
+
+    sf = "/root/testdata/sf0.001"
+    edges = cooccur_edge_ds(sf).to_pandas()
+    adj = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+
+    def bfs(s0):
+        dist = {s0: 0}
+        dq = collections.deque([s0])
+        while dq:
+            v = dq.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        return dist
+
+    got = diameter_2sweep(sf).iloc[0]
+    s1 = int(edges["src"].min())
+    d1 = bfs(s1)
+    # ties -> min id: replicate the sort(["dist","id"],desc=[T,F]).limit(1)
+    best = max(d1.values())
+    s2 = min(v for v, dd in d1.items() if dd == best)
+    d2 = bfs(s2)
+    assert int(got["seed1"]) == s1
+    assert int(got["seed2"]) == s2
+    assert int(got["lb_diameter"]) == max(d2.values())

@@ -60,7 +60,12 @@ def test_bfs_depths_matches_python_bfs(tmp_path):
     ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
     seed = int(df["src"].min())
     out, info = bfs_depths(ds, [seed], str(tmp_path / "bfs"), num_parts=4)
-    got = dict(zip(*[out.to_pandas()[c].to_numpy() for c in ("id", "dist")]))
+    # ONE to_pandas: each call re-executes the lazy pipeline and Ray's row
+    # order differs across executions — zipping columns from two separate
+    # executions scrambles the id<->dist pairing (the source of this
+    # test's historical flake; engine output was always correct)
+    pdf = out.to_pandas()
+    got = dict(zip(pdf["id"].to_numpy(), pdf["dist"].to_numpy()))
     want = _exact_bfs(df, seed)
     assert got == want
     assert info["iterations"] >= max(want.values())
