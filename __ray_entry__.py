@@ -31,7 +31,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from graph_computing_go_ray.pipelines import similarity as S
     from graph_computing_go_ray.pipelines import textstats as TX
 
+    # ORDERING CONTRACT (round 3): the driver verifies only the FIRST 50
+    # entries, so oracle-backed queries rotate through that window across
+    # rounds. Round 2 checked the first 50 of the r2 ordering (recorded in
+    # CORRECTNESS_r02.json); the 41 oracle-backed queries the driver has
+    # never sampled go FIRST this round, followed by queries new in round 3,
+    # then the already-green r2 block.
     return {
+        # --- round-3 driver window: the 41 oracle queries never sampled ---
+        # A9 Google distance
+        "google_distance": R.google_distance_parts,
+        # text analysis (training-data ops)
+        "token_counts": TX.token_counts,
+        # sequence-packing assignment via distributed ordered prefix sum
+        "pack_offsets": TX.pack_offsets,
+        "quality_scores": TX.quality_scores,
+        "fingerprints": TX.fingerprints,
+        "lang_id": TX.lang_id,
+        # corpus-statistics LM-style quality score (2-pass, join-applied)
+        "unigram_logprob": TX.unigram_logprob,
+        # dedup suite
+        "exact_dedup": D.exact_dedup_keep,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        # similarity search
+        "ann_topk": S.ann_topk,
+        "cosine_pairs": S.cosine_pairs,
+        # embedding-cosine near-dup dedup (keep = no smaller near-duplicate)
+        "embedding_dedup_keep": S.embedding_dedup_keep,
+        # gap-based sessionization (streaming-shaped)
+        "events_sessionize": R.events_sessionize,
+        # ordered conversion funnel: view -> click -> purchase
+        "events_funnel": R.events_funnel,
+        # as-of join (custom operator Ray Data lacks natively)
+        "events_asof_orders": R.events_asof_orders,
+        # hopping (sliding) window aggregate
+        "events_hopping_window": R.events_hopping_window,
+        # range (interval) join: later events of same user within 30 min
+        "events_range_pairs": R.events_range_pairs,
+        # per-key ordered running aggregate (cumulative window)
+        "events_running_total": R.events_running_total,
+        # grouped top-k with pre-shuffle partial top-k
+        "top_orders_per_segment": R.top_orders_per_segment,
+        # shuffle-based anti-join
+        "customers_no_orders": R.customers_no_orders,
+        # corpus statistics (training-data pipeline layer)
+        "hash_sample": C.hash_sample,
+        "source_stats": C.source_stats,
+        "bpe_pair_counts": C.bpe_pair_counts,
+        "token_df": C.token_df,
+        "tfidf_top_terms": C.tfidf_top_terms,
+        # benchmark decontamination (broadcast shingle membership)
+        "benchmark_contamination": C.benchmark_contamination,
+        # deterministic stratified per-source sample (content-hash order)
+        "stratified_sample": C.stratified_sample,
+        # weighted source mixing + hash-shuffle sharding (training output)
+        "training_mix": C.training_mix,
+        # per-source token-distribution Shannon entropy
+        "token_entropy_per_source": C.token_entropy_per_source,
+        # exact per-source n_chars quantiles via value histograms
+        "chars_quantiles_per_source": C.chars_quantiles_per_source,
+        # capstone: quality -> dedup -> near-dup -> decontaminate -> shard
+        "curation_pipeline": C.curation_pipeline,
+        # within-doc n-gram repetition ratio (quality signal)
+        "repetition_scores": TX.repetition_scores,
+        # per-doc distinct-bigram diversity ratio (Gopher-style signal)
+        "distinct_ngram_ratio": TX.distinct_ngram_ratio,
+        # winnowing fingerprint (min-md5 over token windows)
+        "winnow_fingerprints": TX.winnow_fingerprints,
+        # PMI collocations (pair/unigram joins, never-broadcast vocab)
+        "pmi_top_pairs": C.pmi_top_pairs,
+        # near-dup clustering: jaccard pairs -> connected components -> keep
+        "near_dup_clusters": D.near_dup_clusters,
+        # CCNet-style sub-document segment dedup (per-doc retention)
+        "segment_dedup": C.segment_dedup,
+        # content-hash importance sampling at a per-doc quality rate
+        "quality_weighted_sample": C.quality_weighted_sample,
+        # bigram-LM conditional probabilities, denominator co-bucketed
+        "bigram_lm_top": C.bigram_lm_top,
+        # context-window chunking (RAG preprocessing; md5 only, no text)
+        "doc_chunks": TX.doc_chunks,
+        # exact distributed quantiles (two-pass histogram refinement)
+        "price_quantiles": R.price_quantiles,
+        # --- queries new in round 3 (also inside the driver window) ---
+        # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
         "out_degree": R.out_degree,
@@ -124,92 +206,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": S.kmeans_embeddings,
         # distributed PCA via moment partials (numpy-replica pytest oracle)
         "pca_embeddings": S.pca_embeddings,
-        # A9 Google distance
-        "google_distance": R.google_distance_parts,
-        # text analysis (training-data ops)
-        "token_counts": TX.token_counts,
-        # sequence-packing assignment via distributed ordered prefix sum
-        "pack_offsets": TX.pack_offsets,
-        "quality_scores": TX.quality_scores,
-        "fingerprints": TX.fingerprints,
-        "lang_id": TX.lang_id,
         "rolling_fingerprints": TX.rolling_fingerprints,
-        # corpus-statistics LM-style quality score (2-pass, join-applied)
-        "unigram_logprob": TX.unigram_logprob,
         # count-min heavy hitters (accuracy asserted in pytest)
         "approx_top_tokens": TX.approx_top_tokens,
-        # dedup suite
-        "exact_dedup": D.exact_dedup_keep,
-        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "minhash_lsh_pairs": D.minhash_lsh_pairs,
         "simhash_pairs": D.simhash_pairs,
-        # similarity search
-        "ann_topk": S.ann_topk,
-        "cosine_pairs": S.cosine_pairs,
         "lsh_cosine_pairs": S.lsh_cosine_pairs,
         "ivf_topk": S.ivf_topk,
-        # embedding-cosine near-dup dedup (keep = no smaller near-duplicate)
-        "embedding_dedup_keep": S.embedding_dedup_keep,
-        # gap-based sessionization (streaming-shaped)
-        "events_sessionize": R.events_sessionize,
-        # ordered conversion funnel: view -> click -> purchase
-        "events_funnel": R.events_funnel,
-        # as-of join (custom operator Ray Data lacks natively)
-        "events_asof_orders": R.events_asof_orders,
-        # hopping (sliding) window aggregate
-        "events_hopping_window": R.events_hopping_window,
-        # range (interval) join: later events of same user within 30 min
-        "events_range_pairs": R.events_range_pairs,
-        # per-key ordered running aggregate (cumulative window)
-        "events_running_total": R.events_running_total,
         # HyperLogLog approximate distinct (accuracy asserted in pytest)
         "approx_distinct_parts": R.approx_distinct_parts,
-        # grouped top-k with pre-shuffle partial top-k
-        "top_orders_per_segment": R.top_orders_per_segment,
-        # shuffle-based anti-join
-        "customers_no_orders": R.customers_no_orders,
-        # corpus statistics (training-data pipeline layer)
-        "hash_sample": C.hash_sample,
-        "source_stats": C.source_stats,
-        "bpe_pair_counts": C.bpe_pair_counts,
-        "token_df": C.token_df,
-        "tfidf_top_terms": C.tfidf_top_terms,
-        # benchmark decontamination (broadcast shingle membership)
-        "benchmark_contamination": C.benchmark_contamination,
-        # deterministic stratified per-source sample (content-hash order)
-        "stratified_sample": C.stratified_sample,
-        # weighted source mixing + hash-shuffle sharding (training output)
-        "training_mix": C.training_mix,
-        # per-source token-distribution Shannon entropy
-        "token_entropy_per_source": C.token_entropy_per_source,
-        # exact per-source n_chars quantiles via value histograms
-        "chars_quantiles_per_source": C.chars_quantiles_per_source,
         # iterative BPE merge training (pytest oracle: python replica)
         "bpe_train": C.bpe_train,
         # tokenizer application: per-doc raw vs BPE token counts
         "bpe_apply": C.bpe_apply,
-        # capstone: quality -> dedup -> near-dup -> decontaminate -> shard
-        "curation_pipeline": C.curation_pipeline,
-        # within-doc n-gram repetition ratio (quality signal)
-        "repetition_scores": TX.repetition_scores,
-        # per-doc distinct-bigram diversity ratio (Gopher-style signal)
-        "distinct_ngram_ratio": TX.distinct_ngram_ratio,
-        # winnowing fingerprint (min-md5 over token windows)
-        "winnow_fingerprints": TX.winnow_fingerprints,
-        # PMI collocations (pair/unigram joins, never-broadcast vocab)
-        "pmi_top_pairs": C.pmi_top_pairs,
-        # near-dup clustering: jaccard pairs -> connected components -> keep
-        "near_dup_clusters": D.near_dup_clusters,
-        # CCNet-style sub-document segment dedup (per-doc retention)
-        "segment_dedup": C.segment_dedup,
-        # content-hash importance sampling at a per-doc quality rate
-        "quality_weighted_sample": C.quality_weighted_sample,
-        # bigram-LM conditional probabilities, denominator co-bucketed
-        "bigram_lm_top": C.bigram_lm_top,
-        # context-window chunking (RAG preprocessing; md5 only, no text)
-        "doc_chunks": TX.doc_chunks,
-        # exact distributed quantiles (two-pass histogram refinement)
-        "price_quantiles": R.price_quantiles,
     }
 
 
