@@ -368,14 +368,42 @@ def lsh_cosine_pairs(
     return paired.map_batches(verify, batch_format="pyarrow")
 
 
-def embedding_dedup_keep(sf_dir: str, threshold: float = 0.35) -> Dataset:
+# Above this row count the exact O(n^2/B^2)-task block-pair sweep is no
+# longer the right default and the banded-LSH candidate path takes over.
+EXACT_PAIRS_MAX_ROWS = 50_000
+
+
+def embedding_dedup_keep(
+    sf_dir: str, threshold: float = 0.35, force_path: str | None = None,
+    lsh_tables: int = 32,
+) -> Dataset:
     """Embedding-cosine near-duplicate dedup (keep rule): drop every vector
     that has cosine >= threshold to some SMALLER vec_id; survivors are the
-    canonical representatives. Built on the exact block-pair search — the
-    dropped set is exactly the distinct vec_b column of cosine_pairs, so the
-    keep step is one distinct + broadcast anti-join over ids (ids only; no
-    embedding ever reaches the driver)."""
-    pairs = cosine_pairs(sf_dir, threshold=threshold)
+    canonical representatives.
+
+    Scale path (default above EXACT_PAIRS_MAX_ROWS vectors): candidates from
+    banded random-hyperplane LSH (lsh_cosine_pairs) at a high-recall setting
+    (32 tables ~= per-pair miss 4e-4 at the 0.35 threshold; both fixture
+    drop sets verified equal to the exact sweep in
+    tests/test_textops.py::test_embedding_dedup_lsh_path_matches_exact),
+    each candidate exact-verified by joining the embeddings onto the pair by
+    vec_id — never an all-pairs sweep, never a matrix broadcast. Small
+    inputs keep the exact block-pair sweep, whose dropped set is exact by
+    construction. Either way the dropped set is the distinct vec_b column,
+    so the keep step is one distinct + broadcast anti-join over ids (ids
+    only; no embedding ever reaches the driver)."""
+    if force_path is None:
+        n_rows = pq.read_metadata(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).num_rows
+        use_lsh = n_rows > EXACT_PAIRS_MAX_ROWS
+    else:
+        use_lsh = force_path == "lsh"
+    if use_lsh:
+        pairs = lsh_cosine_pairs(sf_dir, threshold=threshold,
+                                 n_tables=lsh_tables)
+    else:
+        pairs = cosine_pairs(sf_dir, threshold=threshold)
     dropped = pairs.map_batches(
         lambda t: pa.table({"vec_b": t["vec_b"]}), batch_format="pyarrow"
     ).unique("vec_b")

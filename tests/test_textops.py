@@ -145,6 +145,20 @@ def test_lsh_cosine_recall_vs_bruteforce():
     assert recall >= 0.6, f"lsh recall {recall} of {len(want)} pairs"
 
 
+def test_embedding_dedup_lsh_path_matches_exact():
+    """The scale path (LSH candidates -> exact verify) must produce the
+    SAME keep set as the exact block-pair sweep on the fixture (VERDICT r2
+    next-round item #2); the default path picker routes small inputs to
+    the exact sweep and large ones to LSH."""
+    sf = "/root/testdata/sf0.001"
+    exact = S.embedding_dedup_keep(sf, force_path="exact").to_pandas()
+    lsh = S.embedding_dedup_keep(sf, force_path="lsh").to_pandas()
+    assert set(exact["vec_id"]) == set(lsh["vec_id"])
+    # fixture is below the cutoff -> the default must match the exact path
+    dflt = S.embedding_dedup_keep(sf).to_pandas()
+    assert set(dflt["vec_id"]) == set(exact["vec_id"])
+
+
 def test_lang_id_on_marker_text(tmp_path):
     rows = [
         {"doc_id": 0, "text": "the cat and the dog of a house is that it for"},
