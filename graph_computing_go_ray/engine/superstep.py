@@ -224,21 +224,38 @@ def _init_state(workdir: str, program: VertexProgram, info: dict) -> str:
 
     run_id = uuid.uuid4().hex
     ckpt.ensure_dir(ckpt.state_dir(workdir, 0))
-    metrics_rows = []
-    for p in info["parts"]:
-        base = ckpt.read_table_at(
-            ckpt.join(workdir, "base", f"part-{p:05d}.parquet")
-        )
-        df = base.to_pandas()
-        st = program.init_state(
-            df["id"].to_numpy(), df["out_degree"].to_numpy(),
-            df["in_degree"].to_numpy(), info["n_vertices"],
-        )
-        ckpt.write_part(workdir, 0, p,
-                        pa.Table.from_pandas(st, preserve_index=False))
-        m0 = {"part": p, "n": len(st)}
-        m0.update(program.init_metrics(st))
-        metrics_rows.append(m0)
+    n_total = info["n_vertices"]
+
+    def init_part(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for p in batch["part"]:
+            p = int(p)
+            df = ckpt.read_table_at(
+                ckpt.join(workdir, "base", f"part-{p:05d}.parquet")
+            ).to_pandas()
+            st = program.init_state(
+                df["id"].to_numpy(), df["out_degree"].to_numpy(),
+                df["in_degree"].to_numpy(), n_total,
+            )
+            ckpt.write_part(workdir, 0, p,
+                            pa.Table.from_pandas(st, preserve_index=False))
+            m0 = {"part": p, "n": len(st)}
+            m0.update(program.init_metrics(st))
+            rows.append(m0)
+        return pd.DataFrame(rows)
+
+    # distributed seed: one Ray task per part writes its iter-0 shard
+    # (the vwrite pattern of build_graph_partitions); the driver only
+    # collects the tiny metrics frame — no O(|V|) bytes through one process
+    mdf = (
+        rd.from_items([{"part": int(p)} for p in info["parts"]])
+        .map_batches(init_part, batch_format="pandas", batch_size=1)
+        .to_pandas()
+    )
+    metrics_rows = [
+        {k: (v.item() if hasattr(v, "item") else v) for k, v in rec.items()}
+        for rec in mdf.sort_values("part").to_dict("records")
+    ]
     ckpt.write_manifest(
         workdir, 0,
         {"iteration": 0, "parent": None, "program": program.name,
