@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed quantiles (two-pass histogram refinement)
         "price_quantiles": R.price_quantiles,
         # --- queries new in round 3 (also inside the driver window) ---
+        # K11b: OpenAlex sub-discipline multilayer KQI (python-replica
+        # pytest oracle in tests/test_subdiscipline.py; rows-only here)
+        "sub_discipline_entropy": _sub_discipline_entropy,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -220,6 +223,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer application: per-doc raw vs BPE token counts
         "bpe_apply": C.bpe_apply,
     }
+
+
+def _sub_discipline_entropy(sf_dir: str):
+    from graph_computing_go_ray.pipelines.citations import (
+        sub_discipline_entropy_query,
+    )
+
+    return sub_discipline_entropy_query(sf_dir)
 
 
 def _lang_id_oracle() -> str:

@@ -198,3 +198,208 @@ def yearly_fold(
                     **{k: v for k, v in rep.items()},
                 })
     return pd.DataFrame(reports)
+
+
+# ------------------------------------------------- sub-discipline KQI (K11b)
+def sub_discipline_structural_entropy(
+    works_dir: str,
+    top_subject: str = "Biology",
+    years: tuple[int, ...] | list[int] = (2024,),
+    sub_concepts: list[str] | None = None,
+    percent_ends: tuple[int, ...] = (100, 40, 10, 20, 60, 80),
+    rank_type: str = "current",
+    gather_links_in: int = 2,
+    num_buckets: int = 4,
+) -> pd.DataFrame:
+    """Per-year multilayer (KQI) structural entropy of ONE lv0 discipline
+    partitioned by its lv1 sub-disciplines — the Ray rebuild of
+    SubDispolieDistructuralEntropyDemo
+    (/root/reference/internal/openAlexEntropy/openAlexSubDisplineStructuralEntropy.go:16-215,
+    sink InsertNewStructuralEntropySubDiscipline mongo.go:60-182).
+
+    Per year (reference line refs in parentheses):
+    - works tagged with any sub-concept of `top_subject` in concepts_lv1
+      form the academic circle; a work carries every matching lv1 tag
+      (:41-66). `sub_concepts` is the lv1 taxonomy under the discipline
+      (GetSubConcepts in the reference; defaults to the fixture naming
+      convention `{top_subject}-L1-k`).
+    - year filter pub_year<=Y, circle shrink (edges within the circle) and
+      current-in-degree >= gather_links_in (=2) vertex filter (:80-120,
+      worksShrink/filterWorksByLinksIn openAlexEntropy.go:341-374).
+    - per plan end-percent: EACH sub-discipline is ranked by current
+      (or total) in-degree independently and sliced to its top
+      ceil(n_s*end/100) works (:167-189); ties broken by (-deg, id) total
+      order — the repo-wide deterministic deviation from Go's unstable sort.
+    - the union of kept works (cats = sub-disciplines under which the work
+      SURVIVED the slice, :192-199) feeds the A6 layer-graph KQI; edges are
+      the circle's citation edges — expanded_edges' inner joins replicate
+      cleanGraph's pruning to the kept vertex set (:202-207).
+
+    Scale shape: sub-concept taxonomy is a true dimension (broadcast);
+    every work-scale hop is a bucketed join; per-subject slice boundaries
+    use the distributed histogram machinery (engine/rank.py) so no ranked
+    id list reaches the driver; only per-(year, plan) scalar entropy rows
+    are collected."""
+    from ..engine.join import (add_bucket, bucket_grouped_count, bucket_join,
+                               rename)
+    from ..engine.multilayer import multilayer_entropy
+    from ..engine.rank import percent_slice_boundaries, slice_member_mask
+
+    if sub_concepts is None:
+        sub_concepts = [f"{top_subject}-L1-{k}" for k in range(4)]
+    sset = set(sub_concepts)
+
+    w = rd.read_parquet(
+        os.path.join(works_dir, "works.parquet"),
+        columns=["id", "publication_year", "referenced_works",
+                 "links_in_works", "concepts_lv1"],
+    )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        # M7 useless filter + explode matching lv1 tags (one row per
+        # (work, sub-discipline); a work may carry several)
+        useless = pc.and_(
+            pc.equal(t["links_in_works"], 0),
+            pc.equal(pc.list_value_length(t["referenced_works"]), 0),
+        )
+        f = t.filter(pc.invert(useless))
+        ids, yrs, liw, cats = [], [], [], []
+        for i, y, lw, cs in zip(
+            f["id"].to_pylist(), f["publication_year"].to_pylist(),
+            f["links_in_works"].to_pylist(), f["concepts_lv1"].to_pylist(),
+        ):
+            for c in set(cs) & sset:
+                ids.append(i); yrs.append(y); liw.append(lw); cats.append(c)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "publication_year": pa.array(yrs, pa.int32()),
+            "links_in_works": pa.array(liw, pa.int32()),
+            "cat": pa.array(cats, pa.large_string()),
+        })
+
+    member_all = w.map_batches(member_rows, batch_format="pyarrow").materialize()
+
+    def refs_of_members(t: pa.Table) -> pa.Table:
+        useless = pc.and_(
+            pc.equal(t["links_in_works"], 0),
+            pc.equal(pc.list_value_length(t["referenced_works"]), 0),
+        )
+        f = t.filter(pc.invert(useless))
+        keep = pa.array([bool(set(cs) & sset)
+                         for cs in f["concepts_lv1"].to_pylist()])
+        f = f.filter(keep)
+        lens = pc.list_value_length(f["referenced_works"]).to_numpy(
+            zero_copy_only=False)
+        src = np.repeat(f["id"].to_numpy(zero_copy_only=False), lens)
+        sy = np.repeat(f["publication_year"].to_numpy(zero_copy_only=False),
+                       lens)
+        dst = pc.list_flatten(f["referenced_works"]).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64()),
+                         "src_year": pa.array(sy, pa.int32())})
+
+    edges_all = w.map_batches(refs_of_members, batch_format="pyarrow")
+
+    reports = []
+    for year in years:
+        member_y = member_all.filter(
+            expr=f"publication_year <= {year}").materialize()
+        # distinct circle ids (a work tagged k sub-disciplines is ONE vertex)
+        verts = bucket_grouped_count(
+            member_y.select_columns(["id"]), ["id"], "__c",
+            num_buckets=num_buckets).select_columns(["id"])
+        # circle shrink: both edge endpoints inside the circle
+        e1 = bucket_join(
+            edges_all.filter(expr=f"src_year <= {year}")
+            .select_columns(["src", "dst"]),
+            rename(verts, {"id": "did"}),
+            on="dst", right_on="did", how="inner", num_buckets=num_buckets)
+        # (src is a member by construction; the year filter bounds it)
+        edges_y = e1.materialize()
+
+        cur = bucket_grouped_count(edges_y, ["dst"], "cur_in",
+                                   num_buckets=num_buckets)
+        # T4: current in-degree >= gather_links_in (absent -> 0 -> dropped)
+        keep = cur.filter(expr=f"cur_in >= {gather_links_in}")
+        memberk = bucket_join(
+            member_y, rename(keep, {"dst": "kid"}),
+            on="id", right_on="kid", how="inner", num_buckets=num_buckets,
+        ).materialize()
+        if memberk.count() == 0:
+            continue
+
+        key = "cur_in" if rank_type == "current" else "links_in_works"
+        bounds_by_cat: dict[str, dict] = {}
+        for s in sorted(sset):
+            mc = memberk.filter(expr=f'cat == "{s}"').materialize()
+            n_s = mc.count()
+            if n_s == 0:
+                continue
+            bounds_by_cat[s] = percent_slice_boundaries(
+                mc.select_columns(["id", key]), key, "id",
+                list(percent_ends), n_s)
+
+        for end in percent_ends:
+            bmap = {s: b[end] for s, b in bounds_by_cat.items()}
+
+            def in_slice(t: pa.Table, _bm=bmap, _k=key) -> pa.Table:
+                ids = t["id"].to_numpy(zero_copy_only=False)
+                deg = t[_k].to_numpy(zero_copy_only=False)
+                cats = t["cat"].to_pylist()
+                m = np.zeros(len(ids), dtype=bool)
+                for s, b in _bm.items():
+                    in_cat = np.array([c == s for c in cats])
+                    if in_cat.any():
+                        m[in_cat] = slice_member_mask(
+                            deg[in_cat], ids[in_cat], b)
+                return pa.table({"id": t["id"].filter(pa.array(m)),
+                                 "cat": t["cat"].filter(pa.array(m))})
+
+            kept = memberk.map_batches(in_slice, batch_format="pyarrow")
+
+            def cats_of(g: pd.DataFrame) -> pd.DataFrame:
+                gg = (g.sort_values(["id", "cat"])
+                       .groupby("id", sort=True)["cat"].agg(list)
+                       .reset_index())
+                return pd.DataFrame({"id": gg["id"], "cats": gg["cat"]})
+
+            vertices = (
+                add_bucket(kept, "id", num_buckets)
+                .groupby("bucket")
+                .map_groups(cats_of, batch_format="pandas")
+            )
+            res = multilayer_entropy(vertices, edges_y,
+                                     num_buckets=num_buckets)
+            reports.append({
+                "year": int(year), "start_percent": 0, "end_percent": int(end),
+                "rank_type": rank_type, "top_subject": top_subject,
+                "big_degree_entropy": res["big_degree_entropy"],
+                "little_structural_entropy": res["little_structural_entropy"],
+                "m": int(res["m"]),
+            })
+    return pd.DataFrame(reports)
+
+
+def sub_discipline_entropy_query(sf_dir: str) -> pd.DataFrame:
+    """Driver surface for K11b: runs the sub-discipline KQI over a
+    deterministic synthetic works table (the OpenAlex shape has no sf-dir
+    analog; the fixture is keyed by its parameters so reruns reuse it).
+    No SQL oracle — the clone-expansion KQI is exercised exactly by the
+    python replica in tests/test_subdiscipline.py; the driver records the
+    rows-only check."""
+    import tempfile
+
+    from ..sources.works_gen import generate_works
+
+    d = os.path.join(tempfile.gettempdir(), "graft_works_subdisc")
+    generate_works(d, n_works=1200, seed=23, year_lo=2010, year_hi=2024,
+                   subjects=["Biology", "Physics", "Chemistry", "Medicine"])
+    # gather=1 (not the reference's 2): the synthetic circle is far sparser
+    # than real OpenAlex, and =2 leaves a near-empty graph; the =2 path is
+    # exercised exactly by the pytest replica.
+    out = sub_discipline_structural_entropy(
+        d, top_subject="Biology", years=(2024, 2018),
+        percent_ends=(100, 40), num_buckets=4, gather_links_in=1,
+    )
+    return out.sort_values(["year", "end_percent"], ignore_index=True)

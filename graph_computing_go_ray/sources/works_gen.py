@@ -26,9 +26,15 @@ SUBJECTS = [
 def generate_works(
     out_dir: str, n_works: int = 2000, seed: int = 42,
     year_lo: int = 2000, year_hi: int = 2024, force: bool = False,
+    subjects: list[str] | None = None,
 ) -> str:
+    """`subjects` narrows the tag universe (default: all 19) — a small list
+    concentrates membership so per-discipline citation subgraphs stay dense
+    enough for in-degree gather filters at small n_works."""
+    if subjects is None:
+        subjects = SUBJECTS
     marker = os.path.join(out_dir, "_SUCCESS")
-    stamp = f"{n_works}-{seed}-{year_lo}-{year_hi}-v1"
+    stamp = f"{n_works}-{seed}-{year_lo}-{year_hi}-s{len(subjects)}-v1"
     if not force and os.path.exists(marker) and open(marker).read().strip() == stamp:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -66,11 +72,11 @@ def generate_works(
 
     lv0, lv1, lv2 = [], [], []
     for i in range(n_works):
-        k = 1 + (int(rng.zipf(2.5)) - 1) % 3  # 1-3 subjects, mostly 1
-        subs = list(rng.choice(len(SUBJECTS), size=k, replace=False))
-        lv0.append([SUBJECTS[s] for s in subs])
-        lv1.append([f"{SUBJECTS[s]}-L1-{int(rng.randint(0, 4))}" for s in subs])
-        lv2.append([f"{SUBJECTS[s]}-L2-{int(rng.randint(0, 8))}" for s in subs])
+        k = 1 + (int(rng.zipf(2.5)) - 1) % min(3, len(subjects))
+        subs = list(rng.choice(len(subjects), size=k, replace=False))
+        lv0.append([subjects[s] for s in subs])
+        lv1.append([f"{subjects[s]}-L1-{int(rng.randint(0, 4))}" for s in subs])
+        lv2.append([f"{subjects[s]}-L2-{int(rng.randint(0, 8))}" for s in subs])
 
     t = pa.table({
         "id": pa.array(ids, pa.int64()),
