@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K11b: OpenAlex sub-discipline multilayer KQI (python-replica
         # pytest oracle in tests/test_subdiscipline.py; rows-only here)
         "sub_discipline_entropy": _sub_discipline_entropy,
+        # M2 complete: snapshot selection + YearTags forward-fill
+        "order_year_snapshot_tags": R.order_year_snapshot_tags,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -346,6 +348,23 @@ def oracle_sql() -> dict[str, str]:
             "      ORDER BY abs(epoch(make_timestamp(CAST(year(o_orderdate) AS BIGINT), 12, 31, "
             "                    23, 59, 59.0)) - epoch(o_orderdate)), o_orderkey) AS rn "
             "  FROM orders) WHERE rn = 1"
+        ),
+        "order_year_snapshot_tags": (
+            "WITH snaps AS ("
+            "  SELECT o_custkey, year, o_orderkey FROM ("
+            "    SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS year, o_orderkey, "
+            "      row_number() OVER (PARTITION BY o_custkey, year(o_orderdate) "
+            "        ORDER BY abs(epoch(make_timestamp(CAST(year(o_orderdate) AS BIGINT), 12, 31, "
+            "                      23, 59, 59.0)) - epoch(o_orderdate)), o_orderkey) AS rn "
+            "    FROM orders) WHERE rn = 1"
+            "), nxt AS ("
+            "  SELECT o_custkey, o_orderkey, year, "
+            "    CAST(lead(year, 1, (SELECT max(year(o_orderdate)) + 1 FROM orders)) "
+            "      OVER (PARTITION BY o_custkey ORDER BY year) AS INTEGER) AS ny "
+            "  FROM snaps) "
+            "SELECT o_custkey, o_orderkey, year AS snap_year, "
+            "  CAST(unnest(generate_series(year, ny - 1)) AS INTEGER) AS tag_year "
+            "FROM nxt"
         ),
         "link_entropy_per_vertex": (
             "SELECT l_orderkey AS src, round(log2(sum(l_quantity)) - "

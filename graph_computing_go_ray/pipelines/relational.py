@@ -360,6 +360,63 @@ def order_year_snapshot(sf_dir: str) -> Dataset:
     )
 
 
+def order_year_snapshot_tags(sf_dir: str) -> Dataset:
+    """M2 complete: yearly snapshot selection PLUS the YearTags forward-fill
+    (extractWikipediaDump.go:181-190) — each kept snapshot carries every
+    year from its own up to (exclusive) the customer's next snapshot year;
+    the customer's LAST snapshot is filled through the table-wide max
+    order year (the reference's fixed endYear=2024 horizon). One output
+    row per (snapshot, tag year).
+
+    The fill is vectorized inside the same per-customer-bucket kernel as
+    the selection (all rows of a customer land in one bucket): next-year
+    via grouped shift(-1), the ragged [year, next) ranges via one
+    np.repeat + cumulative-offset arange — no per-customer Python loop."""
+    from ..engine.join import bucket_grouped
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    # tiny driver-side scalar: the global horizon year
+    end_year = int(pd.Timestamp(
+        read_table(sf_dir, "orders", columns=["o_orderdate"]).max("o_orderdate")
+    ).year)
+
+    def pick_fill(g: pd.DataFrame) -> pd.DataFrame:
+        years = g["o_orderdate"].dt.year
+        anchors = pd.to_datetime(
+            {"year": years, "month": 12, "day": 31,
+             "hour": 23, "minute": 59, "second": 59}
+        )
+        g = g.assign(year=years.astype("int32"),
+                     dist=(g["o_orderdate"] - anchors).abs())
+        g = g.sort_values(["o_custkey", "year", "dist", "o_orderkey"])
+        out = g.drop_duplicates(["o_custkey", "year"], keep="first")
+        out = out.sort_values(["o_custkey", "year"], ignore_index=True)
+        nxt = (out.groupby("o_custkey")["year"].shift(-1)
+               .fillna(end_year + 1).to_numpy(np.int64))
+        yr = out["year"].to_numpy(np.int64)
+        reps = nxt - yr  # >=1: snapshot years are distinct per customer
+        idx = np.repeat(np.arange(len(out)), reps)
+        starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        offs = np.arange(int(reps.sum())) - np.repeat(starts, reps)
+        return pd.DataFrame({
+            "o_custkey": out["o_custkey"].to_numpy()[idx],
+            "o_orderkey": out["o_orderkey"].to_numpy()[idx],
+            "snap_year": yr[idx].astype(np.int32),
+            "tag_year": (yr[idx] + offs).astype(np.int32),
+        })
+
+    return bucket_grouped(
+        orders,
+        ["o_custkey"],
+        pick_fill,
+        out_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+             ("snap_year", pa.int32()), ("tag_year", pa.int32())]
+        ),
+    )
+
+
 # ---------------------------------------------------------------- entropy (A4/A5) + link entropy
 def link_entropy_per_vertex(sf_dir: str) -> Dataset:
     """[north-rule] per-vertex entropy of the weighted out-neighbor
