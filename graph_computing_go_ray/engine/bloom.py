@@ -114,3 +114,64 @@ def bloom_semi_join(ds: Dataset, keys: Dataset, on: str, key_col: str,
         return t.filter(pa.array(bloom_contains(b, t[on])))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def exact_semi_join(ds: Dataset, keys: Dataset, on: str, key_col: str,
+                    broadcast_limit: int = 2_000_000, fpp: float = 0.005,
+                    num_buckets: int | None = None,
+                    n_keys: int | None = None) -> Dataset:
+    """EXACT semi-join with a size-adaptive strategy (VERDICT r2 #7).
+
+    Keeps the rows of ``ds`` whose ``on`` value appears in ``keys.key_col``
+    (which must be duplicate-free — the vertex-id tables this serves are).
+
+    - key set ≤ ``broadcast_limit``: collect + sort the keys once, ship via
+      ``ray.put``, searchsorted membership per batch (one object, zero
+      shuffles — right while the set is broadcast-sized);
+    - larger: Bloom prefilter (no false negatives, ~fpp survivors that
+      shouldn't match) + exact bucketed hash join over the pruned rows —
+      neither side is ever collected, only the matching fraction of ``ds``
+      enters the shuffle.
+
+    The cutover mirrors the reasoning in the module docstring: a subject
+    subgraph's vertex set is usually tiny relative to the corpus, but
+    nothing guarantees that at 100× — above the limit the broadcast would
+    re-ship an unbounded array to every task."""
+    import ray
+
+    if n_keys is None:
+        n_keys = keys.count()
+
+    if n_keys <= broadcast_limit:
+        arr = np.sort(
+            keys.select_columns([key_col]).to_pandas()[key_col].to_numpy()
+        )
+        ref = ray.put(arr)
+
+        def flt(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            if len(ks) == 0 or t.num_rows == 0:
+                return t.slice(0, 0)
+            v = t[on].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ks, v).clip(max=len(ks) - 1)
+            return t.filter(pa.array(ks[idx] == v))
+
+        return ds.map_batches(flt, batch_format="pyarrow")
+
+    from .join import bucket_join, default_num_buckets, rename_cols, typed_seed
+
+    pre = bloom_semi_join(ds, keys, on=on, key_col=key_col, fpp=fpp)
+    k = rename_cols(keys.select_columns([key_col]), {key_col: "__semikey"})
+    out_schema = ds.schema()
+    joined = bucket_join(
+        pre, k, on=on, right_on="__semikey", how="inner",
+        num_buckets=num_buckets or default_num_buckets(),
+    )
+    cols = list(out_schema.names) if out_schema is not None else None
+    if cols:
+        joined = joined.map_batches(lambda t: t.select(cols),
+                                    batch_format="pyarrow")
+        joined = typed_seed(
+            joined, pa.schema(list(zip(out_schema.names, out_schema.types)))
+        )
+    return joined

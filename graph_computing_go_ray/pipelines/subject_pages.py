@@ -28,11 +28,9 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray
 import ray.data as rd
 from ray.data import Dataset
 
@@ -113,24 +111,16 @@ def _nonred_edges(vertices: Dataset, edges: Dataset) -> Dataset:
     """Edges from non-redirect sources (the totalWikiItemSlice filter,
     wikiSubjectEntropy.go:38-44). Resolution never targets a redirect id
     (the chase resolves through them), so only the src side needs the
-    filter; the non-redirect id set of one subject snapshot is broadcast."""
+    filter. Membership runs through engine.bloom.exact_semi_join: the id
+    set is broadcast while snapshot-sized, Bloom + exact bucketed join
+    above the cutover (VERDICT r2 #7)."""
+    from ..engine.bloom import exact_semi_join
+
     ids = vertices.map_batches(
         lambda t: pa.table({"id": t.filter(pc.is_null(t["redirect"]))["id"]}),
         batch_format="pyarrow",
-    ).to_pandas()["id"].to_numpy()
-    ids = np.sort(ids)
-    ref = ray.put(ids)
-
-    def fn(t: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        if len(ks) == 0:
-            return t.slice(0, 0)
-        idx = np.searchsorted(ks, src)
-        idx[idx >= len(ks)] = len(ks) - 1
-        return t.filter(pa.array(ks[idx] == src))
-
-    return edges.map_batches(fn, batch_format="pyarrow")
+    )
+    return exact_semi_join(edges, ids, on="src", key_col="id")
 
 
 def page_subject_entropy(
@@ -275,35 +265,31 @@ def academic_circle_distance_complexity(
         )
 
     cats = nonred.map_batches(cats_rows, batch_format="pyarrow").materialize()
-    node_ids = np.sort(
-        np.unique(cats.select_columns(["id"]).to_pandas()["id"].to_numpy())
-    )
-    ref = ray.put(node_ids)
 
-    def both_in(t: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        if len(ks) == 0:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "w": pa.array([], pa.float64())}
-            )
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        ia = np.searchsorted(ks, a).clip(max=len(ks) - 1)
-        ib = np.searchsorted(ks, b).clip(max=len(ks) - 1)
-        m = (ks[ia] == a) & (ks[ib] == b)
-        return pa.table(
-            {"a": t["a"].filter(pa.array(m)), "b": t["b"].filter(pa.array(m)),
-             "w": t["distance"].filter(pa.array(m))}
-        )
-
+    # both-endpoint membership in the tagged node set — two adaptive
+    # semi-joins (broadcast below the cutover, Bloom + bucketed join above;
+    # VERDICT r2 #7) instead of shipping the whole id array to every task
+    from ..engine.bloom import exact_semi_join
+    from ..engine.degrees import distinct_pairs
     from ..engine.join import typed_seed
 
+    node_ids = typed_seed(distinct_pairs(cats, ["id"]),
+                          pa.schema([("id", pa.int64())])).materialize()
+    n_nodes_tagged = node_ids.count()
+
+    kept = exact_semi_join(
+        exact_semi_join(ngd, node_ids, on="a", key_col="id",
+                        n_keys=n_nodes_tagged),
+        node_ids, on="b", key_col="id", n_keys=n_nodes_tagged,
+    )
     dist_edges = typed_seed(
-        ngd.map_batches(both_in, batch_format="pyarrow"),
+        kept.map_batches(
+            lambda t: pa.table({"a": t["a"], "b": t["b"], "w": t["distance"]}),
+            batch_format="pyarrow",
+        ),
         pa.schema([("a", pa.int64()), ("b", pa.int64()), ("w", pa.float64())]),
     )
     out = distance_complexity(dist_edges, cats, num_buckets=num_buckets)
     out.update({"year": year, "level": level,
-                "n_nodes_tagged": int(len(node_ids))})
+                "n_nodes_tagged": int(n_nodes_tagged)})
     return out

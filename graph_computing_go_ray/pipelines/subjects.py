@@ -57,22 +57,25 @@ def _subject_filter(ds: Dataset, subjects: list[str]) -> Dataset:
 
 
 def _edges_within(ds: Dataset) -> Dataset:
-    """Edges restricted to the filtered vertex set (J4 via broadcast ids —
-    per-subject sets are small relative to the full works table)."""
-    ids = np.sort(ds.select_columns(["id"]).to_pandas()["id"].to_numpy())
-    ref = ray.put(ids)
+    """Edges restricted to the filtered vertex set (J4). src comes from the
+    filtered table itself, so only dst needs the membership test — done via
+    :func:`engine.bloom.exact_semi_join`, which broadcasts the sorted id
+    array while the subject set is broadcast-sized and switches to a Bloom
+    prefilter + exact bucketed join above the cutover (VERDICT r2 #7: the
+    per-subject-sets-are-small assumption no longer bakes a broadcast in)."""
+    from ..engine.bloom import exact_semi_join
 
-    def fn(t: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
+    def flatten(t: pa.Table) -> pa.Table:
         lens = pc.list_value_length(t["referenced_works"]).to_numpy(zero_copy_only=False)
         src = np.repeat(t["id"].to_numpy(zero_copy_only=False), lens)
         dst = pc.list_flatten(t["referenced_works"]).to_numpy(zero_copy_only=False)
-        m = np.isin(dst, ks)
         return pa.table(
-            {"src": pa.array(src[m], pa.int64()), "dst": pa.array(dst[m], pa.int64())}
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    edges = ds.map_batches(flatten, batch_format="pyarrow")
+    return exact_semi_join(edges, ds.select_columns(["id"]), on="dst",
+                           key_col="id")
 
 
 def subject_entropy(works_dir: str, subject: str, year: int | None = None) -> dict:
