@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sub_discipline_entropy": _sub_discipline_entropy,
         # M2 complete: snapshot selection + YearTags forward-fill
         "order_year_snapshot_tags": R.order_year_snapshot_tags,
+        # multimodal actor-pool stages over an opaque-binary media table
+        # (deterministic stub codec; exact-replica oracle in
+        # tests/test_multimodal.py; rows/schema check here)
+        "media_features": _media_features,
+        "media_frame_stats": _media_frame_stats,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -225,6 +230,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer application: per-doc raw vs BPE token counts
         "bpe_apply": C.bpe_apply,
     }
+
+
+def _media_features(sf_dir: str):
+    from graph_computing_go_ray.stages.multimodal import media_features
+
+    return media_features(sf_dir)
+
+
+def _media_frame_stats(sf_dir: str):
+    from graph_computing_go_ray.stages.multimodal import media_frame_stats
+
+    return media_frame_stats(sf_dir)
 
 
 def _sub_discipline_entropy(sf_dir: str):

@@ -25,24 +25,29 @@ class HashMinProgram(VertexProgram):
     def init_state(self, ids, out_degree, in_degree, n_total):
         return pd.DataFrame({"id": ids, "label": ids})
 
-    def gather(self, edges, state_of, global_vals):
-        outs = []
-        part_arr = edges["part"].to_numpy()
+    def gather_arrow(self, t, state_of, global_vals):
+        """Arrow-native gather (superstep fast path): numpy views off the
+        edge block, per-dst min combiner via sort + reduceat."""
+        part_arr = t["part"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst_all = t["dst"].to_numpy(zero_copy_only=False)
+        out_d, out_l = [], []
         for p in np.unique(part_arr):
             m = part_arr == p
             st = state_of[int(p)]
             sid = st["id"].to_numpy()
-            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
+            pos = np.searchsorted(sid, src[m])
             lab = st["label"].to_numpy()[pos]
-            dst = edges["dst"].to_numpy()[m]
-            # combiner: per-dst min via sort + reduceat (no pandas groupby)
+            dst = dst_all[m]
             order = np.argsort(dst, kind="stable")
             ds_, lb = dst[order], lab[order]
             starts = np.flatnonzero(np.concatenate([[True], ds_[1:] != ds_[:-1]]))
-            outs.append(pd.DataFrame(
-                {"dst": ds_[starts], "label": np.minimum.reduceat(lb, starts)}
-            ))
-        return pd.concat(outs, ignore_index=True)
+            out_d.append(ds_[starts])
+            out_l.append(np.minimum.reduceat(lb, starts))
+        if not out_d:
+            return {"dst": np.array([], np.int64),
+                    "label": np.array([], np.int64)}
+        return {"dst": np.concatenate(out_d), "label": np.concatenate(out_l)}
 
     def reduce_apply(self, state, msgs, global_vals):
         sid = state["id"].to_numpy()

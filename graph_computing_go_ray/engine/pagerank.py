@@ -38,24 +38,31 @@ class PageRankProgram(VertexProgram):
              "out_degree": out_degree}
         )
 
-    def gather(self, edges, state_of, global_vals):
-        outs = []
-        part_arr = edges["part"].to_numpy()
+    def gather_arrow(self, t, state_of, global_vals):
+        """Arrow-native gather: numpy views straight off the edge block —
+        no to_pandas copy (superstep engine fast path)."""
+        part_arr = t["part"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst_all = t["dst"].to_numpy(zero_copy_only=False)
+        out_u, out_s = [], []
         for p in np.unique(part_arr):
             m = part_arr == p
             st = state_of[int(p)]
             sid = st["id"].to_numpy()
-            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
+            pos = np.searchsorted(sid, src[m])
             contrib = (
                 st["rank"].to_numpy()[pos]
                 / np.maximum(st["out_degree"].to_numpy()[pos], 1)
             )
             # combiner: unique+bincount is ~3x faster than pandas groupby
-            dst = edges["dst"].to_numpy()[m]
-            u, inv = np.unique(dst, return_inverse=True)
-            sums = np.bincount(inv, weights=contrib)
-            outs.append(pd.DataFrame({"dst": u, "contrib": sums}))
-        return pd.concat(outs, ignore_index=True)
+            u, inv = np.unique(dst_all[m], return_inverse=True)
+            out_u.append(u)
+            out_s.append(np.bincount(inv, weights=contrib))
+        if not out_u:
+            return {"dst": np.array([], np.int64),
+                    "contrib": np.array([], np.float64)}
+        return {"dst": np.concatenate(out_u),
+                "contrib": np.concatenate(out_s)}
 
     def reduce_apply(self, state, msgs, global_vals):
         sid = state["id"].to_numpy()

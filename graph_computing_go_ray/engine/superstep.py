@@ -62,6 +62,14 @@ class VertexProgram:
         """edges: (src, dst, part) for one block; state_of: part -> shard."""
         raise NotImplementedError
 
+    # Optional Arrow-native fast path: when a program defines
+    #   gather_arrow(t: pa.Table, state_of, global_vals) -> dict[str, np.ndarray]
+    # (keys = message payload columns incl. "dst"; part_dst added by the
+    # engine) the superstep loop feeds it the zero-copy Arrow edge block
+    # directly — no to_pandas copy of the edge columns and no
+    # pandas->Arrow round-trip on the message output.
+    gather_arrow = None
+
     def reduce_apply(self, state: pd.DataFrame, msgs: pd.DataFrame,
                      global_vals: dict) -> tuple[pd.DataFrame, dict]:
         """Returns (new_state, metrics). msgs excludes seed rows (dst==-1)."""
@@ -313,7 +321,23 @@ def run_supersteps(
         t0 = time.time()
         msg_schema = program.message_schema
 
+        arrow_gather = program.gather_arrow
+
         def gather_fn(t: pa.Table, _k=k, _gv=global_vals) -> pa.Table:
+            if arrow_gather is not None:
+                part_arr = t["part"].to_numpy(zero_copy_only=False)
+                state_of = {
+                    int(p): _read_state(workdir, _k, int(p), run_id)
+                    for p in np.unique(part_arr)
+                }
+                cols = arrow_gather(t, state_of, _gv)
+                cols["part_dst"] = part_of(
+                    np.asarray(cols["dst"]), num_parts
+                ).astype(np.int64)
+                return pa.table(
+                    {n: pa.array(cols[n], type=msg_schema.field(n).type)
+                     for n in msg_schema.names}
+                )
             df = t.to_pandas()
             state_of = {
                 int(p): _read_state(workdir, _k, int(p), run_id)

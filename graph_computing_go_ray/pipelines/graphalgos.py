@@ -31,9 +31,15 @@ ALGO_VERSION = "v3"  # bump when superstep/program semantics change so
 
 
 def _workdir(sf_dir: str, algo: str) -> str:
+    """Deterministic per-(input, algo) checkpoint root so a killed job
+    resumes. GCGR_WORK_ROOT overrides the root — set per test session so
+    CONCURRENT pytest/bench processes on one host never share (and corrupt)
+    a live superstep workdir; the resume contract only holds within one
+    root."""
+    root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return os.path.join(
-        "/tmp/gcgr_work", f"{os.path.basename(sf_dir)}-{key}-{ALGO_VERSION}", algo
+        root, f"{os.path.basename(sf_dir)}-{key}-{ALGO_VERSION}", algo
     )
 
 

@@ -123,6 +123,83 @@ def sample_frames(
     )
 
 
+def media_table(sf_dir: str) -> Dataset:
+    """Deterministic media table derived from the driver's documents table
+    (no external data): media_id = doc_id, kind cycles image/audio/video by
+    doc_id, payload = the document's utf-8 text bytes (byte-identical per
+    doc across runs/processes), meta = JSON with the char count. The binary
+    column is OPAQUE to every stage that follows — exactly the contract a
+    real crawl-side media table would have."""
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    kinds = np.array(["image", "audio", "video"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payload = pc.cast(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            pa.large_binary(),
+        )
+        nchars = pc.binary_length(payload).to_numpy(zero_copy_only=False)
+        metas = [json.dumps({"n": int(c)}, separators=(",", ":")) for c in nchars]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds[ids % 3]),
+            "payload": payload,
+            "meta": pa.array(metas),
+        })
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str) -> Dataset:
+    """Driver query: decode the media table through the actor-pool codec
+    stage and emit per-item feature summaries
+    (media_id, kind, feat_mean, feat_l2) — the stub codec is deterministic,
+    so the exact-replica oracle lives in tests/test_multimodal.py; the
+    driver records a rows/schema check (no SQL oracle for a codec)."""
+    feats = decode_features(media_table(sf_dir))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        f = t["feat"]
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        arr = f.values.to_numpy(zero_copy_only=False).reshape(-1, FEAT_DIM)
+        arr64 = arr.astype(np.float64)
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "feat_mean": pa.array(np.round(arr64.mean(axis=1), 6)),
+            "feat_l2": pa.array(np.round(np.sqrt((arr64 ** 2).sum(axis=1)), 6)),
+        })
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def media_frame_stats(sf_dir: str, every_k: int = 4) -> Dataset:
+    """Driver query: frame-sample the video rows and count sampled frames
+    per media item (media_id, n_frames) — exercises the ragged flat-map
+    actor stage end-to-end."""
+    frames = sample_frames(media_table(sf_dir), every_k=every_k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"media_id": pa.array(u, pa.int64()),
+                         "n_frames": pa.array(cnt.astype(np.int64))})
+
+    from ..engine.join import bucket_grouped_sum
+
+    return bucket_grouped_sum(
+        frames.map_batches(partial, batch_format="pyarrow"),
+        ["media_id"], ["n_frames"],
+    )
+
+
 def generate_media(out_path: str, n: int = 64, seed: int = 42) -> str:
     """Deterministic fake media table for tests/bench."""
     import pyarrow.parquet as pq

@@ -1,3 +1,6 @@
+import os
+import tempfile
+
 import pytest
 
 import ray
@@ -7,6 +10,12 @@ import ray
 def ray_session():
     from ray.data import DataContext
 
+    # Per-session superstep workdir root: two pytest/bench processes on one
+    # host must never share a live checkpoint dir (pipelines/graphalgos.py
+    # _workdir) — concurrent writers corrupt each other's iteration shards.
+    os.environ.setdefault(
+        "GCGR_WORK_ROOT", tempfile.mkdtemp(prefix="gcgr_work_test_")
+    )
     ray.init(
         address="local",
         num_cpus=4,

@@ -8,10 +8,16 @@ import ray.data as rd
 
 from graph_computing_go_ray.stages.multimodal import (
     FEAT_DIM,
+    _fake_decode,
     decode_features,
     generate_media,
+    media_features,
+    media_frame_stats,
+    media_table,
     sample_frames,
 )
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -32,6 +38,57 @@ def test_decode_schema_and_determinism(media):
     df2 = decode_features(media, concurrency=(1, 2), batch_size=16).to_pandas()
     f2 = np.stack(df2.sort_values("media_id")["feat"].to_numpy())
     np.testing.assert_array_equal(feats, f2)
+
+
+def test_media_features_exact_replica():
+    """media_features vs a pure-python replica over the same documents:
+    the stub codec is deterministic, so the match is exact (1e-6 on the
+    rounded float summaries)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = media_features(SF).to_pandas().sort_values("media_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    kinds = np.array(["image", "audio", "video"])
+    rows = []
+    for did, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        f = _fake_decode(txt.encode()).astype(np.float64)
+        rows.append({"media_id": did, "kind": kinds[did % 3],
+                     "feat_mean": round(float(f.mean()), 6),
+                     "feat_l2": round(float(np.sqrt((f ** 2).sum())), 6)})
+    exp = pd.DataFrame(rows).sort_values("media_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["kind"].to_numpy() == exp["kind"].to_numpy()).all()
+    np.testing.assert_allclose(got["feat_mean"], exp["feat_mean"], atol=1e-6)
+    np.testing.assert_allclose(got["feat_l2"], exp["feat_l2"], atol=1e-6)
+
+
+def test_media_frame_stats_replica():
+    """Frame counts per video item == python count over the same stub
+    framing rule (256-byte windows, every 4th)."""
+    import pyarrow.parquet as pq
+
+    got = (media_frame_stats(SF, every_k=4).to_pandas()
+           .set_index("media_id")["n_frames"].to_dict())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for did, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        if did % 3 != 2:  # kind cycles image/audio/video by doc_id
+            continue
+        n_frames = max(1, len(txt.encode()) // 256)
+        exp[did] = len(range(0, n_frames, 4))
+    assert {int(k): int(v) for k, v in got.items()} == exp
+
+
+def test_media_table_payload_bytes():
+    """Payload is byte-identical to the document text (opaque-binary contract)."""
+    t = media_table(SF).take_batch(16, batch_format="pyarrow")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    txt = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+        assert payload == txt[mid].encode()
 
 
 def test_frame_sampling(media):
