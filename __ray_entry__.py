@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_multimodal.py; rows/schema check here)
         "media_features": _media_features,
         "media_frame_stats": _media_frame_stats,
+        # BM25 top-k search over a fixed query set (broadcast query terms,
+        # bounded df/stats aggregates, partial top-k before the final pass)
+        "bm25_topk": C.bm25_topk,
+        # DSIR-style hashed-unigram importance weights (target = lang 'en')
+        "dsir_weights": C.dsir_weights,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -697,6 +702,67 @@ def oracle_sql() -> dict[str, str]:
             "  )) AS x "
             "  FROM documents WHERE length(text) >= 1"
             ") t(doc_id, x)"
+        ),
+        # BM25: arithmetic written in the Ray kernel's exact op order
+        # (avgdl = exact-int sum/count; contribution
+        # idf*tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))); both sides round the
+        # per-(query,doc) sum to 6 BEFORE ranking so ulp-level libm/sum-
+        # order drift cannot flip the top-k cut
+        "bm25_topk": (
+            "WITH dl AS ("
+            "  SELECT doc_id, CAST(length(regexp_extract_all(lower(text), "
+            "    '[a-z0-9]+')) AS BIGINT) AS dl FROM documents"
+            "), st AS ("
+            "  SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "         CAST(sum(dl) AS DOUBLE) AS sdl FROM dl"
+            "), toks AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "    '[a-z0-9]+')) AS w FROM documents"
+            "), qt(query_id, w) AS (VALUES "
+            "  (0,'hash'),(0,'join'),(1,'fast'),(1,'scan'),(1,'filter'),"
+            "  (2,'window'),(2,'query'),(2,'group')"
+            "), tf AS ("
+            "  SELECT q.query_id, q.w, t.doc_id, "
+            "         CAST(count(*) AS DOUBLE) AS tf "
+            "  FROM toks t JOIN qt q ON t.w = q.w "
+            "  GROUP BY q.query_id, q.w, t.doc_id"
+            "), df AS ("
+            "  SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df "
+            "  FROM tf GROUP BY w"
+            "), contrib AS ("
+            "  SELECT tf.query_id, tf.doc_id, "
+            "    ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "      * tf.tf * (1.2 + 1.0) "
+            "      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (st.sdl / st.n))) AS c "
+            "  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st"
+            ") "
+            "SELECT query_id, doc_id, round(sum(c), 6) AS score "
+            "FROM contrib GROUP BY query_id, doc_id "
+            "QUALIFY row_number() OVER (PARTITION BY query_id "
+            "  ORDER BY round(sum(c), 6) DESC, doc_id) <= 10"
+        ),
+        # DSIR: bucket = first 3 hex chars of md5(token) (bit-identical in
+        # both engines); Laplace(+1) smoothing over 4096 buckets
+        "dsir_weights": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "    '[a-z0-9]+')) AS w FROM documents"
+            "), tb AS ("
+            "  SELECT t.doc_id, substr(md5(t.w), 1, 3) AS hb, d.lang "
+            "  FROM toks t JOIN documents d USING (doc_id)"
+            "), hist AS ("
+            "  SELECT hb, CAST(count(*) AS DOUBLE) AS c_raw, "
+            "    CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS c_tgt "
+            "  FROM tb GROUP BY hb"
+            "), tot AS ("
+            "  SELECT sum(c_raw) AS rn, sum(c_tgt) AS tn FROM hist"
+            "), ratio AS ("
+            "  SELECT hb, ln(((c_tgt + 1.0) / (tn + 4096.0)) "
+            "             / ((c_raw + 1.0) / (rn + 4096.0))) AS lr "
+            "  FROM hist, tot"
+            ") "
+            "SELECT tb.doc_id, round(avg(r.lr), 6) AS weight "
+            "FROM tb JOIN ratio r USING (hb) GROUP BY tb.doc_id"
         ),
         "google_distance": (
             "WITH core AS (SELECT p_partkey FROM part WHERE p_size >= 40), "

@@ -994,3 +994,195 @@ def zipf_slope(sf_dir: str) -> pd.DataFrame:
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return pd.DataFrame([{"vocab_size": np.int64(len(counts)),
                           "zipf_slope": round(float(slope), 6)}])
+
+
+# --------------------------------------------------------- BM25 search
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("hash", "join"),
+    1: ("fast", "scan", "filter"),
+    2: ("window", "query", "group"),
+}
+
+
+def bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> Dataset:
+    """Lucene-style BM25 top-k document search for a fixed query set:
+    (query_id, doc_id, score), score rounded to 6, top-k per query ranked
+    by (rounded score desc, doc_id asc).
+
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1); per-term contribution
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), dl = [a-z0-9]+
+    token count, avgdl = sum(dl)/N over ALL documents.
+
+    Scale shape: the query-term set is tiny and broadcast inside the batch
+    fn; the corpus side is ONE vectorized tf pass emitting only rows for
+    docs that contain a query term. df and the global (N, sum_dl) stats
+    are bounded aggregates (#terms rows / 2 scalars) — never a vocabulary
+    shuffle. Per-(query, doc) scores combine with one bucketed sum; top-k
+    runs as per-block partial top-k (#blocks x k rows) before one final
+    per-query pass — a full ranking never materializes."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = sorted({w for ts in BM25_QUERIES.values() for w in ts})
+    t2i = {w: i for i, w in enumerate(terms)}
+
+    # pass 1: (sum_dl, n_docs) — two exact integers
+    def dl_partial(t: pa.Table) -> pa.Table:
+        _, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        return pa.table({"sum_dl": pa.array([len(doc_idx)], pa.int64()),
+                         "n_docs": pa.array([t.num_rows], pa.int64())})
+
+    stats = (docs.map_batches(dl_partial, batch_format="pyarrow")
+             .sum(["sum_dl", "n_docs"]))
+    n_total = int(stats["sum(n_docs)"])
+    avgdl = float(stats["sum(sum_dl)"]) / float(n_total)
+
+    # pass 2: per-doc (term_idx, tf, dl) rows for query-term matches
+    def tf_rows(t: pa.Table) -> pa.Table:
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(tokens):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ti": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        dl = np.bincount(doc_idx, minlength=t.num_rows)
+        ti = np.array([t2i.get(w, -1) for w in tokens], np.int64)
+        m = ti >= 0
+        df_ = (pd.DataFrame({"d": doc_idx[m], "ti": ti[m]})
+               .groupby(["d", "ti"], as_index=False, sort=False).size())
+        d = df_["d"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "ti": pa.array(df_["ti"].to_numpy(np.int64)),
+            "tf": pa.array(df_["size"].to_numpy(np.int64)),
+            "dl": pa.array(dl[d].astype(np.int64)),
+        })
+
+    rows = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    # df per term: bounded by len(terms) — driver-side is exact and tiny
+    dfs = np.zeros(len(terms), np.int64)
+    df_tbl = (rows.groupby("ti").count().to_pandas())
+    for ti_, c in zip(df_tbl["ti"], df_tbl["count()"]):
+        dfs[int(ti_)] = int(c)
+    idf = np.log((n_total - dfs + 0.5) / (dfs + 0.5) + 1.0)
+
+    # per-(query, doc) score partials; one bucketed sum
+    def contrib(t: pa.Table) -> pa.Table:
+        ti_ = t["ti"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_c = [], [], []
+        c_all = idf[ti_] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        for qid, ts in BM25_QUERIES.items():
+            want = np.isin(ti_, [t2i[w] for w in ts])
+            if not want.any():
+                continue
+            out_q.append(np.full(int(want.sum()), qid, np.int64))
+            out_d.append(did[want])
+            out_c.append(c_all[want])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "score": pa.array(np.concatenate(out_c))})
+
+    scored = bucket_grouped_sum(
+        rows.map_batches(contrib, batch_format="pyarrow"),
+        ["query_id", "doc_id"], ["score"], num_buckets=default_num_buckets(),
+    )
+
+    def part_topk(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        df_["score"] = np.round(df_["score"].to_numpy(np.float64), 6)
+        df_ = df_.sort_values(["query_id", "score", "doc_id"],
+                              ascending=[True, False, True])
+        return pa.Table.from_pandas(df_.groupby("query_id").head(k),
+                                    preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True])
+        return g.head(k)
+
+    return (scored.map_batches(part_topk, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+# -------------------------------------- DSIR-style importance weights
+def dsir_weights(sf_dir: str, target_lang: str = "en",
+                 n_buckets: int = 4096) -> Dataset:
+    """Data-selection importance weights (DSIR-flavored, Xie et al. 2023
+    'Data Selection for Language Models via Importance Resampling' —
+    public method): hashed-unigram bucket distributions for the TARGET
+    slice (lang == target_lang) and the RAW corpus, then per-document
+    mean log-likelihood ratio over its token occurrences:
+        weight(d) = mean_{w in d} ln( p_target(b(w)) / p_raw(b(w)) )
+    with Laplace(+1) smoothing and b(w) = first 3 hex chars of md5(w)
+    (replicable bit-for-bit in SQL). Output (doc_id, weight round 6),
+    docs with >= 1 token.
+
+    Scale shape: per-batch bucket histograms (<= n_buckets rows each) +
+    one bucketed sum build the TWO distributions; the log-ratio table is
+    n_buckets floats — bounded, broadcast into the second pass; the
+    scoring pass is shuffle-free."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+
+    def bucket_of(uniques: np.ndarray) -> np.ndarray:
+        return np.array(
+            [int(hashlib.md5(w.encode()).hexdigest()[:3], 16)
+             for w in uniques], np.int64)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        if not len(tokens):
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c_raw": pa.array([], pa.int64()),
+                             "c_tgt": pa.array([], pa.int64())})
+        codes, uniques = pd.factorize(tokens)
+        buckets = bucket_of(uniques)[codes]
+        is_tgt = (t["lang"].to_numpy(zero_copy_only=False)[doc_idx]
+                  == target_lang)
+        c_raw = np.bincount(buckets, minlength=n_buckets)
+        c_tgt = np.bincount(buckets[is_tgt], minlength=n_buckets)
+        nz = (c_raw > 0)
+        return pa.table({"b": pa.array(np.flatnonzero(nz), pa.int64()),
+                         "c_raw": pa.array(c_raw[nz].astype(np.int64)),
+                         "c_tgt": pa.array(c_tgt[nz].astype(np.int64))})
+
+    hist = bucket_grouped_sum(
+        docs.map_batches(hist_partial, batch_format="pyarrow"),
+        ["b"], ["c_raw", "c_tgt"], num_buckets=default_num_buckets(),
+    ).to_pandas()  # <= n_buckets rows — bounded at any corpus scale
+    c_raw = np.zeros(n_buckets, np.float64)
+    c_tgt = np.zeros(n_buckets, np.float64)
+    c_raw[hist["b"].to_numpy(np.int64)] = hist["c_raw"].to_numpy(np.float64)
+    c_tgt[hist["b"].to_numpy(np.int64)] = hist["c_tgt"].to_numpy(np.float64)
+    tn, rn = float(c_tgt.sum()), float(c_raw.sum())
+    lr = np.log(((c_tgt + 1.0) / (tn + float(n_buckets)))
+                / ((c_raw + 1.0) / (rn + float(n_buckets))))
+
+    def score(t: pa.Table) -> pa.Table:
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if not len(tokens):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        codes, uniques = pd.factorize(tokens)
+        v = lr[bucket_of(uniques)[codes]]
+        s = np.bincount(doc_idx, weights=v, minlength=t.num_rows)
+        n = np.bincount(doc_idx, minlength=t.num_rows)
+        keep = n > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "weight": pa.array(np.round(s[keep] / n[keep], 6), pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
