@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": C.bm25_topk,
         # DSIR-style hashed-unigram importance weights (target = lang 'en')
         "dsir_weights": C.dsir_weights,
+        # actor-pool batched model inference (weights built once per actor;
+        # deterministic scorer => value-checked SQL oracle)
+        "quality_classifier": _quality_classifier,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -235,6 +238,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer application: per-doc raw vs BPE token counts
         "bpe_apply": C.bpe_apply,
     }
+
+
+def _quality_classifier(sf_dir: str):
+    from graph_computing_go_ray.stages.scoring import quality_classifier_scores
+
+    return quality_classifier_scores(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -740,6 +749,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM contrib GROUP BY query_id, doc_id "
             "QUALIFY row_number() OVER (PARTITION BY query_id "
             "  ORDER BY round(sum(c), 6) DESC, doc_id) <= 10"
+        ),
+        # actor-pool classifier: bucket = md5-prefix hex cast to INT
+        # (DuckDB '0x' cast == python int(hex,16)); weight = Knuth
+        # multiplicative hash of the bucket, exact integer math both sides
+        "quality_classifier": (
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+            "    '[a-z0-9]+')) AS w FROM documents"
+            "), tb AS ("
+            "  SELECT doc_id, "
+            "    CAST(('0x' || substr(md5(w), 1, 3)) AS BIGINT) AS b "
+            "  FROM toks"
+            "), wt AS ("
+            "  SELECT doc_id, "
+            "    ((b * 2654435761) % 4294967296) / 4294967296.0 - 0.5 AS wgt "
+            "  FROM tb"
+            ") "
+            "SELECT doc_id, round(1.0 / (1.0 + exp(-avg(wgt))), 6) AS q_score "
+            "FROM wt GROUP BY doc_id"
         ),
         # DSIR: bucket = first 3 hex chars of md5(token) (bit-identical in
         # both engines); Laplace(+1) smoothing over 4096 buckets

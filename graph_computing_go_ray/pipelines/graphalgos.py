@@ -118,16 +118,29 @@ def hits_bipartite(sf_dir: str) -> Dataset:
     )
 
 
+def _min_k_distinct(ds: Dataset, col: str, k: int) -> np.ndarray:
+    """k smallest distinct values of a column WITHOUT a global sort: each
+    block contributes its local distinct min-k (#blocks x k rows total),
+    the driver takes the min-k of that bounded union."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.unique(t[col].to_numpy(zero_copy_only=False))[:k]
+        return pa.table({col: pa.array(v.astype(np.int64), pa.int64())})
+
+    rows = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow").to_pandas())
+    return np.unique(rows[col].to_numpy(np.int64))[:k]
+
+
 def ppr_bipartite(sf_dir: str) -> Dataset:
     """Personalized PageRank over order→part edges, seeded at the 5
-    smallest part vertices (engine/ppr.py). Seed selection is a distributed
-    sort+limit with a small bounded driver-side dedup — seeds are
-    semantically a user input; this just fixes a deterministic one."""
+    smallest part vertices (engine/ppr.py). Seed selection is a min-k
+    aggregate (per-block partial min-k, bounded driver reduce — no global
+    sort); seeds are semantically a user input, this just fixes a
+    deterministic one."""
     from ..engine.ppr import personalized_pagerank
 
     edges = lineitem_edges(sf_dir)
-    head = edges.select_columns(["dst"]).sort("dst").limit(50_000).to_pandas()
-    seeds = head["dst"].drop_duplicates().head(5).to_numpy(dtype=np.int64)
+    seeds = _min_k_distinct(edges, "dst", 5)
     ranks, _info = personalized_pagerank(
         edges, _workdir(sf_dir, "ppr"), seeds,
         tol=1e-12, max_iters=100, num_parts=8,
@@ -228,7 +241,20 @@ def diameter_2sweep(sf_dir: str) -> pd.DataFrame:
     seed1 = int(edges.min("src"))
     d1, _ = bfs_depths(edges, [seed1], _workdir(sf_dir, f"dsw1_{seed1}"),
                        num_parts=8, symmetrize=True)
-    far = d1.sort(["dist", "id"], descending=[True, False]).limit(1).to_pandas()
+    # farthest vertex (ties -> min id) via per-block argmax partials —
+    # one row per block to the driver, no global sort for a top-1
+    def argmax1(t: pa.Table) -> pa.Table:
+        dist = t["dist"].to_numpy(zero_copy_only=False)
+        vid = t["id"].to_numpy(zero_copy_only=False)
+        if not len(vid):
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        j = np.lexsort((vid, -dist))[0]
+        return pa.table({"id": pa.array([int(vid[j])], pa.int64()),
+                         "dist": pa.array([int(dist[j])], pa.int64())})
+
+    far = d1.map_batches(argmax1, batch_format="pyarrow").to_pandas()
+    far = far.sort_values(["dist", "id"], ascending=[False, True])
     seed2 = int(far["id"].iloc[0])
     d2, _ = bfs_depths(edges, [seed2], _workdir(sf_dir, f"dsw2_{seed2}"),
                        num_parts=8, symmetrize=True)
@@ -531,8 +557,7 @@ def betweenness_chain(sf_dir: str, n_seeds: int = 4,
     from ..engine.betweenness import betweenness_sampled
 
     edges = chain_edge_ds(sf_dir, order_mod)
-    head = edges.select_columns(["src"]).sort("src").limit(50_000).to_pandas()
-    seeds = head["src"].drop_duplicates().head(n_seeds).to_numpy(np.int64)
+    seeds = _min_k_distinct(edges, "src", n_seeds)
     out, _info = betweenness_sampled(
         edges, seeds, _workdir(sf_dir, f"bc-m{order_mod}-k{n_seeds}"),
         num_parts=8,
