@@ -87,6 +87,28 @@ class VertexProgram:
         raise NotImplementedError
 
 
+def _resolve_gather_arrow(program: VertexProgram):
+    """The Arrow fast path is used ONLY when it is at least as derived as
+    the pandas gather in the program's MRO. A subclass that overrides
+    gather() but not gather_arrow() (e.g. a weighted variant of an
+    arrow-enabled base) must get its own gather — an inherited
+    gather_arrow would silently shadow the override with the BASE
+    semantics (this exact bug shipped once; tests/test_graph_extras.py's
+    weighted-PageRank parity test caught it)."""
+    cls = type(program)
+    ga = getattr(program, "gather_arrow", None)
+    if ga is None:
+        return None
+    mro = cls.__mro__
+    ga_owner = next((c for c in mro if "gather_arrow" in c.__dict__), None)
+    g_owner = next((c for c in mro if "gather" in c.__dict__), None)
+    if ga_owner is None:
+        return None
+    if g_owner is not None and mro.index(g_owner) < mro.index(ga_owner):
+        return None  # pandas gather is more specific — prefer it
+    return ga
+
+
 _STATE_CACHE: dict[tuple, pd.DataFrame] = {}
 _STATE_CACHE_MAX = 64
 
@@ -321,7 +343,7 @@ def run_supersteps(
         t0 = time.time()
         msg_schema = program.message_schema
 
-        arrow_gather = program.gather_arrow
+        arrow_gather = _resolve_gather_arrow(program)
 
         def gather_fn(t: pa.Table, _k=k, _gv=global_vals) -> pa.Table:
             if arrow_gather is not None:

@@ -34,20 +34,30 @@ from .superstep import build_graph_partitions, final_state, run_supersteps
 class WeightedPageRankProgram(PageRankProgram):
     name = "wpagerank"
 
-    def gather(self, edges, state_of, global_vals):
-        outs = []
-        part_arr = edges["part"].to_numpy()
+    # NOTE: a subclass that changes gather semantics MUST override
+    # gather_arrow too — the engine prefers the Arrow path, so an
+    # inherited unweighted gather_arrow would silently shadow a weighted
+    # pandas gather (caught by the numpy parity test).
+    def gather_arrow(self, t, state_of, global_vals):
+        part_arr = t["part"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst_all = t["dst"].to_numpy(zero_copy_only=False)
+        nw = t["nw"].to_numpy(zero_copy_only=False)
+        out_u, out_s = [], []
         for p in np.unique(part_arr):
             m = part_arr == p
             st = state_of[int(p)]
             sid = st["id"].to_numpy()
-            pos = np.searchsorted(sid, edges["src"].to_numpy()[m])
-            contrib = st["rank"].to_numpy()[pos] * edges["nw"].to_numpy()[m]
-            dst = edges["dst"].to_numpy()[m]
-            u, inv = np.unique(dst, return_inverse=True)
-            sums = np.bincount(inv, weights=contrib)
-            outs.append(pd.DataFrame({"dst": u, "contrib": sums}))
-        return pd.concat(outs, ignore_index=True)
+            pos = np.searchsorted(sid, src[m])
+            contrib = st["rank"].to_numpy()[pos] * nw[m]
+            u, inv = np.unique(dst_all[m], return_inverse=True)
+            out_u.append(u)
+            out_s.append(np.bincount(inv, weights=contrib))
+        if not out_u:
+            return {"dst": np.array([], np.int64),
+                    "contrib": np.array([], np.float64)}
+        return {"dst": np.concatenate(out_u),
+                "contrib": np.concatenate(out_s)}
 
 
 def weighted_pagerank(

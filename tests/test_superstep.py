@@ -192,3 +192,36 @@ def test_kcore_matches_peeling(graph):
     want = numpy_coreness(edges_pd)
     assert info["converged"]
     assert got == want
+
+
+def test_gather_arrow_resolution_rule():
+    """A subclass overriding gather() but NOT gather_arrow() must fall back
+    to its pandas gather — an inherited arrow path would silently run the
+    BASE semantics (the weighted-PageRank bug this rule guards against)."""
+    from graph_computing_go_ray.engine.pagerank import PageRankProgram
+    from graph_computing_go_ray.engine.superstep import (
+        VertexProgram,
+        _resolve_gather_arrow,
+    )
+
+    class WeightedVariant(PageRankProgram):
+        def gather(self, edges, state_of, global_vals):  # more derived
+            raise NotImplementedError
+
+    class ArrowVariant(PageRankProgram):
+        def gather_arrow(self, t, state_of, global_vals):  # more derived
+            raise NotImplementedError
+
+    class PlainProgram(VertexProgram):
+        def gather(self, edges, state_of, global_vals):
+            raise NotImplementedError
+
+    assert _resolve_gather_arrow(PageRankProgram()) is not None
+    assert _resolve_gather_arrow(WeightedVariant()) is None
+    assert _resolve_gather_arrow(ArrowVariant()) is not None
+    assert _resolve_gather_arrow(PlainProgram()) is None
+
+    from graph_computing_go_ray.engine.wpagerank import WeightedPageRankProgram
+
+    # the real weighted program defines BOTH at the same level -> arrow
+    assert _resolve_gather_arrow(WeightedPageRankProgram()) is not None
