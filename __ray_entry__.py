@@ -131,6 +131,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # actor-pool batched model inference (weights built once per actor;
         # deterministic scorer => value-checked SQL oracle)
         "quality_classifier": _quality_classifier,
+        # repeated-substring coverage (Lee et al. 2022 substring dedup
+        # diagnostic): bucketed span-hash count + per-doc interval union
+        "dup_span_fraction": TX.dup_span_fraction,
+        # language-ID confusion matrix vs the labeled lang column
+        "lang_confusion": TX.lang_confusion,
+        # Common-Crawl-style host-level webgraph collapse (replica pytest
+        # in tests/test_linkgraph_build.py; rows-only here)
+        "host_graph": _host_graph,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -258,6 +266,31 @@ def _media_frame_stats(sf_dir: str):
     return media_frame_stats(sf_dir)
 
 
+def _host_graph(sf_dir: str):
+    """Host-level webgraph (src_host, dst_host, n_links) over the
+    deterministic synthetic page fixture: generate → extract → resolve →
+    collapse to host granularity (pipelines/pages.py host_edges).
+    Generation and build are cached per work root; exact python-replica
+    pytest in tests/test_linkgraph_build.py; rows/schema check here."""
+    import hashlib
+    import os
+
+    from graph_computing_go_ray.pipelines.pages import (
+        build_link_graph,
+        host_edges,
+    )
+    from graph_computing_go_ray.sources.pages_gen import generate_pages
+
+    root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(root, f"hostgraph-{key}")
+    pages_dir = generate_pages(os.path.join(base, "pages"), n_pages=4000,
+                               seed=42, n_files=8)
+    paths = build_link_graph(pages_dir, os.path.join(base, "graph"),
+                             num_buckets=8)
+    return host_edges(paths, num_buckets=8)
+
+
 def _sub_discipline_entropy(sf_dir: str):
     from graph_computing_go_ray.pipelines.citations import (
         sub_discipline_entropy_query,
@@ -301,6 +334,12 @@ def _lang_id_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_oracle(),
+        # confusion matrix of the same predictor vs the labeled column
+        "lang_confusion": (
+            f"WITH pred AS ({_lang_id_oracle()}) "
+            "SELECT d.lang, p.lang_pred, count(*) AS n "
+            "FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2"
+        ),
         "in_degree": (
             "SELECT l_partkey AS dst, count(*) AS in_degree FROM lineitem GROUP BY l_partkey"
         ),
@@ -1101,6 +1140,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM toks WHERE len(ws) BETWEEN 1 AND 7), "
             "allw AS (SELECT * FROM w UNION ALL SELECT * FROM short) "
             "SELECT doc_id, min(md5(win)) AS win_fp FROM allw GROUP BY doc_id"
+        ),
+        # dup_frac = tokens covered by any word-10-gram occurring >= 2
+        # times corpus-wide (within-doc repeats count), over n_tokens
+        "dup_span_fraction": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ts FROM documents), "
+            "wi AS (SELECT doc_id, ts, unnest(range(1, "
+            "  greatest(len(ts) - 9, 0) + 1)) AS i FROM toks), "
+            "w AS (SELECT doc_id, i, array_to_string(ts[i:i+9], ' ') AS win "
+            "  FROM wi), "
+            "dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, i + unnest(range(0, 10)) AS p "
+            "  FROM w JOIN dup USING (win)), "
+            "agg AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id), "
+            "n AS (SELECT doc_id, len(ts) AS n_tokens FROM toks "
+            "  WHERE len(ts) > 0) "
+            "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
+            "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
+            "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
         ),
         # rep_ratio = 1 - distinct/total word-2-grams; 0 for docs too short
         "repetition_scores": (

@@ -10,7 +10,13 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+from .superstep import (
+    VertexProgram,
+    build_graph_partitions,
+    final_state,
+    local_col,
+    run_supersteps,
+)
 
 
 class HashMinProgram(VertexProgram):
@@ -28,9 +34,9 @@ class HashMinProgram(VertexProgram):
     def gather_arrow(self, t, state_of, global_vals):
         """Arrow-native gather (superstep fast path): numpy views off the
         edge block, per-dst min combiner via sort + reduceat."""
-        part_arr = t["part"].to_numpy(zero_copy_only=False)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst_all = t["dst"].to_numpy(zero_copy_only=False)
+        part_arr = local_col(t, "part")
+        src = local_col(t, "src")
+        dst_all = local_col(t, "dst")
         out_d, out_l = [], []
         for p in np.unique(part_arr):
             m = part_arr == p

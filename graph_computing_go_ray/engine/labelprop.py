@@ -17,7 +17,13 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+from .superstep import (
+    VertexProgram,
+    build_graph_partitions,
+    final_state,
+    local_col,
+    run_supersteps,
+)
 
 
 class LabelPropProgram(VertexProgram):
@@ -32,6 +38,39 @@ class LabelPropProgram(VertexProgram):
 
     def init_state(self, ids, out_degree, in_degree, n_total):
         return pd.DataFrame({"id": ids, "label": ids})
+
+    def gather_arrow(self, t, state_of, global_vals):
+        """Arrow-native gather (superstep fast path): the same
+        lexsort+run-length combiner straight off process-local copies of
+        the edge block columns — no to_pandas of the block."""
+        part_arr = local_col(t, "part")
+        src = local_col(t, "src")
+        dst_all = local_col(t, "dst")
+        out_d, out_l, out_c = [], [], []
+        for p in np.unique(part_arr):
+            m = part_arr == p
+            st = state_of[int(p)]
+            sid = st["id"].to_numpy()
+            pos = np.searchsorted(sid, src[m])
+            lab = st["label"].to_numpy()[pos]
+            dst = dst_all[m]
+            order = np.lexsort((lab, dst))
+            ds_, lb = dst[order], lab[order]
+            new = np.concatenate(
+                [[True], (ds_[1:] != ds_[:-1]) | (lb[1:] != lb[:-1])]
+            )
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate([starts, [len(ds_)]]))
+            out_d.append(ds_[starts])
+            out_l.append(lb[starts])
+            out_c.append(counts)
+        if not out_d:
+            return {"dst": np.array([], np.int64),
+                    "label": np.array([], np.int64),
+                    "cnt": np.array([], np.int64)}
+        return {"dst": np.concatenate(out_d),
+                "label": np.concatenate(out_l),
+                "cnt": np.concatenate(out_c)}
 
     def gather(self, edges, state_of, global_vals):
         outs = []

@@ -18,7 +18,13 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from .superstep import VertexProgram, build_graph_partitions, final_state, run_supersteps
+from .superstep import (
+    VertexProgram,
+    build_graph_partitions,
+    final_state,
+    local_col,
+    run_supersteps,
+)
 
 
 class PageRankProgram(VertexProgram):
@@ -41,9 +47,9 @@ class PageRankProgram(VertexProgram):
     def gather_arrow(self, t, state_of, global_vals):
         """Arrow-native gather: numpy views straight off the edge block —
         no to_pandas copy (superstep engine fast path)."""
-        part_arr = t["part"].to_numpy(zero_copy_only=False)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst_all = t["dst"].to_numpy(zero_copy_only=False)
+        part_arr = local_col(t, "part")
+        src = local_col(t, "src")
+        dst_all = local_col(t, "dst")
         out_u, out_s = [], []
         for p in np.unique(part_arr):
             m = part_arr == p

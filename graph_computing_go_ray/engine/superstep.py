@@ -87,6 +87,19 @@ class VertexProgram:
         raise NotImplementedError
 
 
+def local_col(t: pa.Table, name: str) -> np.ndarray:
+    """Column -> PROCESS-LOCAL numpy array (one forced copy). The gather
+    kernels scan each column several times (unique/masks/searchsorted);
+    over zero-copy views those scans re-read plasma-mmap'd pages, which is
+    free on a quiet host but degrades under object-store pressure (the
+    arrow-gather regression that motivated this). Interleaved A/B at 40M
+    edges, num_cpus=32 (BASELINE §6): copy vs view superstep parity on a
+    quiet host (ratio 0.98), views up to 1.3x slower under load — the one
+    memcpy per column is cheap insurance, not a claimed speedup."""
+    arr = t[name].to_numpy(zero_copy_only=False)
+    return np.array(arr, copy=True) if arr.base is not None else arr
+
+
 def _resolve_gather_arrow(program: VertexProgram):
     """The Arrow fast path is used ONLY when it is at least as derived as
     the pandas gather in the program's MRO. A subclass that overrides

@@ -28,7 +28,12 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from .pagerank import PageRankProgram
-from .superstep import build_graph_partitions, final_state, run_supersteps
+from .superstep import (
+    build_graph_partitions,
+    final_state,
+    local_col,
+    run_supersteps,
+)
 
 
 class WeightedPageRankProgram(PageRankProgram):
@@ -39,10 +44,10 @@ class WeightedPageRankProgram(PageRankProgram):
     # inherited unweighted gather_arrow would silently shadow a weighted
     # pandas gather (caught by the numpy parity test).
     def gather_arrow(self, t, state_of, global_vals):
-        part_arr = t["part"].to_numpy(zero_copy_only=False)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst_all = t["dst"].to_numpy(zero_copy_only=False)
-        nw = t["nw"].to_numpy(zero_copy_only=False)
+        part_arr = local_col(t, "part")
+        src = local_col(t, "src")
+        dst_all = local_col(t, "dst")
+        nw = local_col(t, "nw")
         out_u, out_s = [], []
         for p in np.unique(part_arr):
             m = part_arr == p

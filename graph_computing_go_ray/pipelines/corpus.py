@@ -781,6 +781,10 @@ def segment_dedup(sf_dir: str, seg_tokens: int = 20) -> Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def seg_rows(t: pa.Table) -> pa.Table:
+        # per-doc loop is the MEASURED-fastest form (BASELINE §6): at the
+        # realistic ~80-token doc shape, batch-flattening the tokens costs
+        # more than the whole loop (char-slice rewrite re-measured 1.9x
+        # slower at probe shape this round); md5 is the irreducible cost.
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         texts = t["text"].to_pylist()
         doc, idx, segs = [], [], []
@@ -937,26 +941,53 @@ def bpe_apply(sf_dir: str, n_merges: int = 5) -> Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def encode(t: pa.Table) -> pa.Table:
+        # whole-batch integer-code merge passes instead of a per-doc
+        # per-merge Python while-loop: factorize tokens once, then each
+        # merge is vectorized pair-matching over the code array
+        # (measured 2.7x at the ~80-token probe shape with 10 merges;
+        # advantage grows with merge count — the per-doc form is
+        # O(docs x merges x tokens) Python, this is O(merges) numpy
+        # passes, BASELINE §6).
+        # Left-to-right non-overlap greediness: overlapping matches only
+        # arise as runs of CONSECUTIVE positions (requires a == b), and
+        # the greedy scan keeps exactly the even offsets within each run.
+        # Merged units get fresh codes keyed by their "a b" string — the
+        # same identity the string-based reference fuse uses, so later
+        # merges referencing earlier merged units resolve identically.
         ms = ray.get(m_ref)
-        raw_n, bpe_n = [], []
-        for x in t["text"].to_pylist():
-            ws = T.word_tokens(x)
-            raw_n.append(len(ws))
-            for a, b in ms:
-                merged, k = [], 0
-                while k < len(ws):
-                    if k + 1 < len(ws) and ws[k] == a and ws[k + 1] == b:
-                        merged.append(ws[k] + " " + ws[k + 1])
-                        k += 2
-                    else:
-                        merged.append(ws[k])
-                        k += 1
-                ws = merged
-            bpe_n.append(len(ws))
+        texts = t["text"].to_pylist()
+        tokens, doc_idx = T.batch_word_tokens(texts)
+        raw_n = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+        if len(tokens):
+            codes, uniques = pd.factorize(tokens)
+            codes = codes.astype(np.int64)
+            vocab = {u: i for i, u in enumerate(uniques)}
+        else:
+            codes = np.array([], np.int64)
+            vocab = {}
+        for a, b in ms:
+            unit = a + " " + b
+            cm = vocab.setdefault(unit, len(vocab))
+            ca, cb = vocab.get(a), vocab.get(b)
+            if ca is None or cb is None or len(codes) < 2:
+                continue
+            p = np.flatnonzero((codes[:-1] == ca) & (codes[1:] == cb)
+                               & (doc_idx[:-1] == doc_idx[1:]))
+            if not len(p):
+                continue
+            run_start = np.concatenate([[True], np.diff(p) != 1])
+            first = p[run_start][np.cumsum(run_start) - 1]
+            keep = p[((p - first) % 2) == 0]
+            codes[keep] = cm
+            alive = np.ones(len(codes), bool)
+            alive[keep + 1] = False
+            codes = codes[alive]
+            doc_idx = doc_idx[alive]
+        bpe_n = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
         return pa.table({
             "doc_id": t["doc_id"],
-            "n_tokens_raw": pa.array(np.asarray(raw_n, np.int64)),
-            "n_tokens_bpe": pa.array(np.asarray(bpe_n, np.int64)),
+            "n_tokens_raw": pa.array(raw_n),
+            "n_tokens_bpe": pa.array(bpe_n),
         })
 
     return docs.map_batches(encode, batch_format="pyarrow")

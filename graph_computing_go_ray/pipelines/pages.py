@@ -89,6 +89,63 @@ def graph_vertices(paths: dict[str, str]) -> Dataset:
     return rd.read_parquet(paths["vertices"])
 
 
+def host_edges(paths: dict[str, str], num_buckets: int = 8) -> Dataset:
+    """Host-level webgraph: collapse the resolved page edge table to
+    (src_host, dst_host, n_links) — the Common-Crawl-style host graph a
+    crawler publishes alongside the page graph (host = url authority).
+
+    Scale shape: the id→host map is the VERTEX table (fact-scale), so both
+    endpoint hops are bucketed joins — never a broadcast; the collapse is
+    per-batch grouped partials + one bucketed sum over the (tiny)
+    host×host key space."""
+    from ..engine.join import bucket_grouped_sum, rename
+
+    verts = rd.read_parquet(paths["vertices"], columns=["id", "url"])
+
+    def hostify(t):
+        import pyarrow as pa
+
+        hosts = pc.extract_regex(t["url"], r"^[a-z]+://(?P<host>[^/]+)")
+        return pa.table({"hid": t["id"],
+                         "host": pc.struct_field(hosts, "host")})
+
+    hmap = verts.map_batches(hostify, batch_format="pyarrow").materialize()
+    e = graph_edges(paths)
+    e1 = rename(
+        bucket_join(e, hmap, on="src", right_on="hid", how="inner",
+                    num_buckets=num_buckets),
+        {"host": "src_host"},
+    )
+    e2 = rename(
+        bucket_join(e1, hmap, on="dst", right_on="hid", how="inner",
+                    num_buckets=num_buckets),
+        {"host": "dst_host"},
+    )
+
+    def partial(t):
+        import pandas as pd
+        import pyarrow as pa
+
+        df = pd.DataFrame({"src_host": t["src_host"].to_pylist(),
+                           "dst_host": t["dst_host"].to_pylist()})
+        out = df.groupby(["src_host", "dst_host"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n_links"}),
+                                    preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        e2.map_batches(partial, batch_format="pyarrow"),
+        ["src_host", "dst_host"], ["n_links"], num_buckets=num_buckets,
+    )
+    import pyarrow as pa
+
+    return agg.map_batches(
+        lambda t: t.cast(pa.schema([("src_host", pa.string()),
+                                    ("dst_host", pa.string()),
+                                    ("n_links", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+
 def non_redirect_edges(paths: dict[str, str], num_buckets: int = 8) -> Dataset:
     """Edges whose source is a non-redirect vertex — the edge set every
     degree/entropy stage consumes (reference skips redirect sources,

@@ -256,6 +256,10 @@ def winnow_fingerprints(sf_dir: str, window: int = 8) -> Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
+        # per-doc loop is the MEASURED-fastest form (BASELINE §6): at the
+        # realistic ~80-token doc shape, batch-flattening the tokens costs
+        # more than the whole loop (char-slice rewrite re-measured 1.09x
+        # slower at probe shape this round); md5 is the irreducible cost.
         ids, fps = [], []
         for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             ws = T.word_tokens(txt)
@@ -272,6 +276,147 @@ def winnow_fingerprints(sf_dir: str, window: int = 8) -> Dataset:
                          "win_fp": pa.array(fps, pa.string())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_confusion(sf_dir: str) -> Dataset:
+    """(lang, lang_pred, n): confusion matrix of the stopword-marker
+    language-ID heuristic against the table's labeled ``lang`` column —
+    the accuracy probe a corpus pipeline runs before trusting the
+    predictor as a filter. Per-batch grouped partial counts + one bucketed
+    sum over the tiny (lang x pred) key space; the corpus never shuffles."""
+    from ..engine.join import bucket_grouped_sum, default_num_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["text", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        preds = T.lang_id(t["text"].to_pylist())
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(), "lang_pred": preds})
+        out = df.groupby(["lang", "lang_pred"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "n"}),
+                                    preserve_index=False)
+
+    agg = bucket_grouped_sum(docs.map_batches(fn, batch_format="pyarrow"),
+                             ["lang", "lang_pred"], ["n"],
+                             num_buckets=default_num_buckets())
+    return agg.map_batches(
+        lambda t: t.cast(pa.schema([("lang", pa.string()),
+                                    ("lang_pred", pa.string()),
+                                    ("n", pa.int64())])),
+        batch_format="pyarrow",
+    )
+
+
+def dup_span_fraction(sf_dir: str, window: int = 10) -> Dataset:
+    """(doc_id, n_tokens, dup_frac): fraction of a document's word tokens
+    covered by at least one ``window``-token span whose text occurs two or
+    more times across the whole corpus (within-doc repeats count) — the
+    repeated-substring diagnostic behind substring-level training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), restricted to fixed-length spans so both sides stay
+    exact and SQL-expressible.
+
+    Scale shape: span rows carry only (md5 hex, doc_id, start) — never the
+    span text; duplicated spans come from ONE bucketed count on the hash;
+    coverage is a bucketed per-doc interval union (equal-length intervals:
+    with sorted starts s the union is sum(min(diff(s), W)) + W per doc) —
+    no broadcast, no all-pairs. Docs shorter than the window emit no spans
+    and report dup_frac 0; empty docs are excluded (matches the oracle's
+    n_tokens > 0 filter)."""
+    import hashlib
+
+    from ..engine.join import bucket_grouped, bucket_join, default_num_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def span_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        tokens, doc_idx = T.batch_word_tokens(texts)
+        if not len(tokens):
+            return pa.table({"h": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64())})
+        tlen = np.fromiter((len(x) for x in tokens), np.int64,
+                           count=len(tokens))
+        lens = np.bincount(doc_idx, minlength=len(texts))
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        cum = np.concatenate([[0], np.cumsum(tlen + 1)[:-1]])
+        start = cum - cum[bounds[doc_idx]]
+        end = start + tlen
+        md5 = hashlib.md5
+        nw = len(tokens) - window + 1
+        valid = (np.flatnonzero(doc_idx[window - 1:] == doc_idx[:nw])
+                 if nw > 0 else np.array([], np.int64))
+        joined = [" ".join(tokens[bounds[d]:bounds[d + 1]]) if lens[d] else ""
+                  for d in range(len(texts))]
+        d_arr = doc_idx[valid]
+        hh = [md5(joined[d][s:e].encode()).hexdigest()
+              for d, s, e in zip(
+                  d_arr.tolist(), start[valid].tolist(),
+                  (start[valid + window - 1]
+                   + tlen[valid + window - 1]).tolist())]
+        return pa.table({
+            "h": pa.array(hh, pa.string()),
+            "doc_id": pa.array(ids[d_arr].astype(np.int64)),
+            "start": pa.array((valid - bounds[d_arr]).astype(np.int64)),
+        })
+
+    spans = docs.map_batches(span_rows, batch_format="pyarrow").materialize()
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h", as_index=False).size()
+        return c[c["size"] >= 2][["h"]]
+
+    dup_h = bucket_grouped(
+        spans.select_columns(["h"]), ["h"], dups,
+        out_schema=pa.schema([("h", pa.string())]),
+        num_buckets=default_num_buckets(),
+    )
+    hits = bucket_join(spans, dup_h, on="h", right_on="h", how="inner",
+                       num_buckets=default_num_buckets())
+
+    def cov(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["doc_id", "start"])
+        did = d["doc_id"].to_numpy(np.int64)
+        st = d["start"].to_numpy(np.int64)
+        per = np.zeros(len(did), np.int64)
+        if len(did) > 1:
+            same = did[1:] == did[:-1]
+            per[1:][same] = np.minimum(np.diff(st), window)[same]
+        u, inv = np.unique(did, return_inverse=True)
+        covered = np.bincount(inv, weights=per).astype(np.int64) + window
+        return pd.DataFrame({"doc_id": u, "covered": covered})
+
+    covered = bucket_grouped(
+        hits.select_columns(["doc_id", "start"]), ["doc_id"], cov,
+        out_schema=pa.schema([("doc_id", pa.int64()), ("covered", pa.int64())]),
+        num_buckets=default_num_buckets(),
+    )
+
+    def ntok(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        _, doc_idx = T.batch_word_tokens(texts)
+        n = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pa.array(n)})
+
+    nt = docs.map_batches(ntok, batch_format="pyarrow")
+    out = bucket_join(nt, covered, on="doc_id", right_on="doc_id",
+                      how="left", num_buckets=default_num_buckets())
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = pc.fill_null(t["covered"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = n > 0
+        frac = np.round(np.divide(c, n, out=np.zeros_like(c), where=keep),
+                        ROUND)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "n_tokens": t["n_tokens"].filter(pa.array(keep)),
+            "dup_frac": pa.array(frac[keep], pa.float64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def pack_offsets(sf_dir: str, seqlen: int = 2048) -> Dataset:

@@ -71,3 +71,24 @@ def test_no_self_edges(built):
     paths, _, _ = built
     et = pq.read_table(paths["edges"]).to_pylist()
     assert all(r["src"] != r["dst"] for r in et)
+
+
+def test_host_edges_exact(built):
+    from graph_computing_go_ray.pipelines.pages import host_edges
+
+    paths, _, _ = built
+    # replica: collapse the (already exactly-verified) page edge table to
+    # host level with a plain python url->host parse
+    vt = pq.read_table(paths["vertices"], columns=["id", "url"]).to_pylist()
+    host_of = {r["id"]: r["url"].split("://", 1)[1].split("/", 1)[0]
+               for r in vt}
+    et = pq.read_table(paths["edges"], columns=["src", "dst"]).to_pylist()
+    want = collections.Counter(
+        (host_of[r["src"]], host_of[r["dst"]]) for r in et
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_edges(paths, num_buckets=4).to_pandas().to_dict("records")
+    }
+    assert got == dict(want)
+    assert len(got) > 10
