@@ -503,3 +503,66 @@ def bucket_join(
         return pa.Table.from_pandas(out, preserve_index=False).cast(out_schema)
 
     return both.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def adaptive_map_join(
+    ds: Dataset,
+    dim: Dataset,
+    on: str,
+    key_col: str,
+    val_cols: list[str],
+    broadcast_limit: int = 2_000_000,
+    num_buckets: int = 8,
+    n_keys: int | None = None,
+) -> Dataset:
+    """EXACT inner map-join (attach ``val_cols`` from a duplicate-free
+    keyed table) with the ``exact_semi_join`` size policy:
+
+    - ``dim`` ≤ ``broadcast_limit`` rows: the sorted (key, vals) arrays
+      ship ONCE via ray.put and every batch attaches values by
+      searchsorted — zero shuffles, the right call while the dimension is
+      broadcast-sized (nation, brand, a sampled quantizer);
+    - larger: a bucketed hash join — dimensions that scale with the fact
+      table (customer, part, orders at 10^12 pages) never ship as a
+      per-task object.
+
+    Output columns match ``bucket_join``'s inner-join layout (left columns
+    then the attached values), so callers can flip strategies freely.
+
+    The dim side is materialized ONCE up front: deciding the strategy
+    needs its count, and a lazy derived dim would otherwise re-execute
+    its whole upstream chain for count() and again for the chosen path
+    (measured 2-4x on chained hops). Bounded by the dim's size; the
+    object store spills if a fact-scale dim lands on the bucketed path."""
+    import ray
+
+    dim = dim.materialize()
+    if n_keys is None:
+        n_keys = dim.count()
+    if n_keys <= broadcast_limit:
+        df = dim.select_columns([key_col, *val_cols]).to_pandas()
+        df = df.sort_values(key_col, ignore_index=True)
+        keys = df[key_col].to_numpy()
+        vals = {c: df[c].to_numpy() for c in val_cols}
+        ref = ray.put((keys, vals))
+
+        def attach(t: pa.Table) -> pa.Table:
+            ks, vs = ray.get(ref)
+            v = t[on].to_numpy(zero_copy_only=False)
+            if len(ks) == 0 or t.num_rows == 0:
+                m = np.zeros(len(v), bool)
+                idx2 = np.array([], np.int64)
+            else:
+                idx = np.searchsorted(ks, v).clip(max=len(ks) - 1)
+                m = ks[idx] == v
+                idx2 = idx[m]
+            t2 = t.filter(pa.array(m))
+            cols = {c: t2[c] for c in t2.column_names}
+            for c in val_cols:
+                cols[c] = pa.array(vs[c][idx2])
+            return pa.table(cols)
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+    return bucket_join(ds, dim.select_columns([key_col, *val_cols]),
+                       on=on, right_on=key_col, how="inner",
+                       num_buckets=num_buckets)

@@ -96,3 +96,33 @@ def test_rename_cols_on_typed_seed_union():
                       on="src", right_on="kid", how="inner",
                       num_buckets=4).to_pandas()
     assert sorted(out["src"].tolist()) == [2, 3]
+
+
+def test_adaptive_map_join_strategy_equivalence():
+    """Both adaptive_map_join strategies (broadcast attach vs bucketed
+    hash join) must return the same inner-join result, columns and all."""
+    import numpy as np
+    import pyarrow as pa
+
+    from graph_computing_go_ray.engine.join import adaptive_map_join
+
+    rng = np.random.RandomState(5)
+    facts = rd.from_arrow(pa.table({
+        "k": pa.array(rng.randint(0, 50, size=500), pa.int64()),
+        "x": pa.array(np.arange(500), pa.int64()),
+    }))
+    dim = rd.from_arrow(pa.table({
+        "kk": pa.array(np.arange(0, 40, dtype=np.int64)),  # keys 40..49 miss
+        "name": pa.array([f"n{i}" for i in range(40)], pa.string()),
+    }))
+    wide = adaptive_map_join(facts, dim, on="k", key_col="kk",
+                             val_cols=["name"], broadcast_limit=1_000_000,
+                             num_buckets=4).to_pandas()
+    narrow = adaptive_map_join(facts, dim, on="k", key_col="kk",
+                               val_cols=["name"], broadcast_limit=0,
+                               num_buckets=4).to_pandas()
+    assert list(wide.columns) == list(narrow.columns) == ["k", "x", "name"]
+    a = wide.sort_values(["k", "x"], ignore_index=True)
+    b = narrow.sort_values(["k", "x"], ignore_index=True)
+    assert a.equals(b)
+    assert (a["k"] < 40).all() and len(a) > 0
