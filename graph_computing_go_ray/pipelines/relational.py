@@ -189,12 +189,14 @@ def orders_rollup(sf_dir: str) -> Dataset:
 def orders_by_nation(sf_dir: str) -> Dataset:
     """Orders → customer → nation, then grouped agg.
 
-    The customer hop is a BUCKETED fact-scale join on custkey (customer
-    scales with the fact table — at 10^12 pages the analog map doesn't fit
-    a broadcast; VERDICT r2 'What's wrong' #2); only the true dimension
-    (25-row nation) is broadcast, mirroring J5's small-dim taxonomy maps
+    The customer hop is size-adaptive (adaptive_map_join): a bucketed
+    fact-scale join once customer exceeds the broadcast limit — it scales
+    with the fact table, so at 10^12 pages the analog map doesn't fit a
+    broadcast (VERDICT r2 'What's wrong' #2) — and a one-shot searchsorted
+    attach while it is bench-sized. Only the true dimension (25-row
+    nation) is always broadcast, mirroring J5's small-dim taxonomy maps
     (openAlexTopDsiplineDistanceComplexity.go:53-90)."""
-    from ..engine.join import bucket_join
+    from ..engine.join import adaptive_map_join
 
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     n_ref = ray.put(dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"])))
@@ -209,8 +211,8 @@ def orders_by_nation(sf_dir: str) -> Dataset:
     cust_named = cust.map_batches(name_cust, batch_format="pyarrow")
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
-    j = bucket_join(orders, cust_named, on="o_custkey", right_on="c_custkey",
-                    how="inner")
+    j = adaptive_map_join(orders, cust_named, on="o_custkey",
+                          key_col="c_custkey", val_cols=["n_name"])
 
     def agg(batch: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -762,18 +764,20 @@ def approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------- grouped top-k
 def top_orders_per_segment(sf_dir: str, k: int = 5) -> Dataset:
     """Top-k rows per group (orders by totalprice within market segment),
-    deterministic tie-break on o_orderkey. The segment attach is a BUCKETED
-    join on custkey (customer is fact-scale, never a broadcast map; VERDICT
-    r2 'What's wrong' #2); per-bucket PARTIAL top-k before the final
-    shuffle (each bucket forwards at most k rows per segment), final top-k
-    per group — the grouped-top-k combiner pattern."""
-    from ..engine.join import bucket_join
+    deterministic tie-break on o_orderkey. The segment attach is
+    size-adaptive (adaptive_map_join): bucketed on custkey once customer
+    exceeds the broadcast limit (customer is fact-scale; VERDICT r2
+    'What's wrong' #2), one-shot searchsorted attach while bench-sized;
+    per-bucket PARTIAL top-k before the final shuffle (each bucket
+    forwards at most k rows per segment), final top-k per group — the
+    grouped-top-k combiner pattern."""
+    from ..engine.join import adaptive_map_join
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = read_table(sf_dir, "orders",
                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
-    j = bucket_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                    how="inner")
+    j = adaptive_map_join(orders, cust, on="o_custkey",
+                          key_col="c_custkey", val_cols=["c_mktsegment"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
