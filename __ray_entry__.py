@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Common-Crawl-style host-level webgraph collapse (replica pytest
         # in tests/test_linkgraph_build.py; rows-only here)
         "host_graph": _host_graph,
+        # per-source percent_rank window filter via value histograms
+        "chars_percentile_filter": C.chars_percentile_filter,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -1159,6 +1161,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
             "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
             "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
+        ),
+        # percent_rank = (strictly smaller)/(n-1) per source; keep >= 0.75
+        "chars_percentile_filter": (
+            "SELECT doc_id, source, n_chars, pr FROM ("
+            "  SELECT doc_id, source, n_chars, "
+            "    round(percent_rank() OVER (PARTITION BY source "
+            "      ORDER BY n_chars), 6) AS pr FROM documents) "
+            "WHERE pr >= 0.75"
         ),
         # rep_ratio = 1 - distinct/total word-2-grams; 0 for docs too short
         "repetition_scores": (

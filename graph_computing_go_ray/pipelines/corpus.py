@@ -544,6 +544,52 @@ def chars_quantiles_per_source(sf_dir: str) -> Dataset:
     )
 
 
+def chars_percentile_filter(sf_dir: str, q: float = 0.75) -> Dataset:
+    """Per-source windowed filter: keep documents whose ``n_chars``
+    percent_rank within their source is >= ``q``, reporting
+    (doc_id, source, n_chars, pr) with pr = (rows strictly smaller)/(n-1)
+    — exactly SQL ``percent_rank()`` (0 when the source has one row).
+
+    Scale shape: the window function runs WITHOUT a per-source row sort —
+    pass 1 builds the (source, n_chars) VALUE histogram (per-batch
+    partials + one bucketed sum; tiny even when a source has billions of
+    rows), a cumsum over distinct values resolves pr per value, and the
+    histogram-sized pr table ships once via ray.put for a pure vectorized
+    filter pass. Two scans of the input, zero row shuffles."""
+    import ray
+
+    from ..engine.join import bucket_grouped_count
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+    hist = bucket_grouped_count(docs.select_columns(["source", "n_chars"]),
+                                ["source", "n_chars"], "c").to_pandas()
+    pr_map = {}
+    for src, sub in hist.groupby("source"):
+        sub = sub.sort_values("n_chars")
+        c = sub["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        smaller = np.concatenate([[0], np.cumsum(c)[:-1]])
+        pr = smaller / (n - 1) if n > 1 else np.zeros(len(c))
+        pr_map[src] = (sub["n_chars"].to_numpy(np.int64), np.round(pr, ROUND))
+    ref = ray.put(pr_map)
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        src = t["source"].to_pylist()
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(v))
+        for s in set(src):
+            vals, prs = m[s]
+            mask = np.fromiter((x == s for x in src), bool, count=len(src))
+            pr[mask] = prs[np.searchsorted(vals, v[mask])]
+        keep = pr >= q
+        t2 = t.filter(pa.array(keep))
+        return t2.append_column("pr", pa.array(pr[keep], pa.float64()))
+
+    return docs.map_batches(flt, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- BPE training loop
 def bpe_train(sf_dir: str, n_merges: int = 5) -> pd.DataFrame:
     """Train ``n_merges`` BPE merge rounds corpus-wide: each round counts
