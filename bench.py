@@ -40,6 +40,8 @@ QUERY_SUBSET = [
     # round-2 continuation (this session); ktruss_cooccur is excluded —
     # its sf0.1 peel is minutes-long by design (5+ triangle-count rounds)
     "jaccard_topk", "katz_bipartite", "segment_dedup", "doc_chunks",
+    # round-3 operators
+    "dup_span_fraction", "lang_confusion", "chars_percentile_filter",
 ]
 
 
