@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _host_graph,
         # per-source percent_rank window filter via value histograms
         "chars_percentile_filter": C.chars_percentile_filter,
+        # propose/accept maximal matching (python-replica pytest; rows-only)
+        "matching_cooccur": G.matching_cooccur,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,

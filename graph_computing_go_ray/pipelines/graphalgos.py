@@ -528,6 +528,20 @@ def mis_cooccur(sf_dir: str) -> Dataset:
     return out
 
 
+def matching_cooccur(sf_dir: str) -> Dataset:
+    """Maximal matching over the part co-occurrence graph
+    (engine/matching.py — propose/accept rounds with deterministic
+    counter-based priorities); (id, match), -1 = unmatched. Exact
+    python-replica parity + symmetry/maximality pytest in
+    tests/test_graph_extras.py."""
+    from ..engine.matching import maximal_matching
+
+    out, _info = maximal_matching(
+        cooccur_edge_ds(sf_dir), _workdir(sf_dir, "matching"), num_parts=8
+    )
+    return out
+
+
 def coloring_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
     """Jones-Plassmann greedy coloring of the part-chain graph viewed
     undirected (engine/coloring.py — fixed deterministic priorities, one

@@ -825,3 +825,37 @@ def test_diameter_2sweep_matches_python_bfs():
     assert int(got["seed1"]) == s1
     assert int(got["seed2"]) == s2
     assert int(got["lb_diameter"]) == max(d2.values())
+
+
+# ----------------------------------------------------- maximal matching
+def test_matching_matches_python_replica(graph):
+    from graph_computing_go_ray.engine.matching import (
+        maximal_matching, python_matching_replica)
+
+    edges_pd, edges_ds, root = graph
+    out, info = maximal_matching(
+        edges_ds, os.path.join(root, "matching"), num_parts=4
+    )
+    assert info["converged"]
+    pdf = out.to_pandas()
+    got = dict(zip(pdf["id"].astype(int), pdf["match"].astype(int)))
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    want = python_matching_replica(
+        list(zip(edges_pd["src"], edges_pd["dst"])), ids)
+    assert got == want
+    # structural: symmetry, edge validity, maximality (undirected view)
+    nbrs = {}
+    for s, d in zip(edges_pd["src"], edges_pd["dst"]):
+        if s != d:
+            nbrs.setdefault(int(s), set()).add(int(d))
+            nbrs.setdefault(int(d), set()).add(int(s))
+    matched = {v for v, m in got.items() if m != -1}
+    assert len(matched) > 0
+    for v in matched:
+        assert got[got[v]] == v, f"asymmetric match at {v}"
+        assert got[v] in nbrs.get(v, set()), f"match not an edge at {v}"
+    for v in map(int, ids):
+        if got[v] == -1:
+            assert not (nbrs.get(v, set()) - matched), (
+                f"unmatched {v} still has an unmatched neighbor"
+            )
