@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentile_filter": C.chars_percentile_filter,
         # propose/accept maximal matching (python-replica pytest; rows-only)
         "matching_cooccur": G.matching_cooccur,
+        # multilevel coarsening round: matching -> contraction (replica
+        # pytest; rows-only)
+        "coarsen_cooccur": G.coarsen_cooccur,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,

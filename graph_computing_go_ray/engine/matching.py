@@ -199,3 +199,57 @@ def python_matching_replica(edge_pairs, ids) -> dict:
                 match[v] = t
         rnd += 1
     return match
+
+
+def coarsen_by_matching(
+    edges: Dataset, match: Dataset, num_buckets: int = 8,
+) -> Dataset:
+    """Multilevel coarsening step: contract every matched pair to one
+    coarse vertex (min of the pair; unmatched vertices keep their id) and
+    aggregate parallel edges into (csrc, cdst, weight). Self-edges of a
+    contracted pair are dropped — the standard matching-based coarsening
+    round of multilevel partitioners.
+
+    Scale shape: the id→coarse map is vertex-scale, so BOTH endpoint hops
+    are bucketed joins (never a broadcast); the aggregation is per-batch
+    partials + one bucketed sum keyed on the coarse source."""
+    from .join import bucket_grouped_sum, bucket_join, rename
+
+    def cmap_fn(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        m = t["match"].to_numpy(zero_copy_only=False)
+        cid = np.where(m == -1, ids, np.minimum(ids, m))
+        return pa.table({"vid": pa.array(ids, pa.int64()),
+                         "cid": pa.array(cid.astype(np.int64))})
+
+    cmap = match.map_batches(cmap_fn, batch_format="pyarrow").materialize()
+    e1 = rename(
+        bucket_join(edges.select_columns(["src", "dst"]), cmap, on="src",
+                    right_on="vid", how="inner", num_buckets=num_buckets),
+        {"cid": "csrc"},
+    )
+    e2 = rename(
+        bucket_join(e1, cmap, on="dst", right_on="vid", how="inner",
+                    num_buckets=num_buckets),
+        {"cid": "cdst"},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cs = t["csrc"].to_numpy(zero_copy_only=False)
+        cd = t["cdst"].to_numpy(zero_copy_only=False)
+        keep = cs != cd
+        df = pd.DataFrame({"csrc": cs[keep], "cdst": cd[keep]})
+        out = df.groupby(["csrc", "cdst"], as_index=False).size()
+        return pa.Table.from_pandas(out.rename(columns={"size": "weight"}),
+                                    preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        e2.map_batches(partial, batch_format="pyarrow"),
+        ["csrc", "cdst"], ["weight"], num_buckets=num_buckets,
+    )
+    return agg.map_batches(
+        lambda t: t.cast(pa.schema([("csrc", pa.int64()),
+                                    ("cdst", pa.int64()),
+                                    ("weight", pa.int64())])),
+        batch_format="pyarrow",
+    )

@@ -542,6 +542,20 @@ def matching_cooccur(sf_dir: str) -> Dataset:
     return out
 
 
+def coarsen_cooccur(sf_dir: str) -> Dataset:
+    """One multilevel-coarsening round of the co-occurrence graph:
+    maximal matching (engine/matching.py) then pair contraction with
+    weight aggregation (coarsen_by_matching); (csrc, cdst, weight).
+    Exact python-replica pytest in tests/test_graph_extras.py."""
+    from ..engine.matching import coarsen_by_matching, maximal_matching
+
+    edges = cooccur_edge_ds(sf_dir)
+    match_ds, _info = maximal_matching(
+        edges, _workdir(sf_dir, "matching"), num_parts=8
+    )
+    return coarsen_by_matching(edges, match_ds, num_buckets=8)
+
+
 def coloring_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
     """Jones-Plassmann greedy coloring of the part-chain graph viewed
     undirected (engine/coloring.py — fixed deterministic priorities, one

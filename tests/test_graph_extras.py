@@ -859,3 +859,27 @@ def test_matching_matches_python_replica(graph):
             assert not (nbrs.get(v, set()) - matched), (
                 f"unmatched {v} still has an unmatched neighbor"
             )
+
+
+def test_coarsen_by_matching_replica(graph):
+    from graph_computing_go_ray.engine.matching import (
+        coarsen_by_matching, maximal_matching, python_matching_replica)
+
+    edges_pd, edges_ds, root = graph
+    match_ds, _ = maximal_matching(
+        edges_ds, os.path.join(root, "matching"), num_parts=4
+    )
+    got = (coarsen_by_matching(edges_ds, match_ds, num_buckets=4)
+           .to_pandas().sort_values(["csrc", "cdst"], ignore_index=True))
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    m = python_matching_replica(
+        list(zip(edges_pd["src"], edges_pd["dst"])), ids)
+    cid = {v: (v if m[v] == -1 else min(v, m[v])) for v in map(int, ids)}
+    import collections
+    want = collections.Counter(
+        (cid[int(s)], cid[int(d)])
+        for s, d in zip(edges_pd["src"], edges_pd["dst"])
+        if cid[int(s)] != cid[int(d)]
+    )
+    assert dict(zip(zip(got["csrc"], got["cdst"]), got["weight"])) == dict(want)
+    assert len(got) < len(edges_pd)  # actually coarsened
