@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multilevel coarsening round: matching -> contraction (replica
         # pytest; rows-only)
         "coarsen_cooccur": G.coarsen_cooccur,
+        # single-pass centroid quantile sketch (accuracy pytest; rows-only)
+        "approx_price_quantiles": R.approx_price_quantiles,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,

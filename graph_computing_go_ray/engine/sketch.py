@@ -97,3 +97,55 @@ def cms_query(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
         hd = splitmix64(h ^ np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF))
         est = np.minimum(est, m[d][(hd % np.uint64(width)).astype(np.int64)])
     return est
+
+
+def _compress(vals: np.ndarray, wts: np.ndarray, b: int) -> tuple[np.ndarray, np.ndarray]:
+    """Equal-weight recompression of weighted points to <= b centroids:
+    sort by value, cut at weight quantile boundaries, centroid = weighted
+    mean per chunk. Deterministic; the compression step of streaming
+    histogram sketches (Ben-Haim & Tom-Tov 2010, public)."""
+    order = np.argsort(vals, kind="stable")
+    v, w = vals[order].astype(np.float64), wts[order].astype(np.float64)
+    if len(v) <= b:
+        return v, w
+    cw = np.cumsum(w)
+    total = cw[-1]
+    # chunk index per point: which of the b equal-weight buckets the
+    # point's weight midpoint falls in
+    mid = cw - w / 2.0
+    idx = np.minimum((mid / total * b).astype(np.int64), b - 1)
+    sums = np.bincount(idx, weights=v * w, minlength=b)
+    ws = np.bincount(idx, weights=w, minlength=b)
+    keep = ws > 0
+    return sums[keep] / ws[keep], ws[keep]
+
+
+def approx_quantiles(ds: Dataset, col: str, qs, b: int = 256) -> dict:
+    """Mergeable approximate quantiles in ONE pass + one tiny merge: each
+    block compresses its values to <= b equal-weight centroids (sorted
+    locally, never shuffled), the #blocks x b centroid rows concatenate on
+    the driver and recompress once, and quantiles read off the cumulative
+    weights with midpoint interpolation. Deterministic (no RNG), shuffle
+    volume #blocks x b x 16 bytes regardless of input rows — the
+    single-pass companion to the exact two-pass histogram quantiles
+    (engine/quantile.py). Accuracy asserted in pytest (rank error ~1/b)."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        cv, cw = _compress(v, np.ones(len(v)), b)
+        return pa.table({"v": pa.array(cv), "w": pa.array(cw)})
+
+    cent = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(cent):
+        return {float(q): float("nan") for q in qs}
+    v, w = _compress(cent["v"].to_numpy(), cent["w"].to_numpy(), b)
+    cw = np.cumsum(w)
+    total = cw[-1]
+    mid = (cw - w / 2.0) / total
+    out = {}
+    for q in qs:
+        out[float(q)] = float(np.interp(q, mid, v))
+    return out

@@ -854,6 +854,21 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Single-pass mergeable approximate l_extendedprice quantiles
+    (engine/sketch.approx_quantiles centroid sketch) — the at-scale
+    companion to the exact two-pass price_quantiles; one row per q.
+    Accuracy (rank error < 1%) asserted in tests/test_textops.py."""
+    from ..engine.sketch import approx_quantiles
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    got = approx_quantiles(li, "l_extendedprice",
+                           [0.01, 0.25, 0.5, 0.75, 0.99])
+    return pd.DataFrame(
+        {"q": list(got), "value": [round(v, 6) for v in got.values()]}
+    )
+
+
 def events_funnel(sf_dir: str) -> pd.DataFrame:
     """Ordered conversion funnel over the event stream: per user, the
     earliest view, the earliest click STRICTLY AFTER that view, and the

@@ -314,3 +314,27 @@ def test_pca_matches_numpy():
     # ratios are a decreasing probability-like sequence
     r = got["explained_var_ratio"].to_numpy()
     assert (np.diff(r) <= 1e-12).all() and (r > 0).all() and r.sum() <= 1.0
+
+
+def test_approx_quantiles_accuracy():
+    """Single-pass centroid sketch vs exact quantiles on a skewed mix:
+    rank error must stay well under 1% at b=256."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from graph_computing_go_ray.engine.sketch import approx_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 1.2, size=200_000),
+        rng.uniform(0, 5, size=50_000),
+    ])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(16)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    got = approx_quantiles(ds, "x", qs, b=256)
+    srt = np.sort(vals)
+    for q in qs:
+        # rank error: where the estimate actually sits in the sorted data
+        r = np.searchsorted(srt, got[q]) / len(srt)
+        assert abs(r - q) < 0.01, (q, got[q], r)
