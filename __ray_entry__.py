@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coarsen_cooccur": G.coarsen_cooccur,
         # single-pass centroid quantile sketch (accuracy pytest; rows-only)
         "approx_price_quantiles": R.approx_price_quantiles,
+        # host-authority weighted PageRank over the host webgraph
+        # (numpy-parity pytest; rows-only)
+        "host_pagerank": _host_pagerank,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,
@@ -298,6 +301,28 @@ def _host_graph(sf_dir: str):
     paths = build_link_graph(pages_dir, os.path.join(base, "graph"),
                              num_buckets=8)
     return host_edges(paths, num_buckets=8)
+
+
+def _host_pagerank(sf_dir: str):
+    """Host-authority ranking over the same cached page fixture as
+    _host_graph (build cached; the PageRank workdir lives beside it)."""
+    import hashlib
+    import os
+
+    from graph_computing_go_ray.pipelines.pages import (
+        build_link_graph,
+        host_pagerank,
+    )
+    from graph_computing_go_ray.sources.pages_gen import generate_pages
+
+    root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(root, f"hostgraph-{key}")
+    pages_dir = generate_pages(os.path.join(base, "pages"), n_pages=4000,
+                               seed=42, n_files=8)
+    paths = build_link_graph(pages_dir, os.path.join(base, "graph"),
+                             num_buckets=8)
+    return host_pagerank(paths, os.path.join(base, "hpr"), num_buckets=8)
 
 
 def _sub_discipline_entropy(sf_dir: str):

@@ -158,3 +158,56 @@ def non_redirect_edges(paths: dict[str, str], num_buckets: int = 8) -> Dataset:
     return bucket_join(
         graph_edges(paths), keep, on="src", right_on="vid", how="inner",
     ).select_columns(["src", "dst"])
+
+
+def host_pagerank(
+    paths: dict[str, str], workdir: str, num_buckets: int = 8,
+    tol: float = 1e-10, max_iters: int = 100,
+) -> Dataset:
+    """Weighted PageRank at HOST granularity: collapse the page graph to
+    the host webgraph (host_edges) and rank hosts with link counts as
+    edge weights — the host-authority score a crawler derives from the
+    Common-Crawl host graph. Intra-host self-links are kept (they hold
+    mass at the host, matching the host-graph convention; the page-level
+    build drops page self-links before this point). Returns
+    (host, rank)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..engine.join import bucket_join, rename
+    from ..engine.wpagerank import weighted_pagerank
+    from ..functions.hashing import hash_strings
+
+    he = host_edges(paths, num_buckets=num_buckets).materialize()
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        s = t["src_host"].to_pylist()
+        d = t["dst_host"].to_pylist()
+        return pa.table({
+            "src": pa.array(hash_strings(np.array(s, object)), pa.int64()),
+            "dst": pa.array(hash_strings(np.array(d, object)), pa.int64()),
+            "w": pa.array(t["n_links"].to_numpy(zero_copy_only=False)
+                          .astype(np.float64)),
+        })
+
+    ranks, _info = weighted_pagerank(
+        he.map_batches(to_ids, batch_format="pyarrow"), workdir,
+        tol=tol, max_iters=max_iters, num_parts=num_buckets,
+    )
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        hosts = (t["src_host"].to_pylist() + t["dst_host"].to_pylist())
+        hu = sorted(set(hosts))
+        return pa.table({
+            "hid": pa.array(hash_strings(np.array(hu, object)), pa.int64()),
+            "host": pa.array(hu, pa.string()),
+        })
+
+    hmap = he.map_batches(name_rows, batch_format="pyarrow").to_pandas()
+    hmap = hmap.drop_duplicates("hid")
+    import ray.data as rd
+
+    return bucket_join(
+        ranks, rd.from_arrow(pa.Table.from_pandas(hmap, preserve_index=False)),
+        on="id", right_on="hid", how="inner", num_buckets=num_buckets,
+    ).select_columns(["host", "rank"])

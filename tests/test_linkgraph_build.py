@@ -92,3 +92,43 @@ def test_host_edges_exact(built):
     }
     assert got == dict(want)
     assert len(got) > 10
+
+
+def test_host_pagerank_matches_numpy(built, tmp_path):
+    import numpy as np
+
+    from graph_computing_go_ray.pipelines.pages import host_pagerank
+
+    paths, _, _ = built
+    got = {r["host"]: r["rank"] for r in
+           host_pagerank(paths, str(tmp_path / "hpr"), num_buckets=4)
+           .to_pandas().to_dict("records")}
+    # replica: host edge weights from the exactly-verified page edges,
+    # then the numpy weighted-PageRank formulation of engine/wpagerank
+    vt = pq.read_table(paths["vertices"], columns=["id", "url"]).to_pylist()
+    host_of = {r["id"]: r["url"].split("://", 1)[1].split("/", 1)[0]
+               for r in vt}
+    et = pq.read_table(paths["edges"], columns=["src", "dst"]).to_pylist()
+    w = collections.Counter(
+        (host_of[r["src"]], host_of[r["dst"]]) for r in et)
+    hosts = sorted({h for p in w for h in p})
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    wsum = np.zeros(n)
+    for (s, d), c in w.items():
+        wsum[idx[s]] += c
+    r = np.full(n, 1.0 / n)
+    for _ in range(500):
+        dang = r[wsum == 0].sum()
+        contrib = np.zeros(n)
+        for (s, d), c in w.items():
+            contrib[idx[d]] += r[idx[s]] * (c / wsum[idx[s]])
+        new = 0.15 / n + 0.85 * (contrib + dang / n)
+        if np.abs(new - r).sum() < 1e-12:
+            r = new
+            break
+        r = new
+    assert set(got) == set(hosts)
+    for h in hosts:
+        assert abs(got[h] - r[idx[h]]) < 1e-8, h
+    assert abs(sum(got.values()) - 1.0) < 1e-8
