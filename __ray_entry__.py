@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host-authority weighted PageRank over the host webgraph
         # (numpy-parity pytest; rows-only)
         "host_pagerank": _host_pagerank,
+        # Boruvka minimum spanning forest (Kruskal-parity pytest; rows-only)
+        "msf_chain": G.msf_chain,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,

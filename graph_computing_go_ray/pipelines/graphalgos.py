@@ -542,6 +542,30 @@ def matching_cooccur(sf_dir: str) -> Dataset:
     return out
 
 
+def msf_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Borůvka minimum spanning forest over the part-chain graph
+    (engine/mst.py), weights via the sssp_chain formula
+    w = (src + dst) % 9 + 1 (documented so the Kruskal pytest replica
+    reproduces it; the strict (w, u, v) total order makes the MSF
+    unique). Output (u, v, w), u < v. Exact Kruskal parity pytest in
+    tests/test_graph_extras.py."""
+    from ..engine.mst import boruvka_msf
+
+    edges = chain_edge_ds(sf_dir, order_mod)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(((s + d) % 9 + 1).astype(np.float64))})
+
+    out, _info = boruvka_msf(
+        edges.map_batches(weigh, batch_format="pyarrow"),
+        _workdir(sf_dir, f"msf-m{order_mod}"), num_buckets=8,
+    )
+    return out
+
+
 def coarsen_cooccur(sf_dir: str) -> Dataset:
     """One multilevel-coarsening round of the co-occurrence graph:
     maximal matching (engine/matching.py) then pair contraction with
