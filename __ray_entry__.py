@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _host_pagerank,
         # Boruvka minimum spanning forest (Kruskal-parity pytest; rows-only)
         "msf_chain": G.msf_chain,
+        # HLL-per-hopping-window distinct users (accuracy pytest; rows-only)
+        "approx_window_users": R.approx_window_users,
         # --- already driver-verified green in CORRECTNESS_r02 ---
         # degrees / histograms / dedup (SURVEY §2.5 A1-A2, §2.7 D6)
         "in_degree": R.in_degree,

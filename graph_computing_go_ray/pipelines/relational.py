@@ -854,6 +854,53 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def approx_window_users(
+    sf_dir: str, window_days: int = 7, hop_days: int = 1, p: int = 12,
+) -> pd.DataFrame:
+    """Approximate distinct users per hopping window — the HLL sketch
+    composed with the window explode: each block builds one 2^p-register
+    HyperLogLog PER WINDOW over its events and emits a fixed-size
+    register row per window; the merge is an elementwise max per window.
+    Shuffle volume is #blocks x #windows x 2^p bytes no matter how many
+    events there are — the sketch analog of events_hopping_window's
+    exact sums. Accuracy (relative error well under 5% at p=12) asserted
+    in tests/test_textops.py; output (window_start, approx_users)."""
+    from ..engine.sketch import hll_estimate, hll_registers
+
+    n_win = window_days // hop_days
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        d = day.to_numpy(zero_copy_only=False)
+        offs = np.arange(n_win, dtype="timedelta64[D]") * hop_days
+        wstart = (d[:, None] - offs[None, :]).reshape(-1)
+        uu = np.repeat(uid, n_win)
+        df = pd.DataFrame({"w": wstart, "u": uu}).drop_duplicates()
+        rows_w, rows_r = [], []
+        for w, sub in df.groupby("w"):
+            rows_w.append(w)
+            rows_r.append(
+                hll_registers(sub["u"].to_numpy(np.int64), p=p).tobytes())
+        return pa.table({
+            "window_start": pa.array(
+                np.array(rows_w, dtype="datetime64[us]")),
+            "regs": pa.array(rows_r, pa.binary()),
+        })
+
+    cent = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_w, out_n = [], []
+    for w, sub in cent.groupby("window_start"):
+        regs = np.frombuffer(sub["regs"].iloc[0], np.uint8).copy()
+        for b in sub["regs"].iloc[1:]:
+            regs = np.maximum(regs, np.frombuffer(b, np.uint8))
+        out_w.append(w)
+        out_n.append(round(hll_estimate(regs), 6))
+    return pd.DataFrame({"window_start": out_w, "approx_users": out_n})
+
+
 def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
     """Single-pass mergeable approximate l_extendedprice quantiles
     (engine/sketch.approx_quantiles centroid sketch) — the at-scale

@@ -338,3 +338,34 @@ def test_approx_quantiles_accuracy():
         # rank error: where the estimate actually sits in the sorted data
         r = np.searchsorted(srt, got[q]) / len(srt)
         assert abs(r - q) < 0.01, (q, got[q], r)
+
+
+def test_approx_window_users_accuracy():
+    """HLL-per-window vs exact distinct users per hopping window at
+    sf0.001: every window's relative error must stay under 5%."""
+    import duckdb
+    import numpy as np
+
+    from graph_computing_go_ray.pipelines.relational import (
+        approx_window_users,
+    )
+
+    got = approx_window_users("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = con.execute(
+        "WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events), "
+        "w AS (SELECT user_id, day - k.k * INTERVAL 1 DAY AS window_start "
+        "  FROM d, (SELECT unnest(range(0, 7)) AS k) k) "
+        "SELECT window_start, count(DISTINCT user_id) AS n "
+        "FROM w GROUP BY 1"
+    ).df()
+    con.close()
+    exact = dict(zip(want["window_start"], want["n"]))
+    assert len(got) == len(exact)
+    for w, est in zip(got["window_start"], got["approx_users"]):
+        n = exact[w]
+        assert abs(est - n) / max(n, 1) < 0.05, (w, est, n)
