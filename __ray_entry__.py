@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": TX.lang_confusion,
         # per-source percent_rank window filter via value histograms
         "chars_percentile_filter": C.chars_percentile_filter,
+        # JSON props extraction (one vectorized Arrow regex pass) + agg
+        "events_props_stats": R.events_props_stats,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -1200,6 +1202,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
             "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
             "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
+        ),
+        # JSON k extracted by the same regex on both sides; int64 sums
+        "events_props_stats": (
+            "SELECT event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) "
+            "  AS BIGINT)) AS BIGINT) AS sum_k, "
+            "min(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) "
+            "  AS BIGINT)) AS min_k, "
+            "max(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) "
+            "  AS BIGINT)) AS max_k "
+            "FROM events GROUP BY 1"
         ),
         # percent_rank = (strictly smaller)/(n-1) per source; keep >= 0.75
         "chars_percentile_filter": (

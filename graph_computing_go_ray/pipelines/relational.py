@@ -854,6 +854,49 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_props_stats(sf_dir: str) -> Dataset:
+    """Semi-structured payload extraction: pull the integer ``k`` out of
+    the events table's JSON ``props`` column with ONE vectorized Arrow
+    regex pass (pc.extract_regex — no per-row json.loads) and aggregate
+    per event_type: (n_events, sum_k, min_k, max_k). Per-batch partials
+    before the tiny-keyspace bucketed combine; sums are exact int64 so
+    the result is summation-order independent."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "k": k})
+        g = df.groupby("event_type")["k"]
+        out = pd.DataFrame({
+            "event_type": g.count().index,
+            "n_events": g.count().to_numpy(np.int64),
+            "sum_k": g.sum().to_numpy(np.int64),
+            "min_k": g.min().to_numpy(np.int64),
+            "max_k": g.max().to_numpy(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"))
+
+    return bucket_grouped(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], combine,
+        out_schema=pa.schema([("event_type", pa.string()),
+                              ("n_events", pa.int64()),
+                              ("sum_k", pa.int64()),
+                              ("min_k", pa.int64()),
+                              ("max_k", pa.int64())]),
+        num_buckets=default_num_buckets(),
+    )
+
+
 def approx_window_users(
     sf_dir: str, window_days: int = 7, hop_days: int = 1, p: int = 12,
 ) -> pd.DataFrame:
