@@ -491,7 +491,7 @@ def test_ktruss_matches_python_peel(graph, k, bme):
         assert kept.schema().names == ["u", "v"]
     want = python_ktruss(edges_pd, k)
     assert got == want
-    assert info.get("local") is True  # small input takes the Kruskal path
+    assert info["rounds"] >= 1
     # edge counts are monotonically non-increasing across rounds
     ns = info["n_edges"]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
