@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentile_filter": C.chars_percentile_filter,
         # JSON props extraction (one vectorized Arrow regex pass) + agg
         "events_props_stats": R.events_props_stats,
+        # winnow-fingerprint equi-join near-dup candidate pairs
+        "winnow_dup_pairs": TX.winnow_dup_pairs,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -1202,6 +1204,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
             "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
             "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
+        ),
+        # pairs of docs sharing a winnow fingerprint (groups of 2..1000)
+        "winnow_dup_pairs": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ws FROM documents), "
+            "w AS (SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') "
+            "  for i in generate_series(1, greatest(len(ws) - 7, 0))]) AS win "
+            "  FROM toks), "
+            "short AS (SELECT doc_id, array_to_string(ws, ' ') AS win "
+            "  FROM toks WHERE len(ws) BETWEEN 1 AND 7), "
+            "allw AS (SELECT * FROM w UNION ALL SELECT * FROM short), "
+            "fp AS (SELECT doc_id, min(md5(win)) AS win_fp FROM allw "
+            "  GROUP BY doc_id), "
+            "sized AS (SELECT doc_id, win_fp, count(*) OVER "
+            "  (PARTITION BY win_fp) AS n FROM fp) "
+            "SELECT x.doc_id AS a, y.doc_id AS b FROM sized x "
+            "JOIN sized y ON x.win_fp = y.win_fp AND x.doc_id < y.doc_id "
+            "WHERE x.n BETWEEN 2 AND 1000"
         ),
         # JSON k extracted by the same regex on both sides; int64 sums
         "events_props_stats": (

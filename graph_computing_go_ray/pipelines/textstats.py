@@ -419,6 +419,41 @@ def dup_span_fraction(sf_dir: str, window: int = 10) -> Dataset:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def winnow_dup_pairs(sf_dir: str, window: int = 8,
+                     max_group: int = 1000) -> Dataset:
+    """(a, b) near-duplicate candidate pairs: documents sharing the same
+    winnowing fingerprint (min-md5 over word-``window``-gram windows),
+    a < b — the candidate-generation join the fingerprint index exists
+    for. Locality-robust: editing one region of a document leaves the
+    corpus-wide minimum window intact with high probability, so true
+    near-dups still collide.
+
+    Scale shape: only (win_fp, doc_id) rows shuffle; pairs come from the
+    vectorized triangular kernel (functions/pairs.allpairs_by_group)
+    inside one bucketed pass; fingerprint groups above ``max_group`` docs
+    (degenerate boilerplate) are dropped by the same rule on both sides —
+    the df-cap convention of ngram_jaccard_pairs."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from ..functions.pairs import allpairs_by_group
+
+    fps = winnow_fingerprints(sf_dir, window=window)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("win_fp")["doc_id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_group)]
+        g = g.sort_values(["win_fp", "doc_id"])
+        a, b = allpairs_by_group(g["win_fp"].to_numpy(),
+                                 g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({"a": a.astype(np.int64),
+                             "b": b.astype(np.int64)})
+
+    return bucket_grouped(
+        fps, ["win_fp"], pairs,
+        out_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        num_buckets=default_num_buckets(),
+    )
+
+
 def pack_offsets(sf_dir: str, seqlen: int = 2048) -> Dataset:
     """Training-sequence packing assignment: each document's global token
     offset in doc_id order and the [first_seq, last_seq] fixed-length
