@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.events_props_stats,
         # winnow-fingerprint equi-join near-dup candidate pairs
         "winnow_dup_pairs": TX.winnow_dup_pairs,
+        # mean log2 P(b|a) per doc under corpus bigram counts
+        "bigram_logprob": TX.bigram_logprob,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -1204,6 +1206,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
             "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
             "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
+        ),
+        # per-doc mean log2 c(a,b)/c(a,.) over adjacent token pairs
+        "bigram_logprob": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "  '[a-z0-9]+') AS ws FROM documents), "
+            "pairs AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+            "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS ab "
+            "  FROM toks), "
+            "pc_ AS (SELECT ab, count(*) AS c FROM pairs GROUP BY ab), "
+            "ac AS (SELECT split_part(ab, ' ', 1) AS a, sum(c) AS ca "
+            "  FROM pc_ GROUP BY 1) "
+            "SELECT p.doc_id, round(avg(log2(pc_.c * 1.0 / ac.ca)), 6) "
+            "AS logprob FROM pairs p JOIN pc_ USING (ab) "
+            "JOIN ac ON split_part(p.ab, ' ', 1) = ac.a GROUP BY p.doc_id"
         ),
         # pairs of docs sharing a winnow fingerprint (groups of 2..1000)
         "winnow_dup_pairs": (

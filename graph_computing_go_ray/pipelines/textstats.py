@@ -419,6 +419,102 @@ def dup_span_fraction(sf_dir: str, window: int = 10) -> Dataset:
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def bigram_logprob(sf_dir: str) -> Dataset:
+    """(doc_id, logprob): mean log2 bigram conditional probability
+    P(b|a) = c(a,b) / c(a,.) of the doc's adjacent token pairs under the
+    corpus's own bigram counts — the LM-perplexity-style quality score
+    one step up from unigram_logprob (low = unusual word ORDER, not just
+    unusual vocabulary). Docs with fewer than 2 tokens emit nothing; MLE
+    probabilities need no smoothing because every scored pair exists in
+    the corpus counts by construction.
+
+    Shape: per-batch (doc_id, pair, k) partial counts; corpus pair counts
+    from one bucketed sum; the left-token denominator folds INSIDE an
+    `a`-keyed bucket (pairs sharing a left token co-bucket, the
+    bigram_lm_top trick — no second corpus shuffle); probabilities attach
+    back by one bucketed join on the composite pair key. The vocabulary
+    is never broadcast."""
+    from ..engine.join import (
+        bucket_grouped,
+        bucket_grouped_sum,
+        bucket_join,
+        default_num_buckets,
+        rename,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_pairs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        if len(tokens) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ab": pa.array([], pa.large_string()),
+                             "k": pa.array([], pa.int64())})
+        same = doc_idx[1:] == doc_idx[:-1]
+        ab = tokens[:-1][same] + " " + tokens[1:][same]
+        d = ids[doc_idx[1:][same]]
+        g = (pd.DataFrame({"doc_id": d, "ab": ab})
+             .groupby(["doc_id", "ab"], as_index=False).size())
+        return pa.table({"doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                         "ab": pa.array(g["ab"], pa.large_string()),
+                         "k": pa.array(g["size"].to_numpy(np.int64))})
+
+    dp = docs.map_batches(doc_pairs, batch_format="pyarrow").materialize()
+    pcnt = bucket_grouped_sum(
+        dp.select_columns(["ab", "k"]).rename_columns({"k": "c"}),
+        ["ab"], ["c"], num_buckets=default_num_buckets(),
+    )
+
+    def probs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["a"] = g["ab"].str.split(" ", n=1).str[0]
+        ca = g.groupby("a")["c"].transform("sum").to_numpy(np.float64)
+        g["p"] = g["c"].to_numpy(np.float64) / ca
+        return g[["ab", "p"]]
+
+    # bucket by the LEFT TOKEN so each a's denominator is bucket-local
+    ptab = bucket_grouped(
+        pcnt.map_batches(
+            lambda t: t.append_column(
+                "a", pa.array([x.split(" ", 1)[0]
+                               for x in t["ab"].to_pylist()],
+                              pa.large_string())),
+            batch_format="pyarrow",
+        ).select_columns(["ab", "c", "a"]),
+        ["a"], probs,
+        out_schema=pa.schema([("ab", pa.large_string()),
+                              ("p", pa.float64())]),
+        num_buckets=default_num_buckets(),
+    )
+
+    j = bucket_join(dp, rename(ptab, {"ab": "ab2"}), on="ab",
+                    right_on="ab2", how="inner",
+                    num_buckets=default_num_buckets())
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                           "s": k * np.log2(p), "n": k})
+        g = df.groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"), ["doc_id"],
+        ["s", "n"], num_buckets=default_num_buckets(),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "logprob": pa.array(np.round(s / n, ROUND),
+                                             pa.float64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def winnow_dup_pairs(sf_dir: str, window: int = 8,
                      max_group: int = 1000) -> Dataset:
     """(a, b) near-duplicate candidate pairs: documents sharing the same
