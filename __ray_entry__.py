@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentile_filter": C.chars_percentile_filter,
         # JSON props extraction (one vectorized Arrow regex pass) + agg
         "events_props_stats": R.events_props_stats,
+        # supply-chain rollup: revenue per supplier region (Q5 flavor)
+        "supplier_region_revenue": R.supplier_region_revenue,
         # winnow-fingerprint equi-join near-dup candidate pairs
         "winnow_dup_pairs": TX.winnow_dup_pairs,
         # mean log2 P(b|a) per doc under corpus bigram counts
@@ -1206,6 +1208,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
             "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
             "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
+        ),
+        # discounted revenue per supplier region, exact scaled-int64 sums
+        "supplier_region_revenue": (
+            "SELECT r_name, count(*) AS n_items, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "         (100 - CAST(round(l_discount * 100) AS BIGINT))) "
+            "  AS DOUBLE) / 10000 AS revenue "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         # per-doc mean log2 c(a,b)/c(a,.) over adjacent token pairs
         "bigram_logprob": (

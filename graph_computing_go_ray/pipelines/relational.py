@@ -854,6 +854,66 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def supplier_region_revenue(sf_dir: str) -> Dataset:
+    """Supply-chain rollup (TPC-H Q5 flavor): discounted lineitem revenue
+    per supplier REGION — lineitem → supplier (fact-scale hop via
+    adaptive_map_join: bucketed once supplier exceeds the broadcast
+    limit) → nation → region (true dimensions, broadcast once as a
+    25-entry map). Revenue accumulates in exact scaled int64
+    (cents x (100 - discount%)), so the sum is order-independent and the
+    final /10000 division is the identical IEEE op the oracle performs
+    (the pricing_summary fixed-point convention)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum, \
+        default_num_buckets
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read_table(sf_dir, "region",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(
+        nation["n_nationkey"].to_numpy(),
+        region.set_index("r_regionkey")["r_name"]
+        .reindex(nation["n_regionkey"]).to_numpy(),
+    ))
+    r_ref = ray.put(n2r)
+
+    j = adaptive_map_join(li, sup, on="l_suppkey", key_col="s_suppkey",
+                          val_cols=["s_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(r_ref)
+        rname = pd.Series(
+            t["s_nationkey"].to_numpy(zero_copy_only=False)).map(m)
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        df = pd.DataFrame({"r_name": rname,
+                           "n_items": np.int64(1),
+                           "rev": cents * (100 - disc)})
+        g = df.groupby("r_name", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["r_name"], ["n_items", "rev"], num_buckets=default_num_buckets(),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t["r_name"].cast(pa.string()),
+            "n_items": t["n_items"].cast(pa.int64()),
+            "revenue": pa.array(
+                t["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+                / 10000.0, pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def events_props_stats(sf_dir: str) -> Dataset:
     """Semi-structured payload extraction: pull the integer ``k`` out of
     the events table's JSON ``props`` column with ONE vectorized Arrow
