@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.events_props_stats,
         # supply-chain rollup: revenue per supplier region (Q5 flavor)
         "supplier_region_revenue": R.supplier_region_revenue,
+        # leave-one-out 1-NN label consistency of the embedding space
+        "knn_label_accuracy": S.knn_label_accuracy,
         # winnow-fingerprint equi-join near-dup candidate pairs
         "winnow_dup_pairs": TX.winnow_dup_pairs,
         # mean log2 P(b|a) per doc under corpus bigram counts
@@ -1208,6 +1210,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
             "round(CAST(coalesce(agg.c, 0) AS DOUBLE) / n.n_tokens, 6) "
             "AS dup_frac FROM n LEFT JOIN agg USING (doc_id)"
+        ),
+        # 1-NN by round(cos,6) with id tie-break (ann_topk's ranking rule)
+        "knn_label_accuracy": (
+            "WITH flat AS (SELECT vec_id, generate_subscripts(embedding, 1) "
+            "  AS i, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "norms AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM flat GROUP BY 1), "
+            "dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
+            "  sum((a.x / na.n) * (b.x / nb.n)) AS sim "
+            "  FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id <> a.vec_id "
+            "  JOIN norms na ON a.vec_id = na.vec_id "
+            "  JOIN norms nb ON b.vec_id = nb.vec_id GROUP BY 1, 2), "
+            "nn AS (SELECT qid, cid FROM (SELECT qid, cid, round(sim, 6) "
+            "  AS s FROM dots) QUALIFY row_number() OVER (PARTITION BY qid "
+            "  ORDER BY s DESC, cid) = 1), "
+            "lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label "
+            "  FROM embeddings) "
+            "SELECT lq.label, count(*) AS n, "
+            "CAST(sum(CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_correct, "
+            "round(sum(CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END) "
+            "  * 1.0 / count(*), 6) AS accuracy "
+            "FROM nn JOIN lab lq ON nn.qid = lq.vec_id "
+            "JOIN lab lc ON nn.cid = lc.vec_id GROUP BY lq.label"
         ),
         # discounted revenue per supplier region, exact scaled-int64 sums
         "supplier_region_revenue": (

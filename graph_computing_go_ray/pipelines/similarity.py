@@ -186,6 +186,149 @@ def cosine_pairs(
                                 batch_size=1)
 
 
+def knn_label_accuracy(
+    sf_dir: str, num_blocks: int | None = None, workdir: str | None = None,
+) -> Dataset:
+    """(label, n, n_correct, accuracy): leave-one-out 1-NN label
+    consistency of the embedding space — the standard sanity metric run
+    over an embedding column before trusting nearest-neighbor dedup or
+    search on it. Exact brute force by the cosine_pairs block-pair
+    tiling (two blocks per task, per-task partial argmax, bucketed
+    (max sim, min id) reduce — never the full matrix in one task);
+    similarity is rounded to 6 decimals BEFORE ranking with the id
+    tie-break, the identical rule the DuckDB oracle applies. The O(n²·d)
+    compute is inherent to the exact metric; at corpus scale the
+    evaluation runs on a sample while search itself uses the ivf/lsh
+    paths."""
+    from ..engine.join import (
+        adaptive_map_join,
+        bucket_grouped,
+        default_num_buckets,
+        read_bucket,
+        rename,
+        write_bucketed,
+    )
+
+    nb = num_blocks or default_num_buckets()
+    wd = workdir or tempfile.mkdtemp(prefix="gcgr_knnacc_")
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norm_rows(t: pa.Table) -> pa.Table:
+        m = _emb_to_np(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "embedding": pa.array(list(m), pa.list_(pa.float64()))}
+        )
+
+    write_bucketed(emb.map_batches(norm_rows, batch_format="pyarrow"),
+                   "vec_id", nb, wd)
+
+    pairs_ds = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(nb) for j in range(i, nb)]
+    )
+
+    def best_of(ids_q, ids_c, sims, self_mask=False):
+        """Per-row (sim rounded, then max with min-id tie-break) partial."""
+        s = np.round(sims, ROUND)
+        if self_mask:
+            s[ids_q[:, None] == ids_c[None, :]] = -np.inf
+        order = np.argsort(ids_c, kind="stable")  # min id wins argmax ties
+        s_o = s[:, order]
+        col = np.argmax(s_o, axis=1)
+        return ids_c[order][col], s_o[np.arange(len(ids_q)), col]
+
+    def block_pair(t: pa.Table) -> pa.Table:
+        out_q, out_c, out_s = [], [], []
+        for bi, bj in zip(t["bi"].to_pylist(), t["bj"].to_pylist()):
+            ti = read_bucket(wd, int(bi))
+            tj = ti if bi == bj else read_bucket(wd, int(bj))
+            if ti is None or tj is None:
+                continue
+            ia = ti["vec_id"].to_numpy(zero_copy_only=False)
+            ib = tj["vec_id"].to_numpy(zero_copy_only=False)
+            ma = _emb_to_np(ti["embedding"])
+            mb = ma if bi == bj else _emb_to_np(tj["embedding"])
+            sims = ma @ mb.T
+            c, s = best_of(ia, ib, sims, self_mask=(bi == bj))
+            out_q.append(ia)
+            out_c.append(c)
+            out_s.append(s)
+            if bi != bj:
+                c2, s2 = best_of(ib, ia, sims.T)
+                out_q.append(ib)
+                out_c.append(c2)
+                out_s.append(s2)
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "cid": pa.array(np.concatenate(out_c), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = pairs_ds.map_batches(block_pair, batch_format="pyarrow",
+                                    batch_size=1)
+
+    def reduce_best(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["qid", "sim", "cid"],
+                          ascending=[True, False, True])
+        return d.groupby("qid", as_index=False).first()[["qid", "cid"]]
+
+    best = bucket_grouped(
+        partials, ["qid"], reduce_best,
+        out_schema=pa.schema([("qid", pa.int64()), ("cid", pa.int64())]),
+        num_buckets=nb,
+    )
+
+    labels = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    lab = labels.map_batches(
+        lambda t: pa.table({"vid": t["vec_id"],
+                            "label": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    j = rename(
+        adaptive_map_join(best, lab, on="qid", key_col="vid",
+                          val_cols=["label"], num_buckets=nb),
+        {"label": "label_q"},
+    )
+    j = rename(
+        adaptive_map_join(j, lab, on="cid", key_col="vid",
+                          val_cols=["label"], num_buckets=nb),
+        {"label": "label_c"},
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        lq = t["label_q"].to_numpy(zero_copy_only=False)
+        lc = t["label_c"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"label": lq, "n": np.int64(1),
+                           "n_correct": (lq == lc).astype(np.int64)})
+        g = df.groupby("label", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..engine.join import bucket_grouped_sum
+
+    out = bucket_grouped_sum(
+        j.map_batches(agg, batch_format="pyarrow"), ["label"],
+        ["n", "n_correct"], num_buckets=nb,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["n_correct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "label": t["label"].cast(pa.int64()),
+            "n": t["n"].cast(pa.int64()),
+            "n_correct": t["n_correct"].cast(pa.int64()),
+            "accuracy": pa.array(np.round(c * 1.0 / n, ROUND), pa.float64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def ivf_topk(
     sf_dir: str, n_queries: int = 10, k: int = 5, n_cells: int = 16,
     n_probe: int = 4, seed: int = 13, sample_size: int = 65536,
