@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the already-green r2 block.
     return {
         # --- round-3 driver window: the 41 oracle queries never sampled ---
+        # distributed modularity kernel over the CC partition (SQL-oracled)
+        "modularity_components": G.modularity_components,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)
@@ -207,6 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_bipartite": G.pagerank_bipartite,
         "connected_components": G.components_cooccur,
         "label_propagation": G.labelprop_cooccur,
+        # synchronous Louvain local-move communities (exact-parity replica
+        # pytest in tests/test_louvain.py; modularity itself is SQL-checked
+        # via modularity_components)
+        "louvain_cooccur": G.louvain_cooccur,
         "component_sizes": G.component_sizes,
         "coreness": G.coreness_cooccur,
         # HITS / personalized PageRank / HyperBall (numpy + exact-BFS
@@ -549,6 +555,43 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE bfs.dist < 32"
             ") "
             "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM bfs GROUP BY id"
+        ),
+        # Newman modularity of the CC partition of the undirected part-chain
+        # graph: recursive-CTE hash-min labels feed the general two-term
+        # Q = intra/m - sum_c (tot_c/2m)^2 (chain graph: hundreds of
+        # components, so the degree term is nontrivial).
+        "modularity_components": (
+            "WITH RECURSIVE th AS (SELECT l_orderkey, l_linenumber, "
+            "  l_partkey FROM lineitem WHERE l_orderkey % 16 = 0), "
+            "e0 AS (SELECT l_partkey AS src, "
+            "       lead(l_partkey) OVER (PARTITION BY l_orderkey "
+            "                             ORDER BY l_linenumber) AS dst "
+            "       FROM th), "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "               GREATEST(src, dst) AS v FROM e0 "
+            "        WHERE dst IS NOT NULL AND src <> dst), "
+            "e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und), "
+            "verts AS (SELECT DISTINCT u AS id FROM e), "
+            "lp(iter, id, label) AS ("
+            "  SELECT 0, id, id FROM verts "
+            "  UNION ALL "
+            "  SELECT lp.iter + 1, lp.id, LEAST(lp.label, MIN(nbr.label)) "
+            "  FROM lp JOIN e ON e.u = lp.id JOIN lp nbr ON nbr.id = e.v "
+            "  WHERE lp.iter < 128 GROUP BY lp.iter, lp.id, lp.label"
+            "), lab AS (SELECT id, MIN(label) AS comm FROM lp GROUP BY id), "
+            "deg AS (SELECT u AS id, COUNT(*) AS k FROM e GROUP BY u), "
+            "m AS (SELECT COUNT(*) AS m FROM und), "
+            "intra AS (SELECT COUNT(*) AS i FROM und "
+            "  JOIN lab a ON a.id = und.u JOIN lab b ON b.id = und.v "
+            "  WHERE a.comm = b.comm), "
+            "tot AS (SELECT l.comm, SUM(d.k) AS tot FROM deg d "
+            "  JOIN lab l ON l.id = d.id GROUP BY 1), "
+            "sq AS (SELECT SUM((tot * 1.0 / (2 * m.m)) * "
+            "                  (tot * 1.0 / (2 * m.m))) AS s, "
+            "              COUNT(*) AS nc FROM tot, m) "
+            "SELECT sq.nc AS n_communities, m.m AS m_edges, "
+            "ROUND(intra.i * 1.0 / m.m - sq.s, 6) AS modularity "
+            "FROM intra, sq, m"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

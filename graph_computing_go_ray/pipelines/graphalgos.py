@@ -890,3 +890,52 @@ def robustness_curve(sf_dir: str, fracs=(0.0, 0.25, 0.5),
     out["n_edges"] = out["n_edges"].astype(np.int64)
     out["giant_size"] = out["giant_size"].astype(np.int64)
     return out
+
+
+def louvain_cooccur(sf_dir: str) -> Dataset:
+    """Synchronous Louvain local-move communities over the undirected part
+    co-occurrence graph (engine/louvain.py) — (id, comm) per vertex.
+    Exact-parity python replica in tests/test_louvain.py; no SQL oracle
+    (modularity optimization is not SQL-expressible)."""
+    from ..engine.louvain import louvain_move_phase
+
+    labels, _info = louvain_move_phase(cooccur_edge_ds(sf_dir), max_rounds=12)
+    return labels
+
+
+def chain_und_ds(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Undirected view of the part-chain graph: distinct (min, max) pairs
+    of chain_edge_ds — the multi-component fixture for partition-quality
+    measures (the co-occurrence graph is one giant component)."""
+    from ..engine.degrees import distinct_pairs
+
+    def und(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": np.minimum(s, d), "dst": np.maximum(s, d),
+        })
+
+    pairs = chain_edge_ds(sf_dir, order_mod).map_batches(
+        und, batch_format="pyarrow"
+    )
+    return distinct_pairs(pairs, ["src", "dst"])
+
+
+def modularity_components(sf_dir: str) -> pd.DataFrame:
+    """Newman modularity of the connected-components partition of the
+    undirected part-chain graph — exercises the generic distributed
+    modularity kernel (engine/louvain.py) against a fully SQL-expressible
+    labeling (the CC recursive-CTE oracle). The chain graph has hundreds
+    of components, so both terms of Q = intra/m - sum_c (tot_c/2m)^2 are
+    nontrivial (every edge is intra, the degree term is not degenerate —
+    unlike the one-component co-occurrence graph where Q is identically 0)."""
+    from ..engine.components import connected_components
+    from ..engine.join import rename_cols
+    from ..engine.louvain import modularity
+
+    edges = chain_und_ds(sf_dir)
+    labels, _ = connected_components(
+        edges, _workdir(sf_dir, "cc-chain-und"), num_parts=8
+    )
+    return modularity(edges, rename_cols(labels, {"label": "comm"}))
