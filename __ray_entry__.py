@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-3 driver window: the 41 oracle queries never sampled ---
         # distributed modularity kernel over the CC partition (SQL-oracled)
         "modularity_components": G.modularity_components,
+        # multi-pattern keyword tagging (vectorized count_substring)
+        "keyword_tags": TX.keyword_tags,
+        # exact 2-hop ball sizes via one bucketed self-join (SQL-oracled)
+        "two_hop_sizes_chain": G.two_hop_sizes_chain,
         # A9 Google distance
         "google_distance": R.google_distance_parts,
         # text analysis (training-data ops)
@@ -938,6 +942,24 @@ def oracle_sql() -> dict[str, str]:
             "      (log2(t) - log2(least(sa.n, sb.n))), 6) AS distance "
             "FROM inter JOIN sz sa ON u = sa.d JOIN sz sb ON v = sb.d, tot"
         ),
+        # exact 2-hop neighborhood sizes on the undirected chain graph
+        "two_hop_sizes_chain": (
+            "WITH th AS (SELECT l_orderkey, l_linenumber, l_partkey "
+            "            FROM lineitem WHERE l_orderkey % 16 = 0), "
+            "e0 AS (SELECT l_partkey AS src, "
+            "       lead(l_partkey) OVER (PARTITION BY l_orderkey "
+            "                             ORDER BY l_linenumber) AS dst "
+            "       FROM th), "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "               GREATEST(src, dst) AS v FROM e0 "
+            "        WHERE dst IS NOT NULL AND src <> dst), "
+            "e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und), "
+            "two AS (SELECT a.u AS id, b.v AS nb FROM e a "
+            "        JOIN e b ON a.v = b.u WHERE a.u <> b.v "
+            "        UNION "
+            "        SELECT u AS id, v AS nb FROM e) "
+            "SELECT id, COUNT(*) AS n_within_2 FROM two GROUP BY id"
+        ),
         "chain_reciprocity": (
             "WITH th AS (SELECT l_orderkey, l_linenumber, l_partkey "
             "            FROM lineitem WHERE l_orderkey % 16 = 0), "
@@ -966,6 +988,17 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents"
+        ),
+        # non-overlapping left-to-right occurrence counts via replace()
+        # arithmetic — identical semantics to pyarrow count_substring
+        "keyword_tags": (
+            "WITH kw AS (SELECT * FROM (VALUES ('hash join'), ('sort merge'), "
+            "('window agg'), ('stream'), ('vector')) AS v(keyword)), "
+            "c AS (SELECT d.doc_id, kw.keyword, "
+            "  (len(d.text) - len(replace(d.text, kw.keyword, ''))) "
+            "    // len(kw.keyword) AS n "
+            "  FROM documents d CROSS JOIN kw) "
+            "SELECT doc_id, keyword, n FROM c WHERE n > 0"
         ),
         "pack_offsets": (
             "WITH t AS (SELECT doc_id, "

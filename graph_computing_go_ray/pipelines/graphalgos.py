@@ -939,3 +939,41 @@ def modularity_components(sf_dir: str) -> pd.DataFrame:
         edges, _workdir(sf_dir, "cc-chain-und"), num_parts=8
     )
     return modularity(edges, rename_cols(labels, {"label": "comm"}))
+
+
+def two_hop_sizes_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Exact 2-hop neighborhood size per vertex of the undirected part-chain
+    graph: |{ v : dist(u, v) <= 2, v != u }| — the exact small-radius ball
+    operator (the scale path for larger radii / denser graphs is HyperBall,
+    engine/hyperball.py, which estimates the same quantity with per-vertex
+    HLL registers instead of materializing O(wedges) pairs).
+
+    Dataflow: one bucketed self-join of the symmetrized edge table on the
+    middle vertex (a-mid ⋈ mid-c), union the 1-hop pairs, distinct, count
+    per vertex. SQL oracle: the same join in DuckDB over the chain CTE."""
+    from ..engine.degrees import distinct_pairs, grouped_count
+    from ..engine.join import bucket_join, rename_cols
+
+    und = chain_und_ds(sf_dir, order_mod)
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": np.concatenate([s, d]),
+                         "nb": np.concatenate([d, s])})
+
+    sym = und.map_batches(both, batch_format="pyarrow").materialize()
+    left = rename_cols(sym, {"nb": "mid"})
+    right = rename_cols(sym, {"a": "mid_r", "nb": "c"})
+    two = bucket_join(left, right, on="mid", right_on="mid_r", how="inner")
+
+    def hop2(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        keep = a != c
+        return pa.table({"a": a[keep], "nb": c[keep]})
+
+    pairs = two.map_batches(hop2, batch_format="pyarrow").union(sym)
+    reach = distinct_pairs(pairs, ["a", "nb"])
+    out = grouped_count(reach, "a", "n_within_2")
+    return rename_cols(out, {"a": "id"})

@@ -652,3 +652,38 @@ def distinct_ngram_ratio(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+KEYWORD_TAXONOMY = (
+    "hash join", "sort merge", "window agg", "stream", "vector",
+)
+
+
+def keyword_tags(sf_dir: str) -> Dataset:
+    """Multi-pattern keyword tagging over the corpus: one row per
+    (doc_id, keyword, n) for every taxonomy keyword occurring in the
+    document (FlashText-style tagging, the classifier-lite labeling pass
+    of a curation pipeline). Fully vectorized: one
+    pyarrow.compute.count_substring kernel per keyword per batch —
+    zero-copy Arrow in, no per-row Python. Counts are non-overlapping
+    left-to-right, matching DuckDB's replace()-arithmetic oracle
+    (len(text) - len(replace(text, kw, ''))) // len(kw) exactly."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_kw, out_n = [], [], []
+        for kw in KEYWORD_TAXONOMY:
+            n = pc.count_substring(t["text"], kw).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hit = n > 0
+            out_id.append(ids[hit])
+            out_kw.append(np.full(int(hit.sum()), kw, dtype=object))
+            out_n.append(n[hit])
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "keyword": pa.array(np.concatenate(out_kw), pa.string()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    return docs.map_batches(tag, batch_format="pyarrow")
