@@ -217,6 +217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest in tests/test_louvain.py; modularity itself is SQL-checked
         # via modularity_components)
         "louvain_cooccur": G.louvain_cooccur,
+        # DOULION sampled triangle estimate (deterministic edge subsample;
+        # exact-parity + accuracy pytest in tests/test_sampled_triangles.py)
+        "triangles_sampled": G.triangles_sampled,
         "component_sizes": G.component_sizes,
         "coreness": G.coreness_cooccur,
         # HITS / personalized PageRank / HyperBall (numpy + exact-BFS

@@ -977,3 +977,37 @@ def two_hop_sizes_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
     reach = distinct_pairs(pairs, ["a", "nb"])
     out = grouped_count(reach, "a", "n_within_2")
     return rename_cols(out, {"a": "id"})
+
+
+def triangles_sampled(sf_dir: str, p_keep: float = 0.5) -> pd.DataFrame:
+    """DOULION-style sampled triangle estimate (Tsourakakis et al. 2009):
+    keep each undirected edge independently with probability p via the
+    same deterministic splitmix64 edge-key hash robustness_curve uses,
+    count triangles exactly on the sampled subgraph, scale by 1/p^3.
+
+    The scale path for graphs where the exact oriented count's wedge
+    volume is prohibitive — sampling cuts wedge work by ~p^2 (wedges are
+    quadratic in retained degree) for a variance the pytest pins against
+    the exact count on both test graphs. Deterministic: the subsample is a
+    pure function of the edge key, so the estimate is reproducible."""
+    from ..functions.hashing import splitmix64
+
+    edges = cooccur_edge_ds(sf_dir)
+    thresh = np.uint64(int((1.0 - p_keep) * 2**64))
+
+    def keep(t: pa.Table) -> pa.Table:
+        u = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64((u << np.uint64(32)) | v)
+        return t.filter(pa.array(h >= thresh))
+
+    surv = edges.map_batches(keep, batch_format="pyarrow").materialize()
+    n_kept = surv.count()
+    n_tri = triangle_count(surv)
+    est = n_tri / (p_keep ** 3)
+    return pd.DataFrame([{
+        "p_keep": float(p_keep),
+        "n_edges_kept": np.int64(n_kept),
+        "n_triangles_sampled": np.int64(n_tri),
+        "est_triangles": np.float64(round(est, 3)),
+    }])
