@@ -220,6 +220,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DOULION sampled triangle estimate (deterministic edge subsample;
         # exact-parity + accuracy pytest in tests/test_sampled_triangles.py)
         "triangles_sampled": G.triangles_sampled,
+        # multilevel Louvain: move -> contract -> move -> project (exact
+        # weighted-replica parity in tests/test_louvain.py)
+        "louvain_chain_two_level": G.louvain_chain_two_level,
         "component_sizes": G.component_sizes,
         "coreness": G.coreness_cooccur,
         # HITS / personalized PageRank / HyperBall (numpy + exact-BFS

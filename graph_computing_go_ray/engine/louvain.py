@@ -65,28 +65,50 @@ from .join import (
 )
 
 
-def _symmetrize(edges_uv: Dataset) -> Dataset:
-    """Both directions of a DISTINCT undirected (src, dst) pair table."""
+def _with_weight(edges_uv: Dataset) -> Dataset:
+    """Ensure an int64 ``w`` weight column (1 per edge when absent)."""
+    schema = edges_uv.schema()
+    names = list(schema.names) if schema is not None else []
+    if "w" in names:
+        return edges_uv.select_columns(["src", "dst", "w"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "w": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return edges_uv.select_columns(["src", "dst"]).map_batches(
+        add_w, batch_format="pyarrow"
+    )
+
+
+def _symmetrize(edges_uvw: Dataset) -> Dataset:
+    """Both directions of a DISTINCT undirected weighted (src, dst, w)
+    table. Self-loops (contracted intra-community weight) are emitted
+    twice like every other edge, so the weighted-degree sum over ``sym``
+    automatically gives them the conventional 2w degree contribution."""
 
     def both(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
         return pa.table({
             "src": np.concatenate([src, dst]),
             "dst": np.concatenate([dst, src]),
+            "w": np.concatenate([w, w]),
         })
 
-    return edges_uv.select_columns(["src", "dst"]).map_batches(
-        both, batch_format="pyarrow"
-    )
+    return edges_uvw.map_batches(both, batch_format="pyarrow")
 
 
 def _degrees(sym: Dataset, num_buckets: int) -> Dataset:
-    """(id, k) undirected degree from the symmetrized edge table."""
-    from .degrees import grouped_count
-
-    deg = grouped_count(sym, "src", "k")
-    return rename_cols(deg, {"src": "id"})
+    """(id, k) weighted degree from the symmetrized edge table."""
+    deg = bucket_grouped_sum(
+        sym.select_columns(["src", "w"]), ["src"], ["w"],
+        num_buckets=num_buckets,
+    )
+    return rename_cols(deg, {"src": "id", "w": "k"})
 
 
 def modularity(
@@ -127,7 +149,7 @@ def modularity(
     intra = e2.map_batches(intra_partial, batch_format="pyarrow").sum("intra")
 
     # degree term: tot_c = sum of degrees per community.
-    sym = _symmetrize(edges_uv)
+    sym = _symmetrize(_with_weight(edges_uv))
     deg = _degrees(sym, num_buckets)
     degc = adaptive_map_join(
         deg, labels, on="id", key_col="id", val_cols=["comm"],
@@ -174,9 +196,19 @@ def louvain_move_phase(
     conventionally capped; info["converged"] reports which happened."""
     if num_buckets is None:
         num_buckets = default_num_buckets()
-    m = edges_uv.count()
-    sym = _symmetrize(edges_uv).materialize()
+    ew = _with_weight(edges_uv).materialize()
+    m = ew.sum("w")
+    sym = _symmetrize(ew).materialize()
     deg = _degrees(sym, num_buckets)
+    # candidate generation excludes self-loops: a self-loop moves WITH its
+    # vertex (it cancels in the gain), but it must stay in the degree sum
+
+    def no_self(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(s != d))
+
+    sym_ns = sym.map_batches(no_self, batch_format="pyarrow").materialize()
 
     def seed(t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy(zero_copy_only=False)
@@ -208,19 +240,29 @@ def louvain_move_phase(
         selfst = rename_cols(
             selfst, {"comm": "comm_a", "tot": "tot_a", "moved": "moved_last"}
         )
-        # neighbor communities: (src=i, comm=c_j) one row per sym edge
+        # neighbor communities: (src=i, comm=c_j, w) per non-self sym edge
         nbr = adaptive_map_join(
-            sym, labels.select_columns(["id", "comm"]),
+            sym_ns, labels.select_columns(["id", "comm"]),
             on="dst", key_col="id", val_cols=["comm"],
             num_buckets=num_buckets,
+        ).select_columns(["src", "comm", "w"])
+        # zero-weight own-community rows keep vertices whose only edges
+        # are self-loops (fully-contracted communities) in the frontier
+        selfrows = labels.map_batches(
+            lambda t: pa.table({
+                "src": t["id"], "comm": t["comm"],
+                "w": pa.array(np.zeros(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
         )
-        # k_ic: edges from i into each neighbor community
+
+        # k_ic: total edge weight from i into each neighbor community
         def kic_fn(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby(["src", "comm"], as_index=False).size()
-            return out.rename(columns={"size": "k_ic"})
+            out = g.groupby(["src", "comm"], as_index=False)["w"].sum()
+            return out.rename(columns={"w": "k_ic"})
 
         cand = bucket_grouped(
-            nbr.select_columns(["src", "comm"]), ["src"], kic_fn,
+            nbr.union(selfrows), ["src"], kic_fn,
             num_buckets=num_buckets,
             out_schema=pa.schema([
                 ("src", pa.int64()), ("comm", pa.int64()),
@@ -297,3 +339,90 @@ def louvain_move_phase(
             "moves_per_round": moves_per_round,
             "converged": zero_streak >= 2}
     return labels.select_columns(["id", "comm"]), info
+
+
+def contract_by_labels(
+    edges_uvw: Dataset,
+    labels: Dataset,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Louvain contraction: collapse vertices to their community ids and
+    aggregate edge weights. Output is a distinct undirected weighted
+    (src <= dst, w) table where src == dst rows carry the intra-community
+    weight as self-loops — exactly the graph the next move-phase level
+    consumes. Two label-attach joins + one bucketed weight sum."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    labels = labels.select_columns(["id", "comm"]).materialize()
+    ew = _with_weight(edges_uvw)
+    e1 = adaptive_map_join(
+        ew, labels, on="src", key_col="id", val_cols=["comm"],
+        num_buckets=num_buckets,
+    )
+    e1 = rename_cols(e1, {"comm": "comm_u"})
+    e2 = adaptive_map_join(
+        e1, labels, on="dst", key_col="id", val_cols=["comm"],
+        num_buckets=num_buckets,
+    )
+
+    def collapse(t: pa.Table) -> pa.Table:
+        cu = t["comm_u"].to_numpy(zero_copy_only=False)
+        cv = t["comm"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": np.minimum(cu, cv),
+            "dst": np.maximum(cu, cv),
+            "w": t["w"],
+        })
+
+    coarse = e2.map_batches(collapse, batch_format="pyarrow")
+    return bucket_grouped(
+        coarse, ["src"],
+        lambda g: g.groupby(["src", "dst"], as_index=False)["w"].sum(),
+        num_buckets=num_buckets,
+        out_schema=pa.schema([
+            ("src", pa.int64()), ("dst", pa.int64()), ("w", pa.int64()),
+        ]),
+    )
+
+
+def louvain(
+    edges_uv: Dataset,
+    levels: int = 2,
+    max_rounds: int = 12,
+    num_buckets: int | None = None,
+) -> tuple[Dataset, dict]:
+    """Multilevel Louvain: alternate the synchronous move phase with
+    community contraction, then project the coarse labels back to the
+    base vertices. Each level's graph is the previous level's communities
+    with summed weights and intra-weight self-loops (the standard Blondel
+    et al. 2008 pipeline; the move phase is the deterministic synchronous
+    variant documented above). Returns ((id, comm), info) at base-vertex
+    granularity; by the contraction invariant, modularity of the
+    projected labels on the base graph equals modularity of the coarse
+    labels on the coarse graph. Synchronous simultaneous moves carry no
+    per-round joint-improvement guarantee (unlike sequential Louvain), so
+    the Q improvement across levels is pinned empirically by
+    tests/test_louvain.py rather than claimed as an invariant."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    e = _with_weight(edges_uv).materialize()
+    total: Dataset | None = None
+    infos = []
+    for lvl in range(levels):
+        lab, info = louvain_move_phase(
+            e, max_rounds=max_rounds, num_buckets=num_buckets
+        )
+        lab = lab.materialize()
+        infos.append(info)
+        if total is None:
+            total = lab
+        else:
+            up = rename_cols(lab, {"id": "cid", "comm": "comm_next"})
+            total = adaptive_map_join(
+                total, up, on="comm", key_col="cid",
+                val_cols=["comm_next"], num_buckets=num_buckets,
+            ).select_columns(["id", "comm_next"])
+            total = rename_cols(total, {"comm_next": "comm"}).materialize()
+        if lvl + 1 < levels:
+            e = contract_by_labels(e, lab, num_buckets).materialize()
+    return total, {"levels": levels, "per_level": infos}

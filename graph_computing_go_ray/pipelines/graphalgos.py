@@ -1011,3 +1011,15 @@ def triangles_sampled(sf_dir: str, p_keep: float = 0.5) -> pd.DataFrame:
         "n_triangles_sampled": np.int64(n_tri),
         "est_triangles": np.float64(round(est, 3)),
     }])
+
+
+def louvain_chain_two_level(sf_dir: str) -> Dataset:
+    """Two-level (multilevel) Louvain over the undirected part-chain graph:
+    move phase -> community contraction (weighted coarse graph with
+    intra-weight self-loops) -> second move phase -> labels projected back
+    to base vertices (engine/louvain.louvain). Exact-parity weighted
+    replica in tests/test_louvain.py."""
+    from ..engine.louvain import louvain
+
+    labels, _info = louvain(chain_und_ds(sf_dir), levels=2, max_rounds=12)
+    return labels
