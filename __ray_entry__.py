@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dup_pairs": TX.winnow_dup_pairs,
         # mean log2 P(b|a) per doc under corpus bigram counts
         "bigram_logprob": TX.bigram_logprob,
+        # Gopher-style quality rule outcomes + composite keep flag
+        "gopher_rules": TX.gopher_rules,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -1376,6 +1378,34 @@ def oracle_sql() -> dict[str, str]:
             "    round(percent_rank() OVER (PARTITION BY source "
             "      ORDER BY n_chars), 6) AS pr FROM documents) "
             "WHERE pr >= 0.75"
+        ),
+        # Gopher rule inputs + keep flag; identical formulas/round both
+        # sides (comparisons on the round-6 values)
+        "gopher_rules": (
+            "SELECT doc_id, n_words, mean_word_len, frac_bullet_lines, "
+            "frac_ellipsis_lines, stop_hits, "
+            "CAST(n_words BETWEEN 30 AND 90 "
+            "  AND mean_word_len BETWEEN 3.0 AND 10.0 "
+            "  AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3 "
+            "  AND stop_hits >= 2 AS BIGINT) AS keep FROM ("
+            "SELECT doc_id, "
+            "  len(regexp_extract_all(text, '\\S+')) AS n_words, "
+            "  round(len(regexp_extract_all(text, '\\S')) * 1.0 / "
+            "    greatest(len(regexp_extract_all(text, '\\S+')), 1), 6) "
+            "    AS mean_word_len, "
+            "  round(len(regexp_extract_all(text, '(?m)^[\\-\\*]')) * 1.0 / "
+            "    (length(text) - length(replace(text, chr(10), '')) + 1), 6) "
+            "    AS frac_bullet_lines, "
+            "  round(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) * 1.0 / "
+            "    (length(text) - length(replace(text, chr(10), '')) + 1), 6) "
+            "    AS frac_ellipsis_lines, "
+            "  CAST(regexp_matches(lower(text), '\\bthe\\b') AS BIGINT) + "
+            "  CAST(regexp_matches(lower(text), '\\ba\\b') AS BIGINT) + "
+            "  CAST(regexp_matches(lower(text), '\\band\\b') AS BIGINT) + "
+            "  CAST(regexp_matches(lower(text), '\\bof\\b') AS BIGINT) + "
+            "  CAST(regexp_matches(lower(text), '\\bto\\b') AS BIGINT) "
+            "    AS stop_hits "
+            "FROM documents)"
         ),
         # rep_ratio = 1 - distinct/total word-2-grams; 0 for docs too short
         "repetition_scores": (

@@ -687,3 +687,66 @@ def keyword_tags(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(tag, batch_format="pyarrow")
+
+
+# Gopher quality-rule stopword probe set (Rae et al. 2021 use a similar
+# tiny list purely as an "is this running English text" signal).
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def gopher_rules(sf_dir: str) -> Dataset:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    adapted thresholds): per doc the rule inputs — word count, mean word
+    length, bullet-line and ellipsis-line fractions, distinct-stopword
+    hits — plus the composite keep flag
+    (30 <= n_words <= 90, 3 <= mean_word_len <= 10,
+    frac_bullet_lines <= 0.9, frac_ellipsis_lines <= 0.3,
+    stop_hits >= 2). One vectorized Arrow kernel pass per rule, no
+    shuffle; comparisons use the round-6 values so the DuckDB oracle is
+    bit-identical. The rule thresholds are corpus knobs, not constants —
+    30/90 splits this synthetic corpus; production Gopher uses 50/100k."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        low = pc.utf8_lower(txt)
+        n_words = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+        nonspace = pc.cast(pc.count_substring_regex(txt, r"\S"), pa.float64())
+        wdenom = pc.max_element_wise(
+            pc.cast(n_words, pa.float64()), pa.scalar(1.0))
+        mean_wl = pc.round(pc.divide(nonspace, wdenom), ROUND)
+        n_lines = pc.add(
+            pc.cast(pc.count_substring(txt, "\n"), pa.float64()),
+            pa.scalar(1.0))
+        bullets = pc.cast(
+            pc.count_substring_regex(txt, r"(?m)^[\-\*]"), pa.float64())
+        ellip = pc.cast(
+            pc.count_substring_regex(txt, r"(?m)\.\.\.$"), pa.float64())
+        frac_b = pc.round(pc.divide(bullets, n_lines), ROUND)
+        frac_e = pc.round(pc.divide(ellip, n_lines), ROUND)
+        hits = None
+        for w in GOPHER_STOPWORDS:
+            h = pc.cast(
+                pc.match_substring_regex(low, rf"\b{w}\b"), pa.int64())
+            hits = h if hits is None else pc.add(hits, h)
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_words, pa.scalar(30)),
+                        pc.less_equal(n_words, pa.scalar(90))),
+                pc.and_(pc.greater_equal(mean_wl, pa.scalar(3.0)),
+                        pc.less_equal(mean_wl, pa.scalar(10.0))),
+            ),
+            pc.and_(
+                pc.and_(pc.less_equal(frac_b, pa.scalar(0.9)),
+                        pc.less_equal(frac_e, pa.scalar(0.3))),
+                pc.greater_equal(hits, pa.scalar(2)),
+            ),
+        )
+        return pa.table({
+            "doc_id": t["doc_id"], "n_words": n_words,
+            "mean_word_len": mean_wl,
+            "frac_bullet_lines": frac_b, "frac_ellipsis_lines": frac_e,
+            "stop_hits": hits, "keep": pc.cast(keep, pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
