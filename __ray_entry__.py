@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # host-authority weighted PageRank over the host webgraph
         # (numpy-parity pytest; rows-only)
         "host_pagerank": _host_pagerank,
+        # TrustRank + relative spam mass seeded at top-authority hosts
+        # (numpy-parity pytest; rows-only)
+        "host_trustrank": _host_trustrank,
         # propose/accept maximal matching (python-replica pytest; rows-only)
         "matching_cooccur": G.matching_cooccur,
         # multilevel coarsening round: matching -> contraction (replica
@@ -358,6 +361,30 @@ def _host_pagerank(sf_dir: str):
     paths = build_link_graph(pages_dir, os.path.join(base, "graph"),
                              num_buckets=8)
     return host_pagerank(paths, os.path.join(base, "hpr"), num_buckets=8)
+
+
+def _host_trustrank(sf_dir: str):
+    """TrustRank + spam mass over the same cached page fixture as
+    _host_graph (pipelines/pages.py host_trustrank; numpy replica pytest
+    in tests/test_graph_extras.py + seed/mass invariants in
+    tests/test_linkgraph_build.py)."""
+    import hashlib
+    import os
+
+    from graph_computing_go_ray.pipelines.pages import (
+        build_link_graph,
+        host_trustrank,
+    )
+    from graph_computing_go_ray.sources.pages_gen import generate_pages
+
+    root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(root, f"hostgraph-{key}")
+    pages_dir = generate_pages(os.path.join(base, "pages"), n_pages=4000,
+                               seed=42, n_files=8)
+    paths = build_link_graph(pages_dir, os.path.join(base, "graph"),
+                             num_buckets=8)
+    return host_trustrank(paths, os.path.join(base, "htr"), num_buckets=8)
 
 
 def _sub_discipline_entropy(sf_dir: str):

@@ -160,25 +160,13 @@ def non_redirect_edges(paths: dict[str, str], num_buckets: int = 8) -> Dataset:
     ).select_columns(["src", "dst"])
 
 
-def host_pagerank(
-    paths: dict[str, str], workdir: str, num_buckets: int = 8,
-    tol: float = 1e-10, max_iters: int = 100,
-) -> Dataset:
-    """Weighted PageRank at HOST granularity: collapse the page graph to
-    the host webgraph (host_edges) and rank hosts with link counts as
-    edge weights — the host-authority score a crawler derives from the
-    Common-Crawl host graph. Intra-host self-links are kept (they hold
-    mass at the host, matching the host-graph convention; the page-level
-    build drops page self-links before this point). Returns
-    (host, rank)."""
+def _host_id_edges(he: Dataset) -> Dataset:
+    """(src, dst, w) int64-id weighted edges from a (src_host, dst_host,
+    n_links) host table — hosts hashed with the shared string hash."""
     import numpy as np
     import pyarrow as pa
 
-    from ..engine.join import bucket_join, rename
-    from ..engine.wpagerank import weighted_pagerank
     from ..functions.hashing import hash_strings
-
-    he = host_edges(paths, num_buckets=num_buckets).materialize()
 
     def to_ids(t: pa.Table) -> pa.Table:
         s = t["src_host"].to_pylist()
@@ -190,10 +178,17 @@ def host_pagerank(
                           .astype(np.float64)),
         })
 
-    ranks, _info = weighted_pagerank(
-        he.map_batches(to_ids, batch_format="pyarrow"), workdir,
-        tol=tol, max_iters=max_iters, num_parts=num_buckets,
-    )
+    return he.map_batches(to_ids, batch_format="pyarrow")
+
+
+def _host_name_ds(he: Dataset):
+    """(hid, host) dedup'd name map Dataset for joining ids back to
+    host strings (host tables are host-cardinality — bounded)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.hashing import hash_strings
 
     def name_rows(t: pa.Table) -> pa.Table:
         hosts = (t["src_host"].to_pylist() + t["dst_host"].to_pylist())
@@ -205,9 +200,98 @@ def host_pagerank(
 
     hmap = he.map_batches(name_rows, batch_format="pyarrow").to_pandas()
     hmap = hmap.drop_duplicates("hid")
-    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(hmap, preserve_index=False))
 
+
+def host_pagerank(
+    paths: dict[str, str], workdir: str, num_buckets: int = 8,
+    tol: float = 1e-10, max_iters: int = 100,
+) -> Dataset:
+    """Weighted PageRank at HOST granularity: collapse the page graph to
+    the host webgraph (host_edges) and rank hosts with link counts as
+    edge weights — the host-authority score a crawler derives from the
+    Common-Crawl host graph. Intra-host self-links are kept (they hold
+    mass at the host, matching the host-graph convention; the page-level
+    build drops page self-links before this point). Returns
+    (host, rank)."""
+    from ..engine.join import bucket_join
+    from ..engine.wpagerank import weighted_pagerank
+
+    he = host_edges(paths, num_buckets=num_buckets).materialize()
+    ranks, _info = weighted_pagerank(
+        _host_id_edges(he), workdir,
+        tol=tol, max_iters=max_iters, num_parts=num_buckets,
+    )
     return bucket_join(
-        ranks, rd.from_arrow(pa.Table.from_pandas(hmap, preserve_index=False)),
+        ranks, _host_name_ds(he),
         on="id", right_on="hid", how="inner", num_buckets=num_buckets,
     ).select_columns(["host", "rank"])
+
+
+def host_trustrank(
+    paths: dict[str, str], workdir: str, num_buckets: int = 8,
+    n_seeds: int = 3, tol: float = 1e-10, max_iters: int = 100,
+) -> Dataset:
+    """TrustRank + relative spam mass over the host webgraph (Gyöngyi et
+    al. 2004, engine/trustrank.py): rank hosts with weighted PageRank,
+    take the top `n_seeds` hosts as the trusted seed set (the paper uses
+    inverse-PageRank + human review; the deterministic proxy here is the
+    high-authority head, a standard choice when no labels exist), run
+    seeded weighted TrustRank from them, and report per host
+        spam_mass = round((rank - trust) / rank, 9)
+    (negative = better-trusted than its raw authority; large positive =
+    authority not reachable from trusted seeds — the spam signal).
+    Returns (host, rank, trust, spam_mass).
+
+    Scale notes: both iterations run on the same superstep engine; the
+    seed pick is a per-block partial top-k + a (k × n_blocks)-row driver
+    reduce — never a global sort; joins are bucketed on the host id."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..engine.join import bucket_join, rename
+    from ..engine.trustrank import weighted_trustrank
+    from ..engine.wpagerank import weighted_pagerank
+
+    he = host_edges(paths, num_buckets=num_buckets).materialize()
+    ids = _host_id_edges(he).materialize()
+    pr, _ = weighted_pagerank(
+        ids, f"{workdir}/pr", tol=tol, max_iters=max_iters,
+        num_parts=num_buckets,
+    )
+    pr = pr.materialize()
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        i = t["id"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((i, -r))[:n_seeds]
+        return pa.table({"id": pa.array(i[keep], pa.int64()),
+                         "rank": pa.array(r[keep], pa.float64())})
+
+    cand = pr.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cand["id"].to_numpy(), -cand["rank"].to_numpy()))
+    seeds = np.sort(cand["id"].to_numpy()[order[:n_seeds]])
+
+    tr, _ = weighted_trustrank(
+        ids, f"{workdir}/tr", seeds, tol=tol, max_iters=max_iters,
+        num_parts=num_buckets,
+    )
+    both = bucket_join(
+        pr, rename(tr, {"id": "tid", "rank": "trust"}),
+        on="id", right_on="tid", how="inner", num_buckets=num_buckets,
+    )
+
+    def mass(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        tru = t["trust"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "id": t["id"],
+            "rank": pa.array(np.round(r, 9)),
+            "trust": pa.array(np.round(tru, 9)),
+            "spam_mass": pa.array(np.round((r - tru) / r, 9)),
+        })
+
+    return bucket_join(
+        both.map_batches(mass, batch_format="pyarrow"), _host_name_ds(he),
+        on="id", right_on="hid", how="inner", num_buckets=num_buckets,
+    ).select_columns(["host", "rank", "trust", "spam_mass"])

@@ -926,3 +926,64 @@ def test_boruvka_msf_matches_kruskal(graph):
             parent[find(int(s))] = find(int(d))
     n_comp = len({find(int(i)) for i in ids})
     assert len(got) == len(ids) - n_comp
+
+
+# ----------------------------------------------------------- TrustRank
+def numpy_weighted_trustrank(edges, w, seeds, d=0.85, tol=1e-12, iters=500):
+    """Replica of engine/trustrank.py: weighted gather + seeded restart,
+    dangling mass restarts at the seeds, init state = restart vector."""
+    ids, s, t = _index(edges)
+    n = len(ids)
+    wsum = np.zeros(n)
+    np.add.at(wsum, s, w)
+    nw = w / wsum[s]
+    p = np.isin(ids, np.asarray(seeds)).astype(np.float64)
+    p /= p.sum()
+    r = p.copy()
+    for _ in range(iters):
+        dang = r[wsum == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, r[s] * nw)
+        new = (1 - d) * p + d * (contrib + dang * p)
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta < tol:
+            break
+    return dict(zip(ids, r))
+
+
+def test_weighted_trustrank_matches_numpy(graph):
+    from graph_computing_go_ray.engine.trustrank import weighted_trustrank
+
+    edges_pd, _edges_ds, root = graph
+    rng = np.random.RandomState(7)
+    w = rng.randint(1, 10, size=len(edges_pd)).astype(np.float64)
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    seeds = np.sort(ids[:3])
+    ranks, info = weighted_trustrank(
+        rd.from_pandas(edges_pd.assign(w=w)), os.path.join(root, "wtr"),
+        seeds, tol=1e-12, max_iters=300, num_parts=4,
+    )
+    assert info["converged"]
+    got = ranks.to_pandas().set_index("id")["rank"].to_dict()
+    want = numpy_weighted_trustrank(edges_pd, w, seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # trust concentrates relative to uniform restart: every vertex
+    # unreachable from the seeds must hold exactly 0 trust
+    reach = set(map(int, seeds))
+    fwd = {}
+    for a, b in zip(edges_pd["src"], edges_pd["dst"]):
+        fwd.setdefault(int(a), set()).add(int(b))
+    frontier = set(reach)
+    while frontier:
+        nxt = set()
+        for u in frontier:
+            nxt |= fwd.get(u, set()) - reach
+        reach |= nxt
+        frontier = nxt
+    for v, val in got.items():
+        if int(v) not in reach:
+            assert val == pytest.approx(0.0, abs=1e-12)

@@ -132,3 +132,63 @@ def test_host_pagerank_matches_numpy(built, tmp_path):
     for h in hosts:
         assert abs(got[h] - r[idx[h]]) < 1e-8, h
     assert abs(sum(got.values()) - 1.0) < 1e-8
+
+
+def test_host_trustrank_matches_numpy(built, tmp_path):
+    """Full replica of pipelines/pages.py host_trustrank: weighted PR,
+    top-3-by-(rank, id)-seed pick, seeded weighted TrustRank, spam mass."""
+    import numpy as np
+
+    from graph_computing_go_ray.pipelines.pages import host_trustrank
+
+    paths, _, _ = built
+    got = {r["host"]: (r["rank"], r["trust"], r["spam_mass"]) for r in
+           host_trustrank(paths, str(tmp_path / "htr"), num_buckets=4)
+           .to_pandas().to_dict("records")}
+
+    vt = pq.read_table(paths["vertices"], columns=["id", "url"]).to_pylist()
+    host_of = {r["id"]: r["url"].split("://", 1)[1].split("/", 1)[0]
+               for r in vt}
+    et = pq.read_table(paths["edges"], columns=["src", "dst"]).to_pylist()
+    w = collections.Counter(
+        (host_of[r["src"]], host_of[r["dst"]]) for r in et)
+    hosts = sorted({h for p in w for h in p})
+    hid = {h: int(hash_strings([h])[0]) for h in hosts}
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    wsum = np.zeros(n)
+    for (s, d), c in w.items():
+        wsum[idx[s]] += c
+
+    def iterate(p):
+        r = p.copy()
+        for _ in range(500):
+            dang = r[wsum == 0].sum()
+            contrib = np.zeros(n)
+            for (s, d), c in w.items():
+                contrib[idx[d]] += r[idx[s]] * (c / wsum[idx[s]])
+            new = 0.15 * p + 0.85 * (contrib + dang * p)
+            if np.abs(new - r).sum() < 1e-12:
+                return new
+            r = new
+        return r
+
+    pr = iterate(np.full(n, 1.0 / n))
+    order = sorted(range(n), key=lambda i: (-pr[i], hid[hosts[i]]))
+    seed_idx = set(order[:3])
+    p = np.zeros(n)
+    for i in seed_idx:
+        p[i] = 1.0 / 3.0
+    tr = iterate(p)
+
+    assert set(got) == set(hosts)
+    for h in hosts:
+        i = idx[h]
+        gr, gt, gm = got[h]
+        assert abs(gr - round(pr[i], 9)) < 1e-8, h
+        assert abs(gt - round(tr[i], 9)) < 1e-8, h
+        assert abs(gm - round((pr[i] - tr[i]) / pr[i], 9)) < 1e-6, h
+    # seeds hold concentrated trust; global trust mass sums to 1
+    assert sum(t for _, t, _ in got.values()) == pytest.approx(1.0, abs=1e-8)
+    for i in seed_idx:
+        assert got[hosts[i]][1] > 1.0 / n
