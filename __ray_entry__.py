@@ -149,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": TX.bigram_logprob,
         # Gopher-style quality rule outcomes + composite keep flag
         "gopher_rules": TX.gopher_rules,
+        # SALSA hub/authority (Lempel-Moran closed form: degrees +
+        # bipartite-support CC, zero per-iteration shuffles; union-find +
+        # lazy-power-iteration parity in tests/test_graph_extras.py)
+        "salsa_supplier_part": G.salsa_supplier_part,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -631,6 +635,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sq.nc AS n_communities, m.m AS m_edges, "
             "ROUND(intra.i * 1.0 / m.m - sq.s, 6) AS modularity "
             "FROM intra, sq, m"
+        ),
+        # SALSA oracle: the same closed form in SQL — multiplicity weights,
+        # hash-min CC over side-encoded vertices (2u / 2v+1) as a recursive
+        # CTE, per-component degree sums, score = (n_side_comp/n_side_total)
+        # * (deg/comp_degsum). The supplier-part graph is dense (every
+        # supplier touches hundreds of parts), so 32 min-label rounds are
+        # far beyond its min-vertex eccentricity.
+        "salsa_supplier_part": (
+            "WITH RECURSIVE ew AS ("
+            "  SELECT l_suppkey AS src, l_partkey AS dst, count(*) AS w "
+            "  FROM lineitem GROUP BY 1, 2"
+            "), enc AS (SELECT 2 * src AS u, 2 * dst + 1 AS v FROM ew), "
+            "e AS (SELECT u, v FROM enc UNION SELECT v, u FROM enc), "
+            "verts AS (SELECT DISTINCT u AS id FROM e), "
+            "lp(iter, id, label) AS ("
+            "  SELECT 0, id, id FROM verts "
+            "  UNION ALL "
+            "  SELECT lp.iter + 1, lp.id, LEAST(lp.label, MIN(nbr.label)) "
+            "  FROM lp JOIN e ON e.u = lp.id JOIN lp nbr ON nbr.id = e.v "
+            "  WHERE lp.iter < 32 GROUP BY lp.iter, lp.id, lp.label"
+            "), lab AS (SELECT id, MIN(label) AS label FROM lp GROUP BY id), "
+            "outdeg AS (SELECT src AS id, SUM(w) AS deg FROM ew GROUP BY 1), "
+            "indeg AS (SELECT dst AS id, SUM(w) AS deg FROM ew GROUP BY 1), "
+            "hub AS (SELECT o.id, o.deg, l.label FROM outdeg o "
+            "        JOIN lab l ON l.id = 2 * o.id), "
+            "auth AS (SELECT i.id, i.deg, l.label FROM indeg i "
+            "         JOIN lab l ON l.id = 2 * i.id + 1), "
+            "hubc AS (SELECT label, SUM(deg) AS degsum, COUNT(*) AS n "
+            "         FROM hub GROUP BY 1), "
+            "authc AS (SELECT label, SUM(deg) AS degsum, COUNT(*) AS n "
+            "          FROM auth GROUP BY 1), "
+            "nh AS (SELECT COUNT(*) AS n FROM hub), "
+            "na AS (SELECT COUNT(*) AS n FROM auth) "
+            "SELECT h.id, 'hub' AS side, "
+            "  ROUND((c.n * 1.0 / nh.n) * (h.deg * 1.0 / c.degsum), 9) AS score "
+            "FROM hub h JOIN hubc c USING (label), nh "
+            "UNION ALL "
+            "SELECT a.id, 'auth' AS side, "
+            "  ROUND((c.n * 1.0 / na.n) * (a.deg * 1.0 / c.degsum), 9) AS score "
+            "FROM auth a JOIN authc c USING (label), na"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

@@ -1023,3 +1023,16 @@ def louvain_chain_two_level(sf_dir: str) -> Dataset:
 
     labels, _info = louvain(chain_und_ds(sf_dir), levels=2, max_rounds=12)
     return labels
+
+
+def salsa_supplier_part(sf_dir: str) -> Dataset:
+    """SALSA hub/authority scores over the supplier -> part bipartite
+    lineitem graph (multi-edges kept: a supplier shipping a part in k
+    lineitems weights that link k-fold). Closed-form distributed engine
+    (engine/salsa.py); union-find + lazy-power-iteration parity in
+    tests/test_graph_extras.py, full SQL oracle in __ray_entry__.py."""
+    from ..engine.salsa import salsa
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    edges = li.rename_columns({"l_suppkey": "src", "l_partkey": "dst"})
+    return salsa(edges, _workdir(sf_dir, "salsa"), num_parts=8)

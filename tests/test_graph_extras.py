@@ -987,3 +987,107 @@ def test_weighted_trustrank_matches_numpy(graph):
     for v, val in got.items():
         if int(v) not in reach:
             assert val == pytest.approx(0.0, abs=1e-12)
+
+
+def python_salsa_closed_form(edges):
+    """Union-find replica of the Lempel-Moran closed form (multigraph:
+    degrees count link multiplicity; disconnected convention: component
+    mass proportional to its share of the side's vertices)."""
+    from collections import Counter
+
+    w = Counter(zip(edges["src"].astype(int), edges["dst"].astype(int)))
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    outdeg, indeg = Counter(), Counter()
+    for (u, v), m in w.items():
+        outdeg[u] += m
+        indeg[v] += m
+        ru, rv = find(2 * u), find(2 * v + 1)
+        if ru != rv:
+            parent[ru] = rv
+    comp_out, comp_nh = Counter(), Counter()
+    comp_in, comp_na = Counter(), Counter()
+    for u, d in outdeg.items():
+        c = find(2 * u)
+        comp_out[c] += d
+        comp_nh[c] += 1
+    for v, d in indeg.items():
+        c = find(2 * v + 1)
+        comp_in[c] += d
+        comp_na[c] += 1
+    n_h, n_a = len(outdeg), len(indeg)
+    hubs = {u: (comp_nh[find(2 * u)] / n_h) * (d / comp_out[find(2 * u)])
+            for u, d in outdeg.items()}
+    auths = {v: (comp_na[find(2 * v + 1)] / n_a) * (d / comp_in[find(2 * v + 1)])
+             for v, d in indeg.items()}
+    return hubs, auths
+
+
+def python_salsa_power(edges, iters=3000, tol=1e-13):
+    """Lazy power iteration of the ACTUAL two-step SALSA Markov chains
+    (hub chain H = R C^T, auth chain A = C^T R with R row-stochastic and
+    C column-stochastic over the weighted biadjacency matrix; the lazy
+    mix 0.5 I + 0.5 P keeps the stationary distribution and removes
+    periodicity). Uniform start reproduces the per-component mass
+    convention of the closed form."""
+    from collections import Counter
+
+    w = Counter(zip(edges["src"].astype(int), edges["dst"].astype(int)))
+    hub_ids = sorted({u for u, _ in w})
+    auth_ids = sorted({v for _, v in w})
+    hi = {u: i for i, u in enumerate(hub_ids)}
+    ai = {v: i for i, v in enumerate(auth_ids)}
+    W = np.zeros((len(hub_ids), len(auth_ids)))
+    for (u, v), m in w.items():
+        W[hi[u], ai[v]] = m
+    R = W / W.sum(axis=1, keepdims=True)
+    C = W / W.sum(axis=0, keepdims=True)
+    H = R @ C.T
+    A = C.T @ R
+
+    def stationary(P):
+        pi = np.full(P.shape[0], 1.0 / P.shape[0])
+        for _ in range(iters):
+            nxt = 0.5 * pi + 0.5 * (pi @ P)
+            if np.abs(nxt - pi).max() < tol:
+                return nxt
+            pi = nxt
+        return pi
+
+    h = stationary(H)
+    a = stationary(A)
+    return (dict(zip(hub_ids, h)), dict(zip(auth_ids, a)))
+
+
+def test_salsa_matches_closed_form_and_power_iteration(graph):
+    from graph_computing_go_ray.engine.salsa import salsa
+
+    edges_pd, edges_ds, root = graph
+    out = salsa(edges_ds, os.path.join(root, "salsa"), num_parts=4)
+    df = out.to_pandas()
+    got_h = df[df["side"] == "hub"].set_index("id")["score"].to_dict()
+    got_a = df[df["side"] == "auth"].set_index("id")["score"].to_dict()
+
+    want_h, want_a = python_salsa_closed_form(edges_pd)
+    assert set(got_h) == set(want_h) and set(got_a) == set(want_a)
+    for u in want_h:
+        assert got_h[u] == pytest.approx(want_h[u], abs=1e-9)
+    for v in want_a:
+        assert got_a[v] == pytest.approx(want_a[v], abs=1e-9)
+    # each side's scores are a probability distribution
+    assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-6)
+    assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-6)
+
+    pw_h, pw_a = python_salsa_power(edges_pd)
+    for u in pw_h:
+        assert got_h[u] == pytest.approx(pw_h[u], abs=1e-6)
+    for v in pw_a:
+        assert got_a[v] == pytest.approx(pw_a[v], abs=1e-6)
