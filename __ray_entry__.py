@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bipartite-support CC, zero per-iteration shuffles; union-find +
         # lazy-power-iteration parity in tests/test_graph_extras.py)
         "salsa_supplier_part": G.salsa_supplier_part,
+        # bipartite butterfly (2x2-biclique) census: wedges through orders
+        # -> bucketed co-degree sum -> C(w,2) moment partials
+        "butterfly_count": G.butterfly_count,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -675,6 +678,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.id, 'auth' AS side, "
             "  ROUND((c.n * 1.0 / na.n) * (a.deg * 1.0 / c.degsum), 9) AS score "
             "FROM auth a JOIN authc c USING (label), na"
+        ),
+        "butterfly_count": (
+            "WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pairs AS ("
+            "  SELECT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM pp a JOIN pp b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+            "), cod AS (SELECT u, v, COUNT(*) AS w FROM pairs GROUP BY u, v) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_copairs, "
+            "       CAST(SUM(w) AS BIGINT) AS n_wedges, "
+            "       CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS n_butterflies "
+            "FROM cod"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

@@ -1036,3 +1036,50 @@ def salsa_supplier_part(sf_dir: str) -> Dataset:
     li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
     edges = li.rename_columns({"l_suppkey": "src", "l_partkey": "dst"})
     return salsa(edges, _workdir(sf_dir, "salsa"), num_parts=8)
+
+
+def butterfly_census_of(pairs: Dataset, num_buckets: int = 32) -> pd.DataFrame:
+    """Bipartite butterfly (2x2-biclique) census from a wedge table: one
+    (u, v) row per wedge (two right-side vertices sharing a left-side
+    vertex). A bucketed pair-count collapses wedges to co-degrees w(u,v);
+    butterflies = sum C(w, 2) (standard wedge-counting layout, e.g.
+    Sanei-Mehri et al. KDD 2018, public algorithm). Per-batch partial
+    moments -> one tiny reduce; the pair table is the only shuffle and
+    nothing is broadcast."""
+    from ..engine.join import bucket_grouped_sum
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": t["u"], "v": t["v"],
+            "w": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    cod = bucket_grouped_sum(
+        pairs.map_batches(ones, batch_format="pyarrow"),
+        ["u", "v"], ["w"], num_buckets=num_buckets,
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_copairs": pa.array([np.int64(len(w))]),
+            "n_wedges": pa.array([w.sum()]),
+            "n_butterflies": pa.array([(w * (w - 1) // 2).sum()]),
+        })
+
+    p = cod.map_batches(moments, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([{
+        "n_copairs": np.int64(p["n_copairs"].sum()),
+        "n_wedges": np.int64(p["n_wedges"].sum()),
+        "n_butterflies": np.int64(p["n_butterflies"].sum()),
+    }])
+
+
+def butterfly_count(sf_dir: str) -> pd.DataFrame:
+    """Butterfly census of the order→part bipartite graph. Wedges are
+    counted THROUGH ORDERS — the side with the smaller sum of C(deg, 2)
+    on this workload (orders hold ~4-7 parts; parts sit in hundreds of
+    orders), which is the side-selection rule that keeps wedge volume
+    feasible at web scale."""
+    return butterfly_census_of(cooccur_pairs(sf_dir))
+
