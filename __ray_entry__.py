@@ -156,6 +156,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bipartite butterfly (2x2-biclique) census: wedges through orders
         # -> bucketed co-degree sum -> C(w,2) moment partials
         "butterfly_count": G.butterfly_count,
+        # rich-club ladder phi(k) over the sparse chain graph (degree joins
+        # + per-k integer partials)
+        "rich_club": G.rich_club,
+        # Newman nominal assortativity by p_brand, exact-integer form
+        "brand_assortativity": G.brand_assortativity,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -690,6 +695,53 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(SUM(w) AS BIGINT) AS n_wedges, "
             "       CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS n_butterflies "
             "FROM cod"
+        ),
+        "rich_club": (
+            "WITH th AS (SELECT l_orderkey, l_linenumber, l_partkey "
+            "            FROM lineitem WHERE l_orderkey % 16 = 0), "
+            "e0 AS (SELECT l_partkey AS src, "
+            "              lead(l_partkey) OVER (PARTITION BY l_orderkey "
+            "                                    ORDER BY l_linenumber) AS dst "
+            "       FROM th), "
+            "ed AS (SELECT DISTINCT src, dst FROM e0 "
+            "       WHERE dst IS NOT NULL AND src <> dst), "
+            "e AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "             GREATEST(src, dst) AS v FROM ed), "
+            "und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e), "
+            "deg AS (SELECT x, count(*) AS d FROM und GROUP BY x), "
+            "j AS (SELECT LEAST(du.d, dv.d) AS m FROM e "
+            "  JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v), "
+            "ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k) "
+            "SELECT CAST(ks.k AS BIGINT) AS k, "
+            "  (SELECT count(*) FROM deg WHERE d > ks.k) AS n_rich_nodes, "
+            "  (SELECT count(*) FROM j WHERE m > ks.k) AS n_rich_edges, "
+            "  CASE WHEN (SELECT count(*) FROM deg WHERE d > ks.k) >= 2 "
+            "    THEN round(2.0 * (SELECT count(*) FROM j WHERE m > ks.k) "
+            "      / ((SELECT count(*) FROM deg WHERE d > ks.k) "
+            "         * ((SELECT count(*) FROM deg WHERE d > ks.k) - 1)), 6) "
+            "    ELSE 0.0 END AS phi "
+            "FROM ks ORDER BY k"
+        ),
+        "brand_assortativity": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "be AS (SELECT pu.p_brand AS bu, pv.p_brand AS bv FROM e "
+            "  JOIN part pu ON pu.p_partkey = e.u "
+            "  JOIN part pv ON pv.p_partkey = e.v), "
+            "tot AS (SELECT 2 * count(*) AS total, "
+            "               2 * SUM(CASE WHEN bu = bv THEN 1 ELSE 0 END) AS same "
+            "        FROM be), "
+            "ends AS (SELECT brand, count(*) AS c FROM "
+            "  (SELECT bu AS brand FROM be UNION ALL SELECT bv FROM be) "
+            "  GROUP BY brand), "
+            "s AS (SELECT SUM(c * c) AS s2 FROM ends) "
+            "SELECT CAST(total AS BIGINT) AS n_ends, "
+            "  CAST(same AS BIGINT) AS n_same_brand_ends, "
+            "  round(CAST(same * total - s2 AS DOUBLE) "
+            "        / CAST(total * total - s2 AS DOUBLE), 6) "
+            "    AS assortativity_brand "
+            "FROM tot, s"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("
