@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": G.rich_club,
         # Newman nominal assortativity by p_brand, exact-integer form
         "brand_assortativity": G.brand_assortativity,
+        # per-source type-token ratio + hapax fraction (exact distinct via
+        # one (source, token) bucketed exchange)
+        "lexical_richness": C.lexical_richness,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -742,6 +745,22 @@ def oracle_sql() -> dict[str, str]:
             "        / CAST(total * total - s2 AS DOUBLE), 6) "
             "    AS assortativity_brand "
             "FROM tot, s"
+        ),
+        "lexical_richness": (
+            "WITH toks AS (SELECT source, "
+            "  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "  FROM documents), "
+            "ct AS (SELECT source, token, count(*) AS cf FROM toks "
+            "       GROUP BY 1, 2), "
+            "agg AS (SELECT source, SUM(cf) AS n_tokens, COUNT(*) AS n_types, "
+            "        SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS n_hapax "
+            "        FROM ct GROUP BY source) "
+            "SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  CAST(n_types AS BIGINT) AS n_types, "
+            "  CAST(n_hapax AS BIGINT) AS n_hapax, "
+            "  round(n_types * 1.0 / n_tokens, 6) AS ttr, "
+            "  round(n_hapax * 1.0 / n_types, 6) AS hapax_frac "
+            "FROM agg ORDER BY source"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

@@ -1263,3 +1263,64 @@ def dsir_weights(sf_dir: str, target_lang: str = "en",
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- lexical richness
+def lexical_richness(sf_dir: str) -> pd.DataFrame:
+    """Per-source lexical-richness profile: exact token count, type
+    (distinct-token) count, hapax-legomenon count (collection frequency
+    exactly 1 within the source), type-token ratio and hapax fraction —
+    the corpus-quality screen a tokenizer-training pipeline runs before
+    fitting a vocabulary.
+
+    Dataflow: per-batch (source, token, cf) partial counts (the _tf_rows
+    factorize kernel, token stream never leaves the task), ONE bucketed
+    exchange keyed (source, token), then per-batch per-source integer
+    partials — the driver sums a handful of source rows. Exact distinct
+    counting at any scale: each (source, token) lands in exactly one
+    bucket row after the exchange."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = _tf_rows(t).to_pandas()
+        if not len(tf):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64())})
+        src = pd.Series(
+            t["source"].to_pandas().to_numpy(object),
+            index=t["doc_id"].to_numpy(zero_copy_only=False),
+        )
+        tf["source"] = src.loc[tf["doc_id"]].to_numpy(object)
+        out = tf.groupby(["source", "token"], as_index=False, sort=False)[
+            "tf"
+        ].sum()
+        return pa.table({"source": pa.array(out["source"], pa.string()),
+                         "token": pa.array(out["token"], pa.string()),
+                         "cf": pa.array(out["tf"].to_numpy(np.int64))})
+
+    totals = bucket_grouped_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"], ["cf"], num_buckets=default_num_buckets(),
+    )
+
+    def agg(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("source")["cf"]
+        out = pd.DataFrame({
+            "n_tokens": g.sum(), "n_types": g.size(),
+            "n_hapax": g.apply(lambda s: int((s == 1).sum())),
+        }).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    p = totals.map_batches(agg, batch_format="pyarrow").to_pandas()
+    p = p.groupby("source", as_index=False)[["n_tokens", "n_types", "n_hapax"]].sum()
+    p = p.sort_values("source").reset_index(drop=True)
+    return pd.DataFrame({
+        "source": p["source"],
+        "n_tokens": p["n_tokens"].astype(np.int64),
+        "n_types": p["n_types"].astype(np.int64),
+        "n_hapax": p["n_hapax"].astype(np.int64),
+        "ttr": [round(a / b, 6) for a, b in zip(p["n_types"], p["n_tokens"])],
+        "hapax_frac": [round(a / b, 6) for a, b in zip(p["n_hapax"], p["n_types"])],
+    })
