@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source type-token ratio + hapax fraction (exact distinct via
         # one (source, token) bucketed exchange)
         "lexical_richness": C.lexical_richness,
+        # per-year graph densification: edges, active/new vertices (one
+        # pass, no per-year rescan)
+        "graph_growth": G.graph_growth,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -761,6 +764,24 @@ def oracle_sql() -> dict[str, str]:
             "  round(n_types * 1.0 / n_tokens, 6) AS ttr, "
             "  round(n_hapax * 1.0 / n_types, 6) AS hapax_frac "
             "FROM agg ORDER BY source"
+        ),
+        "graph_growth": (
+            "WITH ed AS (SELECT DISTINCT year(o_orderdate) AS yr, "
+            "            l_orderkey, l_partkey "
+            "            FROM lineitem JOIN orders ON o_orderkey = l_orderkey), "
+            "eyr AS (SELECT yr, count(*) AS n_edges FROM ed GROUP BY yr), "
+            "ap AS (SELECT DISTINCT yr, l_partkey FROM ed), "
+            "act AS (SELECT yr, count(*) AS n_active_parts FROM ap GROUP BY yr), "
+            "fs AS (SELECT l_partkey, MIN(yr) AS yr FROM ap GROUP BY l_partkey), "
+            "nw AS (SELECT yr, count(*) AS n_new_parts FROM fs GROUP BY yr) "
+            "SELECT CAST(act.yr AS BIGINT) AS year, "
+            "  CAST(eyr.n_edges AS BIGINT) AS n_edges, "
+            "  CAST(act.n_active_parts AS BIGINT) AS n_active_parts, "
+            "  CAST(COALESCE(nw.n_new_parts, 0) AS BIGINT) AS n_new_parts, "
+            "  round(COALESCE(nw.n_new_parts, 0) * 1.0 / act.n_active_parts, 6) "
+            "    AS new_frac "
+            "FROM act JOIN eyr ON eyr.yr = act.yr "
+            "LEFT JOIN nw ON nw.yr = act.yr ORDER BY 1"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("
