@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-year graph densification: edges, active/new vertices (one
         # pass, no per-year rescan)
         "graph_growth": G.graph_growth,
+        # pairwise cross-source shingle-set overlap (contamination audit;
+        # one gram-hash-bucketed exchange)
+        "source_overlap": C.source_overlap,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -782,6 +785,22 @@ def oracle_sql() -> dict[str, str]:
             "    AS new_frac "
             "FROM act JOIN eyr ON eyr.yr = act.yr "
             "LEFT JOIN nw ON nw.yr = act.yr ORDER BY 1"
+        ),
+        "source_overlap": (
+            "WITH toks AS (SELECT source, regexp_extract_all(lower(text), "
+            "              '[a-z0-9]+') AS ws FROM documents), "
+            "grams AS (SELECT DISTINCT source, unnest([ws[i] || ' ' || ws[i+1] "
+            "  || ' ' || ws[i+2] for i in generate_series(1, "
+            "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
+            "sz AS (SELECT source, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source "
+            "  GROUP BY 1, 2) "
+            "SELECT sa AS source_a, sb AS source_b, "
+            "  za.n AS n_a, zb.n AS n_b, CAST(i AS BIGINT) AS n_shared, "
+            "  round(i * 1.0 / (za.n + zb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sz za ON sa = za.source "
+            "JOIN sz zb ON sb = zb.source ORDER BY 1, 2"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

@@ -1324,3 +1324,62 @@ def lexical_richness(sf_dir: str) -> pd.DataFrame:
         "ttr": [round(a / b, 6) for a, b in zip(p["n_types"], p["n_tokens"])],
         "hapax_frac": [round(a / b, 6) for a, b in zip(p["n_hapax"], p["n_types"])],
     })
+
+
+# ------------------------------------------------- cross-source overlap
+def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Pairwise cross-source n-gram-shingle overlap matrix — the
+    contamination audit run between corpus subsets before mixing them
+    into a training set: for every source pair (a < b), the distinct
+    3-gram shingle sets' intersection size and Jaccard similarity.
+
+    Shingles are 63-bit polynomial hashes (functions/text.py
+    batch_gram_hashes — set semantics identical to the joined-string
+    shingle, collisions ~2^-63, same contract ngram_jaccard_pairs is
+    verified under). ONE bucketed exchange keyed by gram hash: each
+    bucket task dedups its (g, source) rows, emits per-source distinct
+    counts and per-pair co-occurrence counts (every g lives in exactly
+    one bucket, so the partials are additive); the driver sums a
+    handful of (source, source) rows. Never a cross-bucket self-join,
+    never a broadcast of a shingle set."""
+    from ..engine.join import bucket_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows, gh = T.batch_gram_hashes(t["text"].to_pylist(), n)
+        if not len(rows):
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        src = t["source"].to_pandas().to_numpy(object)[rows]
+        d = pd.DataFrame({"g": gh, "source": src}).drop_duplicates()
+        return pa.table({"g": pa.array(d["g"].to_numpy(np.int64)),
+                         "source": pa.array(d["source"].to_numpy(object),
+                                            pa.string())})
+
+    p = docs.map_batches(partial, batch_format="pyarrow")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["g", "source"]].drop_duplicates()
+        tot = d.groupby("source").size()
+        m = d.merge(d, on="g")
+        m = m[m["source_x"] < m["source_y"]]
+        pr = m.groupby(["source_x", "source_y"]).size()
+        rows = [{"sa": s, "sb": "", "n": int(c)} for s, c in tot.items()]
+        rows += [{"sa": a, "sb": b, "n": int(c)} for (a, b), c in pr.items()]
+        return pd.DataFrame(rows, columns=["sa", "sb", "n"])
+
+    pdf = bucket_grouped(p, ["g", "source"], agg).to_pandas()
+    tot = pdf[pdf["sb"] == ""].groupby("sa")["n"].sum()
+    pairs = pdf[pdf["sb"] != ""].groupby(["sa", "sb"])["n"].sum()
+
+    rows = []
+    for (a, b), i in sorted(pairs.items()):
+        na, nb, i = int(tot[a]), int(tot[b]), int(i)
+        rows.append({
+            "source_a": a, "source_b": b,
+            "n_a": np.int64(na), "n_b": np.int64(nb),
+            "n_shared": np.int64(i),
+            "jaccard": np.float64(round(i / (na + nb - i), 6)),
+        })
+    return pd.DataFrame(rows)
