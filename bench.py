@@ -42,6 +42,8 @@ QUERY_SUBSET = [
     "jaccard_topk", "katz_bipartite", "segment_dedup", "doc_chunks",
     # round-3 operators
     "dup_span_fraction", "lang_confusion", "chars_percentile_filter",
+    # round-3 late additions (wedge census, temporal slice, corpus audits)
+    "butterfly_count", "graph_growth", "lexical_richness", "source_overlap",
 ]
 
 
