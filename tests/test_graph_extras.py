@@ -1091,3 +1091,37 @@ def test_salsa_matches_closed_form_and_power_iteration(graph):
         assert got_h[u] == pytest.approx(pw_h[u], abs=1e-6)
     for v in pw_a:
         assert got_a[v] == pytest.approx(pw_a[v], abs=1e-6)
+
+
+# -------------------------------------------------- round-3 late kernels
+def test_butterfly_census_known_values():
+    """K_{2,2} through two left vertices: wedge rows (1,2) twice ->
+    co-degree 2 -> exactly one butterfly; plus a lone wedge (3,4)."""
+    from graph_computing_go_ray.pipelines.graphalgos import butterfly_census_of
+
+    wedges = rd.from_pandas(pd.DataFrame({
+        "u": np.array([1, 1, 3], np.int64),
+        "v": np.array([2, 2, 4], np.int64),
+    }))
+    out = butterfly_census_of(wedges, num_buckets=2).iloc[0]
+    assert int(out["n_copairs"]) == 2          # (1,2) and (3,4)
+    assert int(out["n_wedges"]) == 3
+    assert int(out["n_butterflies"]) == 1      # C(2,2) + C(1,2)=0
+
+
+def test_rich_club_known_values():
+    """K4: every degree is 3, so at k=2 the whole clique is the rich
+    club (phi=1.0) and at k=4 it is empty (phi=0)."""
+    from graph_computing_go_ray.pipelines.graphalgos import rich_club_of
+
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    edges = rd.from_pandas(pd.DataFrame({
+        "u": np.array([e[0] for e in k4], np.int64),
+        "v": np.array([e[1] for e in k4], np.int64),
+    }))
+    out = rich_club_of(edges, ks=(2, 4), num_buckets=2).set_index("k")
+    assert int(out.loc[2, "n_rich_nodes"]) == 4
+    assert int(out.loc[2, "n_rich_edges"]) == 6
+    assert float(out.loc[2, "phi"]) == 1.0
+    assert int(out.loc[4, "n_rich_nodes"]) == 0
+    assert float(out.loc[4, "phi"]) == 0.0
