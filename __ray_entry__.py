@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pairwise cross-source shingle-set overlap (contamination audit;
         # one gram-hash-bucketed exchange)
         "source_overlap": C.source_overlap,
+        # continuous-MLE power-law exponent of the in-degree tail
+        "degree_powerlaw_alpha": G.degree_powerlaw_alpha,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -801,6 +803,14 @@ def oracle_sql() -> dict[str, str]:
             "  round(i * 1.0 / (za.n + zb.n - i), 6) AS jaccard "
             "FROM inter JOIN sz za ON sa = za.source "
             "JOIN sz zb ON sb = zb.source ORDER BY 1, 2"
+        ),
+        "degree_powerlaw_alpha": (
+            "WITH deg AS (SELECT l_partkey, count(*) AS d "
+            "             FROM lineitem GROUP BY 1), "
+            "f AS (SELECT d FROM deg WHERE d >= 5) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_tail, "
+            "  round(1.0 + count(*) / SUM(LN(d / 4.5)), 6) AS alpha "
+            "FROM f"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

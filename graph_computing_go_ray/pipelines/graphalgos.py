@@ -1290,3 +1290,34 @@ def graph_growth(sf_dir: str) -> pd.DataFrame:
             "new_frac": np.float64(round(nw / a, 6)),
         })
     return pd.DataFrame(rows)
+
+
+def degree_powerlaw_alpha(sf_dir: str, dmin: int = 5) -> pd.DataFrame:
+    """Continuous-MLE power-law exponent of the part in-degree tail
+    (Clauset/Shalizi/Newman 2009, eq. 3.1): over vertices with
+    d >= dmin, alpha = 1 + n / sum ln(d / (dmin - 0.5)).
+
+    Per-batch partials only (tail count + log-sum) after one bucketed
+    degree count — the webgraph sanity check that the extracted link
+    graph kept its heavy tail. The log-sum is a float reduce; the final
+    alpha is rounded to 6, far above the ~1e-13 summation-order noise
+    (same contract zipf_slope ships under)."""
+    from ..engine.degrees import grouped_count
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    deg = grouped_count(li, "l_partkey", "d")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = d[d >= dmin]
+        return pa.table({
+            "n": pa.array([np.int64(len(d))]),
+            "s": pa.array([np.float64(np.log(d / (dmin - 0.5)).sum())]),
+        })
+
+    p = deg.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, s = int(p["n"].sum()), float(p["s"].sum())
+    return pd.DataFrame([{
+        "n_tail": np.int64(n),
+        "alpha": np.float64(round(1.0 + n / s, ROUND)) if s else np.float64(0.0),
+    }])
