@@ -172,6 +172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": C.source_overlap,
         # continuous-MLE power-law exponent of the in-degree tail
         "degree_powerlaw_alpha": G.degree_powerlaw_alpha,
+        # near-dup cluster-size histogram (dedup audit over the pair graph)
+        "dup_cluster_sizes": D.dup_cluster_sizes,
+        # eigenvector centrality: HITS over the symmetrized edge set (no
+        # SQL oracle — iterative; numpy power-iteration parity in
+        # tests/test_graph_extras.py)
+        "eigenvector_cooccur": G.eigenvector_cooccur,
         # multimodal actor-pool stages over an opaque-binary media table
         # (deterministic stub codec; exact-replica oracle in
         # tests/test_multimodal.py; rows/schema check here)
@@ -811,6 +817,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(count(*) AS BIGINT) AS n_tail, "
             "  round(1.0 + count(*) / SUM(LN(d / 4.5)), 6) AS alpha "
             "FROM f"
+        ),
+        "dup_cluster_sizes": (
+            "WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all("
+            "  lower(text), '[a-z0-9]+') AS ws FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+            "  || ' ' || ws[i+2] for i in generate_series(1, "
+            "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
+            "sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2), "
+            "p AS (SELECT u, v FROM inter "
+            "  JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
+            "  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2), "
+            "e AS (SELECT u AS a, v AS b FROM p UNION SELECT v, u FROM p), "
+            "reach AS (SELECT a, b FROM e "
+            "  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
+            "lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+            "  FROM reach GROUP BY a), "
+            "cs AS (SELECT cluster_id, count(*) AS csz FROM lab GROUP BY 1) "
+            "SELECT CAST(csz AS BIGINT) AS cluster_size, "
+            "  CAST(count(*) AS BIGINT) AS n_clusters "
+            "FROM cs GROUP BY csz ORDER BY csz"
         ),
         "connected_components": (
             "WITH RECURSIVE e AS ("

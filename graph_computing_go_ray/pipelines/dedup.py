@@ -424,3 +424,31 @@ def near_dup_clusters(sf_dir: str, threshold: float = 0.2) -> Dataset:
         )
 
     return labels.map_batches(shape, batch_format="pyarrow")
+
+
+def dup_cluster_sizes(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
+    """Near-duplicate cluster-size histogram — the dedup-audit summary a
+    curation run reports (how much of the corpus sits in 2-doc pairs vs
+    deep clusters): one row per observed cluster size with the number of
+    clusters of that size. Composition over near_dup_clusters; the pair
+    graph and its labels are tiny relative to the corpus, so both grouped
+    counts are partial-aggregated exchanges of count rows only."""
+    labels = near_dup_clusters(sf_dir, threshold=threshold)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c, n = np.unique(t["cluster_id"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"cluster_id": pa.array(c, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    from ..engine.join import bucket_grouped_sum
+
+    sizes = bucket_grouped_sum(
+        labels.map_batches(partial, batch_format="pyarrow"),
+        ["cluster_id"], ["n"], num_buckets=8,
+    ).to_pandas()
+    hist = sizes.groupby("n").size().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy(np.int64),
+        "n_clusters": hist.to_numpy(np.int64),
+    })

@@ -1321,3 +1321,37 @@ def degree_powerlaw_alpha(sf_dir: str, dmin: int = 5) -> pd.DataFrame:
         "n_tail": np.int64(n),
         "alpha": np.float64(round(1.0 + n / s, ROUND)) if s else np.float64(0.0),
     }])
+
+
+def eigenvector_cooccur(sf_dir: str) -> Dataset:
+    """Eigenvector centrality of the undirected part co-occurrence graph.
+    On a SYMMETRIC edge set HITS's hub and authority vectors both collapse
+    to the principal eigenvector of A (Kleinberg 1999: they are the
+    leading eigenvectors of AA^T and A^T A), so this reuses the HITS
+    superstep program over both orientations of every distinct edge —
+    no new iteration kernel, the engine's convergence/checkpoint/resume
+    contract carries over. Output (id, score) with the L2-normalized
+    score rounded to 9 (hub==auth asserted in tests)."""
+    from ..engine.hits import hits
+
+    und = cooccur_edge_ds(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": np.concatenate([s, d]),
+                         "dst": np.concatenate([d, s])})
+
+    sym = und.map_batches(both, batch_format="pyarrow")
+    ranks, _info = hits(
+        sym, _workdir(sf_dir, "eigenvector"),
+        tol=1e-12, max_iters=100, num_parts=8,
+    )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"id": t["id"],
+             "score": pa.array(np.round(
+                 t["hub"].to_numpy(zero_copy_only=False), 9))}
+        ),
+        batch_format="pyarrow",
+    )

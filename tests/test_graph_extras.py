@@ -1125,3 +1125,41 @@ def test_rich_club_known_values():
     assert float(out.loc[2, "phi"]) == 1.0
     assert int(out.loc[4, "n_rich_nodes"]) == 0
     assert float(out.loc[4, "phi"]) == 0.0
+
+
+def test_eigenvector_centrality_matches_power_iteration():
+    """eigenvector_cooccur = HITS on the symmetrized edge set; on a
+    symmetric graph hub == auth == the principal eigenvector of A.
+    Oracle: direct numpy power iteration of A on the same graph."""
+    from graph_computing_go_ray.pipelines.graphalgos import eigenvector_cooccur
+
+    SF = "/root/testdata/sf0.001"
+    got = eigenvector_cooccur(SF).to_pandas().set_index("id")["score"]
+
+    import duckdb
+    con = duckdb.connect()
+    und = con.execute(
+        "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM "
+        f"read_parquet('{SF}/lineitem.parquet') a JOIN "
+        f"read_parquet('{SF}/lineitem.parquet') b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    ).df()
+    ids = np.unique(np.concatenate([und["u"], und["v"]]))
+    idx = {int(x): i for i, x in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for u, v in zip(und["u"], und["v"]):
+        A[idx[int(u)], idx[int(v)]] = 1.0
+        A[idx[int(v)], idx[int(u)]] = 1.0
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(2000):
+        nx_ = A @ x
+        nx_ /= np.linalg.norm(nx_)
+        if np.abs(nx_ - x).max() < 1e-15:
+            x = nx_
+            break
+        x = nx_
+    want = dict(zip(ids, x))
+    assert len(got) == n
+    for vid, sc in got.items():
+        assert abs(sc - want[int(vid)]) < 1e-6, (vid, sc, want[int(vid)])
