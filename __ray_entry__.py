@@ -38,6 +38,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never sampled go FIRST this round, followed by queries new in round 3,
     # then the already-green r2 block.
     return {
+        # --- newest first: queries added latest-in-round lead the window ---
+        # TPC-H Q3 shape: semi-join + fact-fact join + blockwise top-k
+        "shipping_priority": R.shipping_priority,
+        # TPC-H Q5 shape: same-nation customer/supplier equality join
+        "local_supplier_volume": R.local_supplier_volume,
+        # degree-correlation profile knn(k) over the bipartite edge table
+        "avg_neighbor_degree": R.avg_neighbor_degree,
         # --- round-3 driver window: the 41 oracle queries never sampled ---
         # distributed modularity kernel over the CC partition (SQL-oracled)
         "modularity_components": G.modularity_components,
@@ -458,6 +465,50 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # TPC-H Q3 shape; revenue in exact scaled int64 on both sides,
+        # top-10 under the total order (-revenue, o_orderdate, l_orderkey)
+        "shipping_priority": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') "
+            "  AS o_orderdate, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "         (100 - CAST(round(l_discount * 100) AS BIGINT))) "
+            "  AS DOUBLE) / 10000 AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-03-15' "
+            "AND l_shipdate > TIMESTAMP '1998-03-15' "
+            "GROUP BY 1, 2 "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        # TPC-H Q5 shape: customer and supplier nation must match
+        "local_supplier_volume": (
+            "SELECT r_name, n_name, count(*) AS n_items, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "         (100 - CAST(round(l_discount * 100) AS BIGINT))) "
+            "  AS DOUBLE) / 10000 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE c_nationkey = s_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2"
+        ),
+        # knn(k): mean dst in-degree per src out-degree, edge-weighted
+        "avg_neighbor_degree": (
+            "WITH e AS (SELECT l_orderkey AS src, l_partkey AS dst "
+            "  FROM lineitem), "
+            "ind AS (SELECT dst, count(*) AS d FROM e GROUP BY dst), "
+            "per AS (SELECT e.src, count(*) AS k, sum(ind.d) AS sum_d "
+            "  FROM e JOIN ind USING (dst) GROUP BY e.src) "
+            "SELECT k AS out_degree, "
+            "CAST(sum(k) AS BIGINT) AS n_edges, "
+            "round(sum(sum_d) * 1.0 / sum(k), 6) AS avg_dst_in_degree "
+            "FROM per GROUP BY k"
+        ),
         "lang_id": _lang_id_oracle(),
         # confusion matrix of the same predictor vs the labeled column
         "lang_confusion": (

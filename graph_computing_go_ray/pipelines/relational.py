@@ -1058,3 +1058,243 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
         "n_users": np.array([parts["s1"].sum(), parts["s2"].sum(),
                              parts["s3"].sum()], np.int64),
     })
+
+
+# -------------------------------------------------- multi-way fact joins (J4/J8 composition)
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-03-15", k: int = 10) -> Dataset:
+    """TPC-H Q3 shape: top-k unshipped orders by discounted revenue for one
+    market segment — customer(segment) ⋉ orders(date < cutoff) ⋈ lineitem
+    (shipdate > cutoff), grouped per (l_orderkey, o_orderdate).
+
+    Scale shape: the customer hop is a SEMI-join (``exact_semi_join``:
+    broadcast while the segment's key set is small, Bloom + bucketed join
+    above the limit); orders→lineitem is the one fact-fact exchange
+    (``bucket_join`` on orderkey); revenue accumulates in exact scaled
+    int64 so partials are order-independent. The top-k never sorts the
+    fact-scale group table: each output block emits its own k best rows
+    under the total order (-revenue, o_orderdate, l_orderkey) and the
+    driver resolves k from that blocks×k candidate set."""
+    from ..engine.bloom import exact_semi_join
+    from ..engine.join import bucket_grouped_sum, bucket_join, \
+        default_num_buckets, rename
+
+    cut = np.datetime64(cutoff)
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], segment))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = t["o_orderdate"].to_numpy(zero_copy_only=False) < cut
+        t = t.filter(pa.array(m))
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": pa.array(np.datetime_as_string(d, unit="D")
+                                    if len(d) else np.array([], dtype="U10"),
+                                    pa.string()),
+        })
+
+    okeep = exact_semi_join(
+        orders.map_batches(ofilter, batch_format="pyarrow"),
+        keys, on="o_custkey", key_col="c_custkey",
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def lfilter(t: pa.Table) -> pa.Table:
+        m = t["l_shipdate"].to_numpy(zero_copy_only=False) > cut
+        return t.filter(pa.array(m)).select(
+            ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    j = bucket_join(li.map_batches(lfilter, batch_format="pyarrow"),
+                    okeep, on="l_orderkey", right_on="o_orderkey",
+                    how="inner", num_buckets=default_num_buckets())
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "o_orderdate": t["o_orderdate"].to_pylist(),
+            "rev": cents * (100 - disc)})
+        g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate"], ["rev"],
+        num_buckets=default_num_buckets())
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rev", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = agg.map_batches(topk_block, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["rev", "o_orderdate", "l_orderkey"],
+                           ascending=[False, True, True]).head(k)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "l_orderkey": pa.array(top["l_orderkey"].to_numpy(np.int64)),
+        "o_orderdate": pa.array(top["o_orderdate"].tolist(), pa.string()),
+        "revenue": pa.array(top["rev"].to_numpy(np.int64).astype(np.float64)
+                            / 10000.0, pa.float64()),
+    }))
+
+
+def local_supplier_volume(sf_dir: str, lo: str = "1996-01-01",
+                          hi: str = "1998-01-01") -> Dataset:
+    """TPC-H Q5 shape: discounted revenue per nation from lineitems whose
+    CUSTOMER and SUPPLIER share that nation, for orders inside a date
+    window — the same-nation equality is the join condition no single
+    groupby expresses.
+
+    Scale shape: lineitem ⋈ orders(o_custkey, bucketed fact-fact on
+    orderkey) → customer nation and supplier nation each attached by
+    ``adaptive_map_join`` (broadcast below the key limit, bucketed join
+    above — customer scales with the fact table, VERDICT r2 #2's rule);
+    nation→region names are true 25-row dimensions broadcast once. One
+    vectorized equality filter, then exact-int64 partials into a 25-key
+    bucketed sum."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum, \
+        bucket_join, default_num_buckets
+
+    lo_ts, hi_ts = np.datetime64(lo), np.datetime64(hi)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((d >= lo_ts) & (d < hi_ts))).select(
+            ["o_orderkey", "o_custkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    j = bucket_join(li, orders.map_batches(ofilter, batch_format="pyarrow"),
+                    on="l_orderkey", right_on="o_orderkey", how="inner",
+                    num_buckets=default_num_buckets())
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = adaptive_map_join(j, cust, on="o_custkey", key_col="c_custkey",
+                          val_cols=["c_nationkey"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = adaptive_map_join(j, sup, on="l_suppkey", key_col="s_suppkey",
+                          val_cols=["s_nationkey"])
+
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    nmap = {int(r.n_nationkey): (str(r.n_name),
+                                 str(region.set_index("r_regionkey")
+                                     .loc[r.n_regionkey, "r_name"]))
+            for r in nation.itertuples()}
+    ref = ray.put(nmap)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(cn == sn))
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "n_name": [m[int(x)][0] for x in sn],
+            "r_name": [m[int(x)][1] for x in sn],
+            "n_items": np.int64(1),
+            "rev": cents * (100 - disc)})
+        g = df.groupby(["r_name", "n_name"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["r_name", "n_name"], ["n_items", "rev"],
+        num_buckets=default_num_buckets())
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": t["r_name"].cast(pa.string()),
+            "n_name": t["n_name"].cast(pa.string()),
+            "n_items": t["n_items"].cast(pa.int64()),
+            "revenue": pa.array(
+                t["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+                / 10000.0, pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def avg_neighbor_degree(sf_dir: str) -> Dataset:
+    """Degree-correlation profile knn(k) (Pastor-Satorras et al.): for each
+    out-degree k, the mean in-degree of the destinations reached by
+    sources of out-degree k — the curve form of `degree_assortativity`'s
+    scalar, over the bipartite lineitem edge table (A1/A2 family,
+    wikiEntropy.go:74-83 degree counting).
+
+    Scale shape: one groupby builds the dst in-degree table; one bucketed
+    fact join attaches d(dst) to each edge; a src-keyed bucketed sum folds
+    (sum_d, n) per source — n IS the source's out-degree, so no second
+    degree join — and the profile re-aggregates that vertex-sized table
+    by k. Sums stay int64; the final mean is one float division."""
+    from ..engine.join import bucket_grouped_sum, bucket_join, \
+        default_num_buckets
+
+    edges = lineitem_edges(sf_dir)
+    ind = deg_k.in_degree(edges)  # (dst, in_degree)
+
+    j = bucket_join(edges, ind, on="dst", right_on="dst", how="inner",
+                    num_buckets=default_num_buckets())
+
+    def per_src(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "src": t["src"].to_numpy(zero_copy_only=False),
+            "sum_d": t["in_degree"].to_numpy(zero_copy_only=False),
+            "n": np.int64(1)})
+        g = df.groupby("src", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per = bucket_grouped_sum(
+        j.map_batches(per_src, batch_format="pyarrow"),
+        ["src"], ["sum_d", "n"], num_buckets=default_num_buckets())
+
+    def by_k(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "out_degree": t["n"].to_numpy(zero_copy_only=False),
+            "n_edges": t["n"].to_numpy(zero_copy_only=False),
+            "sum_d": t["sum_d"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("out_degree", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    prof = bucket_grouped_sum(
+        per.map_batches(by_k, batch_format="pyarrow"),
+        ["out_degree"], ["n_edges", "sum_d"],
+        num_buckets=default_num_buckets())
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["sum_d"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_edges"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "out_degree": t["out_degree"].cast(pa.int64()),
+            "n_edges": t["n_edges"].cast(pa.int64()),
+            "avg_dst_in_degree": pa.array(
+                np.round(s / n, ROUND), pa.float64()),
+        })
+
+    return prof.map_batches(fin, batch_format="pyarrow")
