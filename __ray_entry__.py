@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the already-green r2 block.
     return {
         # --- newest first: queries added latest-in-round lead the window ---
+        # CCNet-style perplexity tertile bucketing per source
+        "ppl_buckets": TX.ppl_buckets,
         # TPC-H Q3 shape: semi-join + fact-fact join + blockwise top-k
         "shipping_priority": R.shipping_priority,
         # TPC-H Q5 shape: same-nation customer/supplier equality join
@@ -429,6 +431,21 @@ def _sub_discipline_entropy(sf_dir: str):
     )
 
     return sub_discipline_entropy_query(sf_dir)
+
+
+_BIGRAM_LL_ORACLE = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    "  '[a-z0-9]+') AS ws FROM documents), "
+    "pairs AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+    "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS ab "
+    "  FROM toks), "
+    "pc_ AS (SELECT ab, count(*) AS c FROM pairs GROUP BY ab), "
+    "ac AS (SELECT split_part(ab, ' ', 1) AS a, sum(c) AS ca "
+    "  FROM pc_ GROUP BY 1) "
+    "SELECT p.doc_id, round(avg(log2(pc_.c * 1.0 / ac.ca)), 6) "
+    "AS logprob FROM pairs p JOIN pc_ USING (ab) "
+    "JOIN ac ON split_part(p.ab, ' ', 1) = ac.a GROUP BY p.doc_id"
+)
 
 
 def _lang_id_oracle() -> str:
@@ -1616,18 +1633,25 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         # per-doc mean log2 c(a,b)/c(a,.) over adjacent token pairs
-        "bigram_logprob": (
-            "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
-            "  '[a-z0-9]+') AS ws FROM documents), "
-            "pairs AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
-            "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) AS ab "
-            "  FROM toks), "
-            "pc_ AS (SELECT ab, count(*) AS c FROM pairs GROUP BY ab), "
-            "ac AS (SELECT split_part(ab, ' ', 1) AS a, sum(c) AS ca "
-            "  FROM pc_ GROUP BY 1) "
-            "SELECT p.doc_id, round(avg(log2(pc_.c * 1.0 / ac.ca)), 6) "
-            "AS logprob FROM pairs p JOIN pc_ USING (ab) "
-            "JOIN ac ON split_part(p.ab, ' ', 1) = ac.a GROUP BY p.doc_id"
+        "bigram_logprob": _BIGRAM_LL_ORACLE,
+        # CCNet-style per-source head/middle/tail tertiles of the bigram
+        # LM score; quantile_disc = the rank-ceil(q*n) order statistic
+        # grouped_exact_quantiles reproduces, q literals IEEE-identical
+        "ppl_buckets": (
+            f"WITH ll AS ({_BIGRAM_LL_ORACLE}), "
+            "r AS (SELECT d.source, "
+            "  CAST(round(ll.logprob * 1000000) AS BIGINT) AS r "
+            "  FROM ll JOIN documents d USING (doc_id)), "
+            "b AS (SELECT source, "
+            f"  quantile_disc(r, {1.0 / 3.0!r}) AS q1, "
+            f"  quantile_disc(r, {2.0 / 3.0!r}) AS q2 "
+            "  FROM r GROUP BY source) "
+            "SELECT r.source, "
+            "(CASE WHEN r.r > b.q2 THEN 2 WHEN r.r > b.q1 THEN 1 "
+            "  ELSE 0 END) AS bucket, "
+            "count(*) AS n_docs, "
+            "round(sum(r.r) * 1.0 / count(*) / 1000000, 6) AS mean_logprob "
+            "FROM r JOIN b USING (source) GROUP BY 1, 2"
         ),
         # pairs of docs sharing a winnow fingerprint (groups of 2..1000)
         "winnow_dup_pairs": (

@@ -117,3 +117,130 @@ def exact_quantiles(
     out["q"] = out["q"].astype(np.float64)
     out["value"] = out["value"].astype(np.float64)
     return out
+
+
+def grouped_exact_quantiles(
+    ds: Dataset, group_col: str, val_col: str, qs: list[float],
+    k_bins: int = 4096,
+) -> pd.DataFrame:
+    """(group, q, value) — per-group value at rank ceil(q*n_g), 1-based
+    ascending: exactly DuckDB ``quantile_disc`` (verified rule: index
+    ceil(q*n)-1 into the sorted group, with q*n evaluated in the same
+    IEEE doubles both sides use).
+
+    The grouped generalization of :func:`exact_quantiles` for CONTINUOUS
+    columns — where a (group, value) histogram would be corpus-sized
+    (one distinct value per row), this stays exact with driver state
+    O(groups × k_bins): pass 1 folds per-group (n, min, max); pass 2 a
+    per-group k-bin count histogram (per-batch nonzero partials, one
+    pandas combine); pass 3 collects distinct values ONLY from each
+    group's target bins (≈ n_g/k_bins rows per requested quantile).
+    Assumes the number of groups is driver-small (sources, languages,
+    years); n_g per group is unbounded. ``ds`` is scanned three times —
+    pass a materialized dataset when the upstream is expensive."""
+    def stats_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "g": t[group_col].to_pylist(),
+            "v": t[val_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        })
+        out = df.groupby("g", as_index=False).agg(
+            n=("v", "size"), mn=("v", "min"), mx=("v", "max"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("g", as_index=False)
+        .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    )
+    if stats.empty:
+        return pd.DataFrame({"group": [], "q": [], "value": []})
+    bounds = {r.g: (int(r.n), float(r.mn), float(r.mx))
+              for r in stats.itertuples()}
+
+    import ray
+    b_ref = ray.put(bounds)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        m = ray.get(b_ref)
+        g = t[group_col].to_pylist()
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        frames = []
+        for gk in set(g):
+            _, lo, hi = m[gk]
+            mask = np.fromiter((x == gk for x in g), bool, count=len(g))
+            b = _bin_of(v[mask], lo, hi, k_bins)
+            cnt = np.bincount(b, minlength=k_bins)
+            nz = np.flatnonzero(cnt)
+            frames.append(pd.DataFrame(
+                {"g": gk, "bin": nz, "cnt": cnt[nz]}))
+        out = (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"g": [], "bin": [], "cnt": []}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["g", "bin"], as_index=False)["cnt"].sum()
+    )
+
+    # per group: target rank -> owning bin
+    needed: dict[object, dict[int, list[float]]] = {}
+    cums: dict[object, np.ndarray] = {}
+    for gk, sub in hist.groupby("g"):
+        counts = np.zeros(k_bins, dtype=np.int64)
+        counts[sub["bin"].to_numpy(np.int64)] = sub["cnt"].to_numpy(np.int64)
+        cum = counts.cumsum()
+        cums[gk] = cum
+        n_g = bounds[gk][0]
+        for q in qs:
+            r = max(1, int(math.ceil(q * n_g)))
+            j = int(np.searchsorted(cum, r))
+            needed.setdefault(gk, {}).setdefault(j, []).append(q)
+
+    tgt = {gk: np.array(sorted(d), dtype=np.int64)
+           for gk, d in needed.items()}
+    t_ref = ray.put(tgt)
+
+    def in_bins(t: pa.Table) -> pa.Table:
+        m = ray.get(b_ref)
+        tg = ray.get(t_ref)
+        g = t[group_col].to_pylist()
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        frames = []
+        for gk in set(g):
+            _, lo, hi = m[gk]
+            mask = np.fromiter((x == gk for x in g), bool, count=len(g))
+            b = _bin_of(v[mask], lo, hi, k_bins)
+            keep = np.isin(b, tg[gk])
+            df = pd.DataFrame({"g": gk, "bin": b[keep],
+                               "value": v[mask][keep]})
+            frames.append(df.groupby(["g", "bin", "value"],
+                                     as_index=False).size())
+        out = (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"g": [], "bin": [], "value": [],
+                                  "size": []}))
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "cnt"}), preserve_index=False)
+
+    vals = (
+        ds.map_batches(in_bins, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["g", "bin", "value"], as_index=False)["cnt"].sum()
+    )
+
+    rows = []
+    for gk, d in needed.items():
+        n_g = bounds[gk][0]
+        gv = vals[vals["g"] == gk]
+        for j, qlist in d.items():
+            sub = gv[gv["bin"] == j].sort_values("value")
+            vcum = sub["cnt"].cumsum().to_numpy()
+            base = int(cums[gk][j - 1]) if j > 0 else 0
+            for q in qlist:
+                r_in = max(1, int(math.ceil(q * n_g))) - base
+                pos = int(np.searchsorted(vcum, r_in))
+                rows.append({"group": gk, "q": float(q),
+                             "value": float(sub["value"].iloc[pos])})
+    return (pd.DataFrame(rows)
+            .sort_values(["group", "q"], ignore_index=True))

@@ -1255,6 +1255,7 @@ def avg_neighbor_degree(sf_dir: str) -> Dataset:
     by k. Sums stay int64; the final mean is one float division."""
     from ..engine.join import bucket_grouped_sum, bucket_join, \
         default_num_buckets
+    from . import textstats as TXK
 
     edges = lineitem_edges(sf_dir)
     ind = deg_k.in_degree(edges)  # (dst, in_degree)
@@ -1294,7 +1295,7 @@ def avg_neighbor_degree(sf_dir: str) -> Dataset:
             "out_degree": t["out_degree"].cast(pa.int64()),
             "n_edges": t["n_edges"].cast(pa.int64()),
             "avg_dst_in_degree": pa.array(
-                np.round(s / n, ROUND), pa.float64()),
+                TXK.round_sql(s * 1.0 / n), pa.float64()),
         })
 
     return prof.map_batches(fin, batch_format="pyarrow")

@@ -17,6 +17,14 @@ from ..sources.readers import read_table
 ROUND = 6
 
 
+def round_sql(x: np.ndarray, nd: int = ROUND) -> np.ndarray:
+    """Round half AWAY from zero — DuckDB ``round(double, nd)`` parity.
+    np.round is half-to-even, so means of exact scaled-int sums (which
+    land on .5 ulps routinely) would hash-mismatch the oracle."""
+    p = 10.0 ** nd
+    return np.copysign(np.floor(np.abs(x) * p + 0.5), x) / p
+
+
 def token_counts(sf_dir: str) -> Dataset:
     """(doc_id, n_tokens) — whitespace tokens, DuckDB regexp parity."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -750,3 +758,83 @@ def gopher_rules(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def ppl_buckets(sf_dir: str) -> Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    source's documents into head/middle/tail tertiles by LM score — here
+    the corpus-trained bigram log-likelihood of :func:`bigram_logprob` —
+    and report (source, bucket, n_docs, mean_logprob). bucket 2 = head
+    (highest log-likelihood = lowest perplexity), 0 = tail; a real
+    curation pipeline keeps head+middle and drops tail.
+
+    Scale shape: the scored table (one row per doc with ≥2 tokens) is
+    materialized once; per-source tertile boundaries come from
+    ``grouped_exact_quantiles`` (exact rank-ceil(q·n) order statistics,
+    driver state O(sources × k_bins) — never a per-doc histogram); the
+    boundary map (2 ints per source) broadcasts for one vectorized
+    bucket-assignment pass, and counts/sums fold per batch into a
+    sources×3-key bucketed sum. Scores are scaled to int64 (round(ll,6)
+    × 1e6 is integer-valued up to representation error, so half-to-even
+    vs half-away rounding agree) making every aggregate exact."""
+    import ray
+
+    from ..engine.join import bucket_grouped_sum, bucket_join, \
+        default_num_buckets
+    from ..engine.quantile import grouped_exact_quantiles
+
+    ll = bigram_logprob(sf_dir)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    j = bucket_join(ll, docs, on="doc_id", right_on="doc_id", how="inner",
+                    num_buckets=default_num_buckets())
+
+    def scale(t: pa.Table) -> pa.Table:
+        r = np.rint(t["logprob"].to_numpy(zero_copy_only=False)
+                    * 1e6).astype(np.int64)
+        return pa.table({"source": t["source"],
+                         "r": pa.array(r, pa.int64())})
+
+    scored = j.map_batches(scale, batch_format="pyarrow").materialize()
+
+    q1, q2 = 1.0 / 3.0, 2.0 / 3.0
+    bq = grouped_exact_quantiles(scored, "source", "r", [q1, q2])
+    bmap = {}
+    for gk, sub in bq.groupby("group"):
+        s = sub.set_index("q")["value"]
+        bmap[gk] = (np.int64(s.loc[q1]), np.int64(s.loc[q2]))
+    ref = ray.put(bmap)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        src = t["source"].to_pylist()
+        r = t["r"].to_numpy(zero_copy_only=False)
+        b = np.zeros(len(r), np.int64)
+        for s in set(src):
+            lo, hi = m[s]
+            mask = np.fromiter((x == s for x in src), bool, count=len(src))
+            b[mask] = (r[mask] > lo).astype(np.int64) + \
+                      (r[mask] > hi).astype(np.int64)
+        # "tier" internally: the bucketed-sum engine appends its own
+        # shuffle "bucket" column, so the output name attaches in fin
+        df = pd.DataFrame({"source": src, "tier": b,
+                           "n_docs": np.int64(1), "sum_r": r})
+        g = df.groupby(["source", "tier"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        scored.map_batches(assign, batch_format="pyarrow"),
+        ["source", "tier"], ["n_docs", "sum_r"],
+        num_buckets=default_num_buckets())
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["sum_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_docs"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"].cast(pa.string()),
+            "bucket": t["tier"].cast(pa.int64()),
+            "n_docs": t["n_docs"].cast(pa.int64()),
+            "mean_logprob": pa.array(
+                round_sql(s * 1.0 / n / 1e6), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")

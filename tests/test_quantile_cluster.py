@@ -106,3 +106,51 @@ def test_near_dup_clusters_union_find_parity(tmp_path):
     assert want[102] == want[100]
     keep = got.set_index("doc_id")["keep"]
     assert keep[got_map[100]] and not keep[102]
+
+
+def test_grouped_exact_quantiles_matches_duckdb_quantile_disc():
+    """grouped_exact_quantiles must reproduce DuckDB quantile_disc per
+    group: rank ceil(q*n_g), 1-based ascending — including skewed group
+    sizes, hot duplicated values, and a constant-valued group."""
+    import duckdb
+
+    from graph_computing_go_ray.engine.quantile import grouped_exact_quantiles
+
+    rng = np.random.default_rng(7)
+    frames = []
+    for g, n in [("a", 1), ("b", 2), ("c", 97), ("d", 1000), ("e", 9)]:
+        v = rng.integers(-50_000, 50_000, size=n).astype(np.int64)
+        if g == "d":
+            v[: n // 2] = 1234  # fat duplicated value inside one bin
+        if g == "e":
+            v[:] = -7  # constant group: hi == lo
+        frames.append(pd.DataFrame({"g": g, "v": v}))
+    df = pd.concat(frames, ignore_index=True)
+
+    qs = [1.0 / 3.0, 2.0 / 3.0, 0.5, 0.999]
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouped_exact_quantiles(ds, "g", "v", qs, k_bins=64)
+
+    con = duckdb.connect()
+    con.register("t", df)
+    for q in qs:
+        want = dict(con.execute(
+            f"SELECT g, quantile_disc(v, {q!r}) FROM t GROUP BY g"
+        ).fetchall())
+        sub = got[got["q"] == q].set_index("group")["value"]
+        for g in want:
+            assert sub.loc[g] == want[g], (q, g, sub.loc[g], want[g])
+
+
+def test_round_sql_half_away_parity():
+    import duckdb
+
+    from graph_computing_go_ray.pipelines.textstats import round_sql
+
+    vals = np.array([2.5e-6, -2.5e-6, 1.0000005, -1.0000005, 0.1234565,
+                     7.0000015, -4.8431805, 0.0, 3.14159265358979])
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            f"select round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        assert round_sql(np.array([v]))[0] == want, v
