@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": C.zipf_slope,
         # distributed Lloyd's k-means (iterative; numpy-replica pytest oracle)
         "kmeans_embeddings": S.kmeans_embeddings,
+        # SemDeDup: within-kmeans-cluster cosine prune (rows-only; iterative)
+        "semdedup_keep": S.semdedup_keep,
         # distributed PCA via moment partials (numpy-replica pytest oracle)
         "pca_embeddings": S.pca_embeddings,
         "rolling_fingerprints": TX.rolling_fingerprints,

@@ -678,3 +678,49 @@ def pca_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
             **{f"load_{i}": round(float(evecs_k[i, j]), 6) for i in range(4)},
         })
     return pd.DataFrame(rows)
+
+
+def semdedup_keep(
+    sf_dir: str, threshold: float = 0.35, n_clusters: int = 8,
+    n_iters: int = 10, seed: int = 13,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only compares embeddings WITHIN a k-means cluster — the scale path
+    between exact all-pairs (quadratic) and LSH (hash-recall): cluster
+    count grows with the corpus so each cluster's O(|c|^2) similarity
+    block stays bounded, and cross-cluster pairs are never formed.
+
+    Shape: cluster ids from :func:`kmeans_embeddings` (per-batch partial
+    moments, broadcast centroids); embeddings re-attached by one bucketed
+    join on vec_id; ONE groupby(cluster).map_groups computes each
+    cluster's normalized Gram block and drops every vector with cosine >=
+    threshold to a smaller vec_id in the same cluster (the deterministic
+    keep rule shared with embedding_dedup_keep). Output: kept
+    (vec_id, cluster).
+
+    No SQL oracle (k-means is iterative); pytest replicates the in-cluster
+    drop rule in single-process numpy against the pipeline's own cluster
+    assignment (kmeans itself has an exact Lloyd's parity test)."""
+    from ..engine.join import bucket_join, default_num_buckets, rename
+
+    asg = kmeans_embeddings(sf_dir, n_clusters=n_clusters,
+                            n_iters=n_iters, seed=seed)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    j = bucket_join(asg, rename(emb, {"vec_id": "vid2"}), on="vec_id",
+                    right_on="vid2", how="inner",
+                    num_buckets=default_num_buckets())
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", ignore_index=True)
+        m = np.array(g["embedding"].to_list(), np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        m = m / nrm[:, None]
+        sim = m @ m.T
+        # drop j if any i < j (vec_id order) has cos >= threshold
+        dup = (np.triu(sim >= threshold, k=1)).any(axis=0)
+        keep = g.loc[~dup, ["vec_id", "cluster"]]
+        return keep.reset_index(drop=True)
+
+    return j.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas")

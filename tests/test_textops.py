@@ -369,3 +369,44 @@ def test_approx_window_users_accuracy():
     for w, est in zip(got["window_start"], got["approx_users"]):
         n = exact[w]
         assert abs(est - n) / max(n, 1) < 0.05, (w, est, n)
+
+
+def test_semdedup_keep_matches_replica():
+    """semdedup_keep's within-cluster drop rule == single-process numpy on
+    the pipeline's own cluster assignment (kmeans itself has the Lloyd's
+    parity test above); kept set must also be duplicate-free under the
+    rule (no kept pair in one cluster with cosine >= threshold)."""
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.pipelines.similarity import (
+        kmeans_embeddings,
+        semdedup_keep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tau = 0.35
+    got = (semdedup_keep(sf, threshold=tau).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    asg = kmeans_embeddings(sf).to_pandas()
+    t = pq.read_table(sf + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = {int(i): np.asarray(v, np.float64)
+           for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    keep = []
+    for c, sub in asg.groupby("cluster"):
+        ids = np.sort(sub["vec_id"].to_numpy(np.int64))
+        m = np.stack([emb[int(i)] for i in ids])
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        m = m / nrm[:, None]
+        sim = m @ m.T
+        dup = np.triu(sim >= tau, k=1).any(axis=0)
+        keep += [(int(i), int(c)) for i in ids[~dup]]
+    expect = (pd.DataFrame(keep, columns=["vec_id", "cluster"])
+              .sort_values("vec_id").reset_index(drop=True))
+
+    assert len(got) == len(expect)
+    assert (got["vec_id"].to_numpy() == expect["vec_id"].to_numpy()).all()
+    assert (got["cluster"].to_numpy() == expect["cluster"].to_numpy()).all()
+    assert len(got) < len(asg)  # the fixture contains planted near-dups
