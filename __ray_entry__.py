@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # K11b: OpenAlex sub-discipline multilayer KQI (python-replica
         # pytest oracle in tests/test_subdiscipline.py; rows-only here)
         "sub_discipline_entropy": _sub_discipline_entropy,
+        # citation-generation depth: longest backward-reference chain per
+        # work via the striped DAG wavefront (DP-replica pytest in
+        # tests/test_graph_extras.py; rows-only here)
+        "citation_depth": _citation_depth,
         # Common-Crawl-style host-level webgraph collapse (replica pytest
         # in tests/test_linkgraph_build.py; rows-only here)
         "host_graph": _host_graph,
@@ -433,6 +437,12 @@ def _sub_discipline_entropy(sf_dir: str):
     )
 
     return sub_discipline_entropy_query(sf_dir)
+
+
+def _citation_depth(sf_dir: str):
+    from graph_computing_go_ray.pipelines.citations import citation_depth
+
+    return citation_depth(sf_dir)
 
 
 _BIGRAM_LL_ORACLE = (

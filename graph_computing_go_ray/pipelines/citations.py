@@ -403,3 +403,52 @@ def sub_discipline_entropy_query(sf_dir: str) -> pd.DataFrame:
         percent_ends=(100, 40), num_buckets=4, gather_links_in=1,
     )
     return out.sort_values(["year", "end_percent"], ignore_index=True)
+
+
+def citation_depth(sf_dir: str) -> "Dataset":
+    """Longest backward-citation chain per work (DAG layering): depth(w) =
+    0 for works citing nothing, else 1 + max depth over its referenced
+    works — the citation-generation count openAlexEntropy's cross-year
+    fold walks implicitly (openAlexEntropy.go year-fold structure), made
+    explicit per work.
+
+    The works fixture's ~5% forward citations (works_gen.py:57) would put
+    cycles in the graph, so edges keep only referenced < citing — the
+    generator assigns ids in publication-year order, so id order IS the
+    year-sorted total order and the filtered graph is a DAG by
+    construction. Depths come from engine/dagdepth.py's STRIPED wavefront
+    (dag_depths_striped): the fixture's zipf-recent refs chain ~260 levels
+    deep, so the max-plus superstep would cost ~260 shuffle rounds while
+    the id-ordered stripe sweep costs num_stripes stages, per-stripe
+    resumable."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..engine.dagdepth import dag_depths_striped
+    from ..sources.works_gen import generate_works
+
+    d = os.path.join(tempfile.gettempdir(), "graft_works_citedepth")
+    generate_works(d, n_works=2000, seed=42)
+
+    w = rd.read_parquet(os.path.join(d, "works.parquet"),
+                        columns=["id", "referenced_works"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        refs = t["referenced_works"].to_pylist()
+        lens = np.asarray([len(x) for x in refs], np.int64)
+        dst = np.repeat(ids, lens)  # citing work
+        src = np.concatenate(
+            [np.asarray(x, np.int64) for x in refs]
+            or [np.array([], np.int64)])
+        back = src < dst  # year-sorted id order -> backward citations only
+        return pa.table({"src": pa.array(src[back]),
+                         "dst": pa.array(dst[back])})
+
+    edges = w.map_batches(explode, batch_format="pyarrow")
+
+    from .graphalgos import _workdir
+
+    out, _info = dag_depths_striped(edges, _workdir(d, "citedepth"))
+    return out

@@ -1163,3 +1163,41 @@ def test_eigenvector_centrality_matches_power_iteration():
     assert len(got) == n
     for vid, sc in got.items():
         assert abs(sc - want[int(vid)]) < 1e-6, (vid, sc, want[int(vid)])
+
+
+def test_citation_depth_matches_dp_replica():
+    """dagdepth max-plus superstep == single-process DP over the works
+    fixture's backward-citation DAG (ids are year-ordered, so ascending-id
+    DP is a valid topological sweep)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.pipelines.citations import citation_depth
+    from graph_computing_go_ray.sources.works_gen import generate_works
+
+    got = (citation_depth("/root/testdata/sf0.001").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+
+    d = os.path.join(tempfile.gettempdir(), "graft_works_citedepth")
+    generate_works(d, n_works=2000, seed=42)
+    t = pq.read_table(os.path.join(d, "works.parquet"),
+                      columns=["id", "referenced_works"])
+    ids = t["id"].to_pylist()
+    refs = t["referenced_works"].to_pylist()
+    depth = {}
+    for i, r in zip(ids, refs):  # ids ascending = topological order
+        back = [x for x in r if x < i]
+        depth[i] = 1 + max(depth[x] for x in back) if back else 0
+
+    # superstep state covers only vertices present in the edge table;
+    # isolated works (no backward refs, never cited backward) default to 0
+    exp = {i: depth[i] for i in ids}
+    gd = dict(zip(got["id"].to_numpy(), got["depth"].to_numpy()))
+    for i in gd:
+        assert gd[i] == exp[i], (i, gd[i], exp[i])
+    for i, dv in exp.items():
+        if dv > 0:
+            assert i in gd, f"work {i} with depth {dv} missing from output"
+    assert max(exp.values()) >= 3  # fixture produces real chains
