@@ -39,6 +39,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the already-green r2 block.
     return {
         # --- newest first: queries added latest-in-round lead the window ---
+        # weekly cohort retention triangle over the events stream
+        "cohort_retention": R.cohort_retention,
+        # per-user trailing moving average (bounded window frame)
+        "events_moving_avg": R.events_moving_avg,
+        # TPC-H Q17 shape: decorrelated per-part avg-quantity threshold
+        "small_qty_revenue": R.small_qty_revenue,
+        # exact 4-cycle census via the co-degree wedge kernel
+        "square_count_chain": G.square_count_chain,
+        # per-brand conductance of the co-occurrence partition
+        "brand_conductance": G.brand_conductance,
         # CCNet-style perplexity tertile bucketing per source
         "ppl_buckets": TX.ppl_buckets,
         # TPC-H Q3 shape: semi-join + fact-fact join + blockwise top-k
@@ -494,6 +504,87 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # weekly cohort retention: cohort = Monday week of first event
+        "cohort_retention": (
+            "WITH w AS (SELECT user_id, date_trunc('week', ts) AS wk "
+            "           FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cohort_week FROM w "
+            "      GROUP BY user_id) "
+            "SELECT f.cohort_week, "
+            "CAST((epoch(w.wk) - epoch(f.cohort_week)) / 604800 AS BIGINT) "
+            "  AS week_offset, "
+            "count(DISTINCT w.user_id) AS n_users "
+            "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        # trailing 4-row moving average per user, exact-cents numerator
+        "events_moving_avg": (
+            "SELECT event_id, user_id, "
+            "round(SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0 "
+            " / COUNT(*) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg_value "
+            "FROM events"
+        ),
+        # TPC-H Q17 shape, decorrelated; threshold arithmetic written
+        # exactly as the Ray side computes it (0.2 * (sum_cents/100/n))
+        "small_qty_revenue": (
+            "WITH pp AS (SELECT l_partkey, "
+            "  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_q, "
+            "  COUNT(*) AS n_q FROM lineitem GROUP BY l_partkey) "
+            "SELECT COUNT(*) AS n_small, "
+            "round(COALESCE(SUM(CAST(round(l_extendedprice * 100) "
+            "  AS BIGINT)), 0) / 100.0 / 7.0, 6) AS avg_yearly "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN pp ON pp.l_partkey = l.l_partkey "
+            "WHERE p.p_brand = 'Brand#1' "
+            "AND l.l_quantity < 0.2 * (pp.sum_q / 100.0 / pp.n_q)"
+        ),
+        # 4-cycle census: #C4 = sum over u<w of C(codeg,2), halved
+        "square_count_chain": (
+            "WITH th AS (SELECT l_orderkey, l_linenumber, l_partkey "
+            "            FROM lineitem WHERE l_orderkey % 16 = 0), "
+            "e0 AS (SELECT l_partkey AS src, "
+            "       lead(l_partkey) OVER (PARTITION BY l_orderkey "
+            "                             ORDER BY l_linenumber) AS dst "
+            "       FROM th), "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "               GREATEST(src, dst) AS v FROM e0 "
+            "        WHERE dst IS NOT NULL AND src <> dst), "
+            "sym AS (SELECT u AS a, v AS nb FROM und "
+            "        UNION ALL SELECT v, u FROM und), "
+            "cd AS (SELECT l.a AS u, r.nb AS w, count(*) AS c "
+            "       FROM sym l JOIN sym r ON l.nb = r.a "
+            "       WHERE l.a < r.nb GROUP BY 1, 2) "
+            "SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) "
+            "  AS n_squares FROM cd"
+        ),
+        # per-brand conductance over the part co-occurrence graph
+        "brand_conductance": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey "
+            "   AND a.l_partkey < b.l_partkey), "
+            "be AS (SELECT pu.p_brand AS bu, pv.p_brand AS bv FROM e "
+            "  JOIN part pu ON e.u = pu.p_partkey "
+            "  JOIN part pv ON e.v = pv.p_partkey), "
+            "tot AS (SELECT count(*) AS m FROM be), "
+            "st AS (SELECT bu AS p_brand, "
+            "         CASE WHEN bu = bv THEN 1 ELSE 0 END AS intra, "
+            "         CASE WHEN bu <> bv THEN 1 ELSE 0 END AS cut FROM be "
+            "       UNION ALL SELECT bv, 0, 1 FROM be WHERE bu <> bv), "
+            "agg AS (SELECT p_brand, SUM(intra) AS intra, SUM(cut) AS n_cut "
+            "        FROM st GROUP BY 1) "
+            "SELECT p_brand, CAST(n_cut AS BIGINT) AS n_cut, "
+            "CAST(2 * intra + n_cut AS BIGINT) AS volume, "
+            "round(CASE WHEN LEAST(2 * intra + n_cut, "
+            "  2 * (SELECT m FROM tot) - (2 * intra + n_cut)) > 0 "
+            "  THEN n_cut * 1.0 / LEAST(2 * intra + n_cut, "
+            "  2 * (SELECT m FROM tot) - (2 * intra + n_cut)) "
+            "  ELSE 0.0 END, 6) AS conductance FROM agg"
+        ),
         # TPC-H Q3 shape; revenue in exact scaled int64 on both sides,
         # top-10 under the total order (-revenue, o_orderdate, l_orderkey)
         "shipping_priority": (

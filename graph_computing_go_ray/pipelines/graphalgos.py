@@ -1355,3 +1355,120 @@ def eigenvector_cooccur(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def square_count_chain(sf_dir: str, order_mod: int = 16) -> pd.DataFrame:
+    """Exact 4-cycle (square) census of the undirected part-chain graph.
+
+    Identity: every C4 has exactly two diagonals, so
+    #C4 = (1/2) * sum over unordered vertex pairs {u, w} of C(codeg, 2),
+    where codeg = |N(u) ∩ N(w)| — the general-graph sibling of the
+    bipartite butterfly census (same co-degree wedge kernel, but wedges
+    run THROUGH every vertex instead of one side). Dataflow: symmetrize,
+    one bucketed self-join on the wedge middle, co-degree counts per
+    canonical (u < w) pair, then integer C(n,2) moment partials; only
+    per-pair counts cross the exchange and two scalars reach the driver.
+
+    Wedge volume is sum_x C(deg(x), 2) — feasible on the sparse chain
+    graph; the sampled path for dense graphs is the DOULION-style edge
+    subsample (triangles_sampled), which applies to C4 with a 1/p^4
+    scale-up."""
+    from ..engine.join import bucket_join, default_num_buckets, rename_cols
+
+    und = chain_und_ds(sf_dir, order_mod)
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": np.concatenate([s, d]),
+                         "nb": np.concatenate([d, s])})
+
+    sym = und.map_batches(both, batch_format="pyarrow").materialize()
+    left = rename_cols(sym, {"nb": "mid"})
+    right = rename_cols(sym, {"a": "mid_r", "nb": "c"})
+    two = bucket_join(left, right, on="mid", right_on="mid_r", how="inner",
+                      num_buckets=default_num_buckets())
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        keep = a < c  # one orientation per wedge: codeg counts exact
+        return pa.table({"u": a[keep], "w": c[keep]})
+
+    from ..engine.join import bucket_grouped_count
+
+    codeg = bucket_grouped_count(
+        two.map_batches(canon, batch_format="pyarrow"), ["u", "w"], "cd",
+        num_buckets=default_num_buckets(),
+    )
+
+    def moment(t: pa.Table) -> pa.Table:
+        cd = t["cd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int((cd * (cd - 1) // 2).sum())])})
+
+    tot = codeg.map_batches(moment, batch_format="pyarrow").sum("s")
+    n_sq = int(tot or 0) // 2
+    return pd.DataFrame([{"n_squares": n_sq}])
+
+
+def brand_conductance(sf_dir: str) -> Dataset:
+    """Per-community conductance of the p_brand partition of the part
+    co-occurrence graph: phi(S) = cut(S) / min(vol(S), 2m - vol(S)) — the
+    partition-quality measure complementing modularity_components. The
+    brand attach on both endpoints is size-adaptive (part is a broadcast
+    dim at bench scale, a bucketed join at fact scale); per-batch integer
+    partials (intra/cut per brand) are the only exchanged state and the
+    final table is one row per brand."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum
+    from ..pipelines.textstats import round_sql
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    e = cooccur_edge_ds(sf_dir)
+    e = adaptive_map_join(e, parts, on="src",
+                          key_col="p_partkey", val_cols=["p_brand"])
+    from ..engine.join import rename as _rn
+
+    e = _rn(e, {"p_brand": "bu"})
+    e = adaptive_map_join(e, parts, on="dst",
+                          key_col="p_partkey", val_cols=["p_brand"])
+    e = _rn(e, {"p_brand": "bv"})
+
+    def partial(t: pa.Table) -> pa.Table:
+        bu = np.asarray(t["bu"].to_pylist(), dtype=object)
+        bv = np.asarray(t["bv"].to_pylist(), dtype=object)
+        same = bu == bv
+        b = np.concatenate([bu, bv[~same]])
+        intra = np.concatenate([same.astype(np.int64),
+                                np.zeros(int((~same).sum()), np.int64)])
+        cut = np.concatenate([(~same).astype(np.int64),
+                              np.ones(int((~same).sum()), np.int64)])
+        df = pd.DataFrame({"p_brand": b, "intra": intra, "cut": cut})
+        g = df.groupby("p_brand", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).cast(pa.schema([
+            ("p_brand", pa.large_string()),
+            ("intra", pa.int64()), ("cut", pa.int64()),
+        ]))
+
+    per = bucket_grouped_sum(
+        e.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand"], ["intra", "cut"], num_buckets=8,
+    ).materialize()
+    # m from the tiny per-brand table itself (cut edges appear once per
+    # side): no second pass over the joined fact table
+    tots = per.sum(["intra", "cut"])
+    m = int(tots["sum(intra)"] or 0) + int(tots["sum(cut)"] or 0) // 2
+
+    def fin(t: pa.Table) -> pa.Table:
+        intra = t["intra"].to_numpy(zero_copy_only=False)
+        cut = t["cut"].to_numpy(zero_copy_only=False)
+        vol = 2 * intra + cut
+        denom = np.minimum(vol, 2 * m - vol)
+        cond = np.where(denom > 0, cut / np.maximum(denom, 1), 0.0)
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "n_cut": pa.array(cut, pa.int64()),
+            "volume": pa.array(vol, pa.int64()),
+            "conductance": pa.array(round_sql(cond), pa.float64()),
+        })
+
+    return per.map_batches(fin, batch_format="pyarrow")

@@ -1299,3 +1299,166 @@ def avg_neighbor_degree(sf_dir: str) -> Dataset:
         })
 
     return prof.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- cohort retention
+def cohort_retention(sf_dir: str) -> Dataset:
+    """Weekly cohort retention over the events stream: cohort = Monday-
+    truncated week of each user's first event; one row per (cohort_week,
+    week_offset) counting the distinct users of that cohort active in
+    that week — the classic product-analytics retention triangle (the
+    batch form of the reference's per-year snapshot folds, ST3 shape).
+
+    Dataflow: users hash-bucket once; each bucket derives its users'
+    cohort weeks and bucket-local distinct (cohort, offset, user)
+    activity (a user lives in exactly one bucket, so local distinct is
+    globally exact) and forwards only (cohort, offset, partial-count)
+    rows; a second exchange over the tiny (weeks x offsets) keyspace sums
+    partials. No per-user state reaches the driver."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(g["ts"])
+        week = (ts.dt.normalize()
+                - pd.to_timedelta(ts.dt.weekday, unit="D")).to_numpy()
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(), "wk": week})
+        first = df.groupby("user_id")["wk"].transform("min").to_numpy()
+        off = ((df["wk"] - first) // np.timedelta64(7, "D")).astype(np.int64)
+        act = pd.DataFrame({
+            "cohort_week": first, "week_offset": off,
+            "user_id": df["user_id"],
+        }).drop_duplicates()
+        return act.groupby(["cohort_week", "week_offset"],
+                           as_index=False).agg(n_users=("user_id", "size"))
+
+    part = bucket_grouped(
+        ev, ["user_id"], per_bucket,
+        num_buckets=default_num_buckets(),
+        out_schema=pa.schema([
+            ("cohort_week", pa.timestamp("us")),
+            ("week_offset", pa.int64()), ("n_users", pa.int64()),
+        ]),
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["cohort_week", "week_offset"],
+                         as_index=False)["n_users"].sum()
+
+    return bucket_grouped(
+        part, ["week_offset"], fold, num_buckets=8,
+        out_schema=pa.schema([
+            ("cohort_week", pa.timestamp("us")),
+            ("week_offset", pa.int64()), ("n_users", pa.int64()),
+        ]),
+    )
+
+
+# ---------------------------------------------------------------- moving average
+def events_moving_avg(sf_dir: str, window: int = 4) -> Dataset:
+    """Per-user trailing moving average over the last ``window`` events
+    (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW, ordered by
+    (ts, event_id)) — the bounded-frame window op that complements the
+    cumulative events_running_total. One vectorized grouped rolling sum
+    per user hash bucket; sums accumulate exact cents so Ray and DuckDB
+    divide identical integers."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def run_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        g = g.assign(__c=cents)
+        gb = g.groupby("user_id")
+        win = gb["__c"].rolling(window, min_periods=1).sum().to_numpy()
+        pos = gb.cumcount().to_numpy()
+        n = np.minimum(pos + 1, window).astype(np.float64)
+        from .textstats import round_sql
+        return pd.DataFrame({
+            "event_id": g["event_id"], "user_id": g["user_id"],
+            "mavg_value": round_sql((win / 100.0) / n),
+        })
+
+    return bucket_grouped(
+        ev, ["user_id"], run_bucket, num_buckets=default_num_buckets(),
+        out_schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("mavg_value", pa.float64()),
+        ]),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q17 shape
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#1") -> Dataset:
+    """TPC-H Q17-shape correlated-subquery decorrelation: revenue of
+    lineitems of one brand whose quantity is below 20% of that part's
+    average quantity. The correlated scalar subquery becomes a per-part
+    aggregate (one bucketed groupby producing (partkey, sum_qty_cents,
+    n)), re-attached to the fact rows by a size-adaptive map join; the
+    threshold compare then runs vectorized per batch and only exact
+    cents cross the final exchange. avg_yearly = sum(price)/7.
+
+    At 10^12 rows the per-part aggregate is fact-keyed, so the attach
+    rides the bucketed-join path automatically (adaptive_map_join)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum, \
+        default_num_buckets
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qparts(t: pa.Table) -> pa.Table:
+        q = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "sum_q": pa.array(q),
+            "n_q": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    per_part = bucket_grouped_sum(
+        li.map_batches(qparts, batch_format="pyarrow"),
+        ["l_partkey"], ["sum_q", "n_q"],
+        num_buckets=default_num_buckets(),
+    )
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    bparts = parts.map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], brand)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    # keep only the chosen brand's parts, then attach their avg-qty stats
+    fact = adaptive_map_join(
+        li, bparts.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int8))),
+            batch_format="pyarrow"),
+        on="l_partkey", key_col="p_partkey", val_cols=["one"],
+    )
+    fact = adaptive_map_join(fact, per_part, on="l_partkey",
+                             key_col="l_partkey", val_cols=["sum_q", "n_q"])
+
+    def below(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        thr = 0.2 * (t["sum_q"].to_numpy(zero_copy_only=False) / 100.0
+                     / t["n_q"].to_numpy(zero_copy_only=False))
+        keep = q < thr
+        price = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"cents": pa.array(price[keep]),
+                         "n": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    partials = fact.map_batches(below, batch_format="pyarrow")
+    tot = partials.sum(["cents", "n"], ignore_nulls=True)
+    cents = int(tot["sum(cents)"] or 0) if tot else 0
+    n = int(tot["sum(n)"] or 0) if tot else 0
+    avg = float(round_sql(np.array([(cents / 100.0) / 7.0]))[0])
+    return ray.data.from_arrow(pa.table({
+        "n_small": pa.array([n], pa.int64()),
+        "avg_yearly": pa.array([avg], pa.float64()),
+    }))
