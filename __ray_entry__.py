@@ -343,6 +343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": D.simhash_pairs,
         "lsh_cosine_pairs": S.lsh_cosine_pairs,
         "ivf_topk": S.ivf_topk,
+        # product-quantization ANN + exact re-rank (recall vs brute in
+        # pytest; returned sims are exact)
+        "pq_topk": S.pq_topk,
+        # first-fit-decreasing sequence packing per hash shard (exact
+        # FFD parity pytest; no SQL form)
+        "pack_bins_ffd": TX.pack_bins_ffd,
         # HyperLogLog approximate distinct (accuracy asserted in pytest)
         "approx_distinct_parts": R.approx_distinct_parts,
         # iterative BPE merge training (pytest oracle: python replica)

@@ -838,3 +838,60 @@ def ppl_buckets(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def pack_bins_ffd(sf_dir: str, budget: int = 512,
+                  n_shards: int = 32) -> Dataset:
+    """Best-fit sequence packing for training shards: assign each document
+    to a fixed-token-budget bin by first-fit-decreasing WITHIN its hash
+    shard (docs over budget get a bin alone, truncated downstream) —
+    the packing that minimizes padding waste vs the purely positional
+    pack_offsets. FFD is inherently sequential, so the documented
+    partitioning assumption is shard-local packing: shards are
+    independent, deterministic (splitmix64 of doc_id), and each holds a
+    bounded slice of the corpus; bins are globally unique as
+    (shard, bin_id). Per-shard fit loop keeps a numpy array of bin
+    remainders and places each doc with one vectorized first-fit scan.
+
+    Exact single-process FFD parity is asserted in tests/test_textops.py;
+    the driver checks rows/schema (bin packing has no SQL form)."""
+    from ..engine.join import bucket_grouped
+    from ..functions.hashing import splitmix64
+
+    counted = token_counts(sf_dir)
+
+    def shard_pack(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        toks = g["n_tokens"].to_numpy()
+        shard = int(
+            splitmix64(ids[:1].astype(np.int64).view(np.uint64))[0]
+            % np.uint64(n_shards)
+        )
+        order = np.lexsort((ids, -toks))  # FFD: big first, id tie-break
+        rem = np.empty(len(ids), np.int64)  # at most one bin per doc
+        n_bins = 0
+        bin_of = np.empty(len(ids), np.int64)
+        for pos in range(len(order)):
+            need = min(int(toks[order[pos]]), budget)
+            fit = np.nonzero(rem[:n_bins] >= need)[0]
+            if len(fit):
+                b = int(fit[0])
+            else:
+                b = n_bins
+                rem[b] = budget
+                n_bins += 1
+            rem[b] -= need
+            bin_of[order[pos]] = b
+        return pd.DataFrame({
+            "doc_id": ids, "shard": np.full(len(ids), shard, np.int64),
+            "bin_id": bin_of, "n_tokens": toks,
+        })
+
+    # one FFD task per shard; the shard key IS the bucket key
+    return bucket_grouped(
+        counted, ["doc_id"], shard_pack, num_buckets=n_shards,
+        out_schema=pa.schema([
+            ("doc_id", pa.int64()), ("shard", pa.int64()),
+            ("bin_id", pa.int64()), ("n_tokens", pa.int64()),
+        ]),
+    )

@@ -410,3 +410,54 @@ def test_semdedup_keep_matches_replica():
     assert (got["vec_id"].to_numpy() == expect["vec_id"].to_numpy()).all()
     assert (got["cluster"].to_numpy() == expect["cluster"].to_numpy()).all()
     assert len(got) < len(asg)  # the fixture contains planted near-dups
+
+
+def test_pq_topk_recall_and_exact_rerank():
+    sf = "/root/testdata/sf0.001"
+    brute = S.ann_topk(sf, k=5).to_pandas()
+    pq = S.pq_topk(sf, k=5).to_pandas()
+    want = set(zip(brute["query_id"], brute["vec_id"]))
+    got = set(zip(pq["query_id"], pq["vec_id"]))
+    recall = len(want & got) / max(1, len(want))
+    assert recall >= 0.8, f"pq recall {recall}"
+    # the re-rank stage scores exactly: overlapping pairs agree bit-for-bit
+    m = pq.merge(brute, on=["query_id", "vec_id"], suffixes=("_p", "_b"))
+    assert (m["sim_p"] == m["sim_b"]).all()
+    assert len(pq) == len(brute)
+
+
+def test_pack_bins_ffd_parity_and_feasibility():
+    sf = "/root/testdata/sf0.001"
+    budget, n_shards = 512, 32
+    got = TX.pack_bins_ffd(sf, budget=budget, n_shards=n_shards).to_pandas()
+    toks = TX.token_counts(sf).to_pandas()
+    assert len(got) == len(toks)  # every doc assigned exactly once
+
+    # feasibility: no bin exceeds the budget (long docs clip to budget)
+    load = got.assign(need=got["n_tokens"].clip(upper=budget)).groupby(
+        ["shard", "bin_id"])["need"].sum()
+    assert (load <= budget).all()
+
+    # exact FFD parity per shard vs a plain single-process replica
+    from graph_computing_go_ray.functions.hashing import splitmix64
+    ids = toks["doc_id"].to_numpy()
+    shard = (splitmix64(ids.astype(np.int64).view(np.uint64))
+             % np.uint64(n_shards)).astype(np.int64)
+    toks = toks.assign(shard=shard)
+    for s, g in toks.groupby("shard"):
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True])
+        bins, assign = [], {}
+        for did, nt in zip(g["doc_id"], g["n_tokens"]):
+            need = min(int(nt), budget)
+            for bi in range(len(bins)):
+                if bins[bi] >= need:
+                    bins[bi] -= need
+                    assign[did] = bi
+                    break
+            else:
+                bins.append(budget - need)
+                assign[did] = len(bins) - 1
+        sub = got[got["shard"] == s]
+        want = sub["doc_id"].map(assign)
+        assert (sub["bin_id"].to_numpy() == want.to_numpy()).all(), f"shard {s}"
