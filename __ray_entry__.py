@@ -39,6 +39,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the already-green r2 block.
     return {
         # --- newest first: queries added latest-in-round lead the window ---
+        # TPC-H Q11 shape: per-supplier value vs a global threshold scalar
+        "important_suppliers": R.important_suppliers,
+        # TPC-H Q14 shape: PROMO revenue share of one month
+        "promo_revenue_share": R.promo_revenue_share,
+        # per-user z-score outlier profile (explicit-moment variance)
+        "events_user_outliers": R.events_user_outliers,
+        # inter-event gap power-of-two histogram
+        "events_gap_hist": R.events_gap_hist,
         # weekly cohort retention triangle over the events stream
         "cohort_retention": R.cohort_retention,
         # per-user trailing moving average (bounded window frame)
@@ -510,6 +518,58 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Q11-shape: suppliers above a fraction of global value
+        "important_suppliers": (
+            "WITH per AS (SELECT l_suppkey, "
+            "  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS c "
+            "  FROM lineitem GROUP BY l_suppkey), "
+            "tot AS (SELECT SUM(c) AS t FROM per) "
+            "SELECT l_suppkey, round(c / 100.0, 6) AS value FROM per, tot "
+            "WHERE c / 100.0 > 0.001 * (t / 100.0)"
+        ),
+        # Q14-shape: PROMO revenue share of 1995-09, exact scaled int64
+        "promo_revenue_share": (
+            "WITH f AS (SELECT p_type, "
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "  (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev "
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "  WHERE l_shipdate >= TIMESTAMP '1995-09-01' "
+            "    AND l_shipdate < TIMESTAMP '1995-10-01') "
+            "SELECT round(COALESCE(SUM(rev) FILTER (p_type = 'PROMO'), 0) "
+            "  / 10000.0, 6) AS promo_revenue, "
+            "round(100.0 * COALESCE(SUM(rev) FILTER (p_type = 'PROMO'), 0) "
+            "  / SUM(rev), 6) AS promo_share_pct FROM f"
+        ),
+        # per-user z-score outliers with the explicit variance formula
+        # (mirrors the Ray side op-for-op; never builtin STDDEV)
+        "events_user_outliers": (
+            "WITH c AS (SELECT user_id, "
+            "  CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "a AS (SELECT user_id, COUNT(*) AS n, SUM(c) AS s, "
+            "  SUM(c * c) AS s2 FROM c GROUP BY user_id), "
+            "m AS (SELECT user_id, n, s / n / 100.0 AS mean, "
+            "  CASE WHEN n > 1 THEN "
+            "    sqrt(GREATEST((s2 - s * s / n) / (n - 1), 0.0)) / 100.0 "
+            "  ELSE 0.0 END AS std FROM a) "
+            "SELECT m.user_id, CAST(m.n AS BIGINT) AS n_events, "
+            "round(m.mean, 6) AS mean_value, round(m.std, 6) AS std_value, "
+            "CAST(COALESCE(SUM(CASE WHEN abs(c.c / 100.0 - m.mean) > "
+            "  2.0 * m.std THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers "
+            "FROM m JOIN c ON c.user_id = m.user_id "
+            "GROUP BY m.user_id, m.n, m.mean, m.std"
+        ),
+        # inter-event gap bands: band = bit length of the second gap
+        "events_gap_hist": (
+            "WITH o AS (SELECT user_id, "
+            "  epoch_us(ts) // 1000000 AS sec, "
+            "  lag(epoch_us(ts) // 1000000) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "  FROM events), "
+            "g AS (SELECT sec - prev AS gap FROM o WHERE prev IS NOT NULL) "
+            "SELECT CASE WHEN gap <= 0 THEN 0 "
+            "  ELSE length(printf('%b', gap)) END AS gap_band, "
+            "count(*) AS n_gaps FROM g GROUP BY 1"
+        ),
         # weekly cohort retention: cohort = Monday week of first event
         "cohort_retention": (
             "WITH w AS (SELECT user_id, date_trunc('week', ts) AS wk "

@@ -1462,3 +1462,183 @@ def small_qty_revenue(sf_dir: str, brand: str = "Brand#1") -> Dataset:
         "n_small": pa.array([n], pa.int64()),
         "avg_yearly": pa.array([avg], pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------- Q11 shape
+def important_suppliers(sf_dir: str, fraction: float = 0.001) -> Dataset:
+    """TPC-H Q11-shape global-threshold filter: suppliers whose total
+    lineitem value exceeds ``fraction`` of the GLOBAL value — the
+    aggregate-then-filter-against-a-global-scalar pattern. One bucketed
+    per-supplier sum (exact cents); the global total folds from the
+    per-supplier table itself (no second fact pass); the scalar threshold
+    ships to a vectorized filter. value is reported in currency units."""
+    from ..engine.join import bucket_grouped_sum, default_num_buckets
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"], "c": pa.array(c)})
+
+    per = bucket_grouped_sum(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_suppkey"], ["c"], num_buckets=default_num_buckets(),
+    ).materialize()
+    total = int(per.sum("c") or 0)
+    thr = fraction * (total / 100.0)
+
+    def fin(t: pa.Table) -> pa.Table:
+        v = t["c"].to_numpy(zero_copy_only=False) / 100.0
+        keep = v > thr
+        return pa.table({
+            "l_suppkey": t["l_suppkey"].filter(pa.array(keep)),
+            "value": pa.array(round_sql(v[keep]), pa.float64()),
+        })
+
+    return per.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q14 shape
+def promo_revenue_share(sf_dir: str, month: str = "1995-09") -> Dataset:
+    """TPC-H Q14-shape conditional-aggregate ratio: share of one month's
+    discounted revenue from PROMO-type parts. The part-type attach is
+    size-adaptive; revenue accumulates as exact scaled int64 in both the
+    numerator and denominator, so the final ratio divides identical
+    integers on the Ray and DuckDB sides."""
+    from ..engine.join import adaptive_map_join
+    from .textstats import round_sql
+
+    lo_m = np.datetime64(month, "M")
+    lo = lo_m.astype("datetime64[D]")
+    hi = (lo_m + np.timedelta64(1, "M")).astype("datetime64[D]")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def in_month(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(
+            (d >= np.datetime64(lo, "us")) & (d < np.datetime64(hi, "us"))
+        ))
+
+    li = li.map_batches(in_month, batch_format="pyarrow")
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = adaptive_map_join(li, parts, on="l_partkey",
+                          key_col="p_partkey", val_cols=["p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        rev = price * (100 - disc)  # cents x percent: exact int64
+        promo = np.asarray(
+            pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        )
+        return pa.table({
+            "promo_rev": pa.array([int(rev[promo].sum())]),
+            "all_rev": pa.array([int(rev.sum())]),
+        })
+
+    p = j.map_batches(partial, batch_format="pyarrow")
+    tot = p.sum(["promo_rev", "all_rev"])
+    promo_rev = int(tot["sum(promo_rev)"] or 0) if tot else 0
+    all_rev = int(tot["sum(all_rev)"] or 0) if tot else 0
+    share = (100.0 * promo_rev / all_rev) if all_rev else 0.0
+    return ray.data.from_arrow(pa.table({
+        "promo_revenue": pa.array(
+            [float(round_sql(np.array([promo_rev / 10000.0]))[0])]),
+        "promo_share_pct": pa.array(
+            [float(round_sql(np.array([share]))[0])]),
+    }))
+
+
+# ---------------------------------------------------------------- user outliers
+def events_user_outliers(sf_dir: str, sigma: float = 2.0) -> Dataset:
+    """Per-user value anomaly profile: n, mean, sample std, and how many
+    of the user's events sit more than ``sigma`` standard deviations from
+    their mean — the z-score screen of an event-stream QA pass. One
+    bucketed pass; moments accumulate as exact integer cent sums and the
+    variance is computed with the explicit (sum_sq - sum^2/n)/(n-1)
+    formula so the SQL twin can reproduce it bit-for-bit (never the
+    builtin STDDEV, whose accumulation order is unspecified)."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                           "c": c, "c2": c * c})
+        agg = df.groupby("user_id").agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
+        n = agg["n"].to_numpy().astype(np.float64)
+        s = agg["s"].to_numpy().astype(np.float64)
+        s2 = agg["s2"].to_numpy().astype(np.float64)
+        mean = s / n / 100.0
+        var = np.where(n > 1, (s2 - s * s / n) / np.maximum(n - 1, 1), 0.0)
+        std = np.sqrt(np.maximum(var, 0.0)) / 100.0
+        # second local pass: outlier counts (users are bucket-local)
+        mu = df["user_id"].map(pd.Series(mean, index=agg.index)).to_numpy()
+        sd = df["user_id"].map(pd.Series(std, index=agg.index)).to_numpy()
+        x = df["c"].to_numpy() / 100.0
+        out = np.abs(x - mu) > sigma * sd
+        n_out = pd.DataFrame({"user_id": df["user_id"], "o": out}).groupby(
+            "user_id")["o"].sum().reindex(agg.index).to_numpy()
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(),
+            "n_events": agg["n"].to_numpy().astype(np.int64),
+            "mean_value": round_sql(mean),
+            "std_value": round_sql(std),
+            "n_outliers": n_out.astype(np.int64),
+        })
+
+    return bucket_grouped(
+        ev, ["user_id"], per_bucket, num_buckets=default_num_buckets(),
+        out_schema=pa.schema([
+            ("user_id", pa.int64()), ("n_events", pa.int64()),
+            ("mean_value", pa.float64()), ("std_value", pa.float64()),
+            ("n_outliers", pa.int64()),
+        ]),
+    )
+
+
+# ---------------------------------------------------------------- gap histogram
+def events_gap_hist(sf_dir: str) -> Dataset:
+    """Inter-event gap distribution: per-user consecutive time deltas
+    (ordered by ts, event_id), bucketed into power-of-two second bands —
+    the arrival-process profile behind sessionization gap tuning. One
+    bucketed pass computes local lag diffs (users are bucket-local) and
+    integer band partials; the final exchange sums a ~30-row table."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts = pd.to_datetime(g["ts"]).astype("int64").to_numpy() // 1_000_000
+        same = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        # band = bit length of the gap (floor(log2)+1) via frexp — exact
+        # integer semantics (log2 float rounding could flip at powers of
+        # two); SQL twin: length(printf('%b', gap))
+        exp = np.frexp(np.maximum(gaps, 1).astype(np.float64))[1]
+        band = np.where(gaps <= 0, np.int64(0), exp.astype(np.int64))
+        b, c = np.unique(band, return_counts=True)
+        return pd.DataFrame({"gap_band": b.astype(np.int64),
+                             "n_gaps": c.astype(np.int64)})
+
+    part = bucket_grouped(
+        ev, ["user_id"], per_bucket, num_buckets=32,
+        out_schema=pa.schema([("gap_band", pa.int64()),
+                              ("n_gaps", pa.int64())]),
+    )
+    return bucket_grouped_sum(part, ["gap_band"], ["n_gaps"], num_buckets=8)
