@@ -39,6 +39,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the already-green r2 block.
     return {
         # --- newest first: queries added latest-in-round lead the window ---
+        # PII redaction pass: typed placeholder scrub + per-doc counts
+        "pii_scrub": TX.pii_scrub,
+        # market-basket association strength of co-occurrence edges
+        "cooccur_lift": G.cooccur_lift,
+        # TPC-H Q2 shape: grouped argmin with row attribution
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
         # TPC-H Q11 shape: per-supplier value vs a global threshold scalar
         "important_suppliers": R.important_suppliers,
         # TPC-H Q14 shape: PROMO revenue share of one month
@@ -354,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization ANN + exact re-rank (recall vs brute in
         # pytest; returned sims are exact)
         "pq_topk": S.pq_topk,
+        # Matryoshka truncated-dim recall@k curve (full-dim row == 1.0,
+        # exact-replica pytest)
+        "truncation_recall": S.truncation_recall,
         # first-fit-decreasing sequence packing per hash shard (exact
         # FFD parity pytest; no SQL form)
         "pack_bins_ffd": TX.pack_bins_ffd,
@@ -518,6 +527,57 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # PII scrub: identical RE2 patterns + marker construction both sides
+        "pii_scrub": (
+            "WITH m AS (SELECT doc_id, text || ' contact u' || "
+            "  CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' || "
+            "  CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-' || "
+            "  CAST(1000 + doc_id % 9000 AS VARCHAR) AS t FROM documents), "
+            "s1 AS (SELECT doc_id, "
+            "  length(regexp_extract_all(t, "
+            "    '[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "  regexp_replace(t, "
+            "    '[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[A-Za-z]{2,}', "
+            "    '<EMAIL>', 'g') AS t FROM m), "
+            "s2 AS (SELECT doc_id, n_emails, "
+            "  length(regexp_extract_all(t, "
+            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips, "
+            "  regexp_replace(t, "
+            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "    '<IP>', 'g') AS t FROM s1) "
+            "SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails, "
+            "CAST(n_ips AS BIGINT) AS n_ips, "
+            "CAST(length(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) "
+            "  AS BIGINT) AS n_phones, "
+            "md5(regexp_replace(t, '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) "
+            "  AS scrub_md5 FROM s2"
+        ),
+        # association strength: lift = n_uv * N / (n_u * n_v), top-k
+        "cooccur_lift": (
+            "WITH po AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "  FROM lineitem), "
+            "np AS (SELECT l_partkey, count(*) AS n_p FROM po GROUP BY 1), "
+            "no AS (SELECT count(DISTINCT l_orderkey) AS n FROM po), "
+            "w AS (SELECT a.l_partkey AS u, b.l_partkey AS v, "
+            "  count(*) AS n_uv FROM po a JOIN po b "
+            "  ON a.l_orderkey = b.l_orderkey "
+            "  AND a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+            "SELECT u, v, n_uv, round(n_uv * (SELECT n FROM no) * 1.0 "
+            "  / (nu.n_p * nv.n_p), 6) AS lift "
+            "FROM w JOIN np nu ON nu.l_partkey = u "
+            "JOIN np nv ON nv.l_partkey = v "
+            "WHERE n_uv >= 2 "
+            "ORDER BY lift DESC, u, v LIMIT 100"
+        ),
+        # Q2-shape grouped argmin, exact-cents compare, suppkey tie-break
+        "cheapest_supplier_per_part": (
+            "SELECT l_partkey, l_suppkey, c / 100.0 AS min_price FROM ("
+            "  SELECT l_partkey, l_suppkey, c, row_number() OVER ("
+            "    PARTITION BY l_partkey ORDER BY c, l_suppkey) AS rn "
+            "  FROM (SELECT l_partkey, l_suppkey, "
+            "    CAST(round(l_extendedprice * 100) AS BIGINT) AS c "
+            "    FROM lineitem)) WHERE rn = 1"
+        ),
         # Q11-shape: suppliers above a fraction of global value
         "important_suppliers": (
             "WITH per AS (SELECT l_suppkey, "

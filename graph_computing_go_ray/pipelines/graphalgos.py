@@ -1472,3 +1472,71 @@ def brand_conductance(sf_dir: str) -> Dataset:
         })
 
     return per.map_batches(fin, batch_format="pyarrow")
+
+
+def cooccur_lift(sf_dir: str, min_orders: int = 2, k: int = 100) -> Dataset:
+    """Association strength (lift) of part co-occurrence edges:
+    lift(u, v) = n_uv * N / (n_u * n_v) where n_uv = orders containing
+    both, n_u/n_v = orders containing each, N = total orders — the
+    market-basket normalization of the raw co-occurrence weight (van Eck
+    & Waltman's probabilistic association strength, public measure).
+    Top-k by (lift desc, u, v) over pairs with n_uv >= min_orders.
+
+    Dataflow: the weighted pair table and the per-part order counts are
+    both bucketed aggregates; counts attach by two size-adaptive joins
+    (broadcast at bench scale, bucketed at fact scale). Only integer
+    counts cross exchanges; lift divides exact integers at the end."""
+    from ..engine.degrees import distinct_pairs
+    from ..engine.join import (adaptive_map_join, bucket_grouped_count,
+                               rename)
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    po = distinct_pairs(li, ["l_orderkey", "l_partkey"])
+    n_per_part = bucket_grouped_count(po, ["l_partkey"], "n_p")
+    n_orders = int(
+        bucket_grouped_count(po, ["l_orderkey"], "x").count()
+    )
+
+    pairs = cooccur_pairs(sf_dir)
+    w = bucket_grouped_count(pairs, ["u", "v"], "n_uv")
+
+    def floor_w(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n_uv"], min_orders))
+
+    w = w.map_batches(floor_w, batch_format="pyarrow")
+    w = adaptive_map_join(w, rename(n_per_part, {"l_partkey": "pk",
+                                                 "n_p": "n_u"}),
+                          on="u", key_col="pk", val_cols=["n_u"])
+    w = adaptive_map_join(w, rename(n_per_part, {"l_partkey": "pk2",
+                                                 "n_p": "n_v"}),
+                          on="v", key_col="pk2", val_cols=["n_v"])
+
+    def score(t: pa.Table) -> pa.Table:
+        nuv = t["n_uv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = t["n_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nv = t["n_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = round_sql(nuv * n_orders / (nu * nv))
+        df = pd.DataFrame({
+            "u": t["u"].to_numpy(zero_copy_only=False),
+            "v": t["v"].to_numpy(zero_copy_only=False),
+            "n_uv": t["n_uv"].to_numpy(zero_copy_only=False),
+            "lift": lift,
+        }).sort_values(["lift", "u", "v"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    # candidates are <= k per batch: final top-k folds on the driver
+    # (the shipping_priority blockwise-top-k shape, never a global sort)
+    cand = w.map_batches(score, batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["lift", "u", "v"],
+                           ascending=[False, True, True]).head(k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "u": pa.array(top["u"].to_numpy(np.int64)),
+        "v": pa.array(top["v"].to_numpy(np.int64)),
+        "n_uv": pa.array(top["n_uv"].to_numpy(np.int64)),
+        "lift": pa.array(top["lift"].to_numpy(np.float64)),
+    }))

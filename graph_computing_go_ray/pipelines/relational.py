@@ -1642,3 +1642,40 @@ def events_gap_hist(sf_dir: str) -> Dataset:
                               ("n_gaps", pa.int64())]),
     )
     return bucket_grouped_sum(part, ["gap_band"], ["n_gaps"], num_buckets=8)
+
+
+# ---------------------------------------------------------------- Q2-shape argmin
+def cheapest_supplier_per_part(sf_dir: str) -> Dataset:
+    """TPC-H Q2-shape grouped argmin with row attribution: for every part
+    the supplier offering its minimum extended price (ties broken by
+    smaller suppkey) — the argmin-with-payload reduction, distinct from
+    grouped top-k in that the WHOLE winning row is carried, not a score.
+    One bucketed pass over (partkey, price, suppkey): each bucket
+    lexsorts once and keeps the first row per part; prices compare as
+    exact cents so the tie-break is never fp-dependent."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(g["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "l_partkey": g["l_partkey"].to_numpy(),
+            "l_suppkey": g["l_suppkey"].to_numpy(),
+            "c": cents,
+        }).sort_values(["l_partkey", "c", "l_suppkey"])
+        win = df.groupby("l_partkey", as_index=False).head(1)
+        return pd.DataFrame({
+            "l_partkey": win["l_partkey"],
+            "l_suppkey": win["l_suppkey"],
+            "min_price": win["c"].to_numpy().astype(np.float64) / 100.0,
+        })
+
+    return bucket_grouped(
+        li, ["l_partkey"], per_bucket, num_buckets=default_num_buckets(),
+        out_schema=pa.schema([
+            ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("min_price", pa.float64()),
+        ]),
+    )

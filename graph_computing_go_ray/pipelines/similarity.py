@@ -878,3 +878,78 @@ def pq_topk(
         ),
         batch_format="pandas",
     )
+
+
+def truncation_recall(
+    sf_dir: str, dims: tuple = (8, 16, 32, 64), k: int = 5,
+    n_queries: int = 10,
+) -> pd.DataFrame:
+    """Matryoshka-style truncated-dimension retrieval evaluation: for each
+    prefix dimensionality d, brute-force cosine top-k using only the
+    first d embedding dims (re-normalized), reported as recall@k against
+    the full-dimension ranking — the measurement behind adaptive-dim
+    serving (Kusupati et al. 2022 MRL, public method). One streaming pass
+    scores ALL prefix dims per batch (one matmul each against the
+    broadcast truncated query matrices); per-(dim, query) partial top-k
+    precedes the final reduce, and only dims x queries x k id rows reach
+    the driver for the recall fold."""
+    q_ids, qm = _query_matrix(sf_dir, n_queries)
+    ref = ray.put((q_ids, qm))
+    dims = tuple(sorted(dims))
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        q_ids_, qm_ = ray.get(ref)
+        cids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cm = _emb_to_np(t["embedding"])
+        frames = []
+        for d in dims:
+            cmd = cm[:, :d]
+            cmd = cmd / np.maximum(
+                np.linalg.norm(cmd, axis=1, keepdims=True), 1e-12)
+            qmd = qm_[:, :d]
+            qmd = qmd / np.maximum(
+                np.linalg.norm(qmd, axis=1, keepdims=True), 1e-12)
+            sims = cmd @ qmd.T
+            n_c, n_q = sims.shape
+            out_q = np.repeat(q_ids_, n_c)
+            out_c = np.tile(cids, n_q)
+            out_s = sims.T.ravel()
+            keep = out_q != out_c
+            df = pd.DataFrame({
+                "dim": np.full(int(keep.sum()), d, np.int64),
+                "query_id": out_q[keep], "vec_id": out_c[keep],
+                "sim": np.round(out_s[keep], ROUND),
+            })
+            df = df.sort_values(["query_id", "sim", "vec_id"],
+                                ascending=[True, False, True])
+            frames.append(df.groupby("query_id", as_index=False).head(k))
+        return pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True), preserve_index=False)
+
+    partials = emb.map_batches(score, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True])
+        return g.head(k)
+
+    top = partials.groupby(["dim", "query_id"]).map_groups(
+        final, batch_format="pandas"
+    ).to_pandas()  # dims x queries x k rows
+
+    full = dims[-1]
+    base = {
+        q: set(g["vec_id"]) for q, g in
+        top[top["dim"] == full].groupby("query_id")
+    }
+    rows = []
+    for d in dims:
+        sub = top[top["dim"] == d]
+        hit = tot = 0
+        for q, g in sub.groupby("query_id"):
+            hit += len(set(g["vec_id"]) & base[int(q)])
+            tot += len(base[int(q)])
+        rows.append({"dim": int(d),
+                     "recall_at_k": round(hit / max(tot, 1), 6)})
+    return pd.DataFrame(rows)

@@ -895,3 +895,59 @@ def pack_bins_ffd(sf_dir: str, budget: int = 512,
             ("bin_id", pa.int64()), ("n_tokens", pa.int64()),
         ]),
     )
+
+
+def pii_scrub(sf_dir: str) -> Dataset:
+    """PII redaction pass (the FineWeb/CCNet-style scrub stage): count and
+    replace email / IPv4 / phone patterns with typed placeholder tokens,
+    emit per-doc match counts + the md5 of the scrubbed text. All three
+    patterns run as vectorized RE2 kernels (pyarrow count_substring_regex
+    / replace_substring_regex — the same RE2 dialect DuckDB uses, so the
+    SQL twin is regex-identical). Embarrassingly parallel: no shuffle;
+    at 100 TB this is one streaming map over the corpus.
+
+    The synthetic documents table carries no digits, so a deterministic
+    marker string derived from doc_id is appended IDENTICALLY on both
+    the Ray and SQL sides before scrubbing — the fixture's way of
+    exercising the non-zero match path end-to-end."""
+    import hashlib
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    PHONE = r"\b\d{3}-\d{4}\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+
+        def _s(arr: np.ndarray) -> pa.Array:
+            return pc.cast(pa.array(arr, pa.int64()), pa.large_string())
+
+        def _c(s: str) -> pa.Scalar:
+            return pa.scalar(s, pa.large_string())
+
+        # deterministic PII markers (same construction in the SQL twin)
+        marker = pc.binary_join_element_wise(
+            t["text"].cast(pa.large_string()),
+            _c(" contact u"), _s(ids),
+            _c("@example.com from 10.0."), _s(ids % 256),
+            _c(".7 tel 555-"), _s(1000 + ids % 9000),
+            _c(""))
+        n_email = pc.count_substring_regex(marker, EMAIL)
+        scrub = pc.replace_substring_regex(marker, EMAIL, "<EMAIL>")
+        n_ip = pc.count_substring_regex(scrub, IPV4)
+        scrub = pc.replace_substring_regex(scrub, IPV4, "<IP>")
+        n_phone = pc.count_substring_regex(scrub, PHONE)
+        scrub = pc.replace_substring_regex(scrub, PHONE, "<PHONE>")
+        md5s = [hashlib.md5(s.encode()).hexdigest()
+                for s in scrub.to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": n_email.cast(pa.int64()),
+            "n_ips": n_ip.cast(pa.int64()),
+            "n_phones": n_phone.cast(pa.int64()),
+            "scrub_md5": pa.array(md5s, pa.large_string()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")

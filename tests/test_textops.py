@@ -461,3 +461,34 @@ def test_pack_bins_ffd_parity_and_feasibility():
         sub = got[got["shard"] == s]
         want = sub["doc_id"].map(assign)
         assert (sub["bin_id"].to_numpy() == want.to_numpy()).all(), f"shard {s}"
+
+
+def test_truncation_recall_exact_replica():
+    sf = "/root/testdata/sf0.001"
+    got = S.truncation_recall(sf, dims=(8, 32, 64), k=5)
+    assert got[got["dim"] == 64]["recall_at_k"].iloc[0] == 1.0
+
+    # exact replica: single-process truncated-cosine top-k per dim
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qsel = ids < 10
+    base = {}
+    for d in (8, 32, 64):
+        md = m[:, :d]
+        md = md / np.maximum(np.linalg.norm(md, axis=1, keepdims=True), 1e-12)
+        topsets = {}
+        for qi in ids[qsel]:
+            q = md[ids == qi][0]
+            sims = np.round(md @ q, 6)
+            order = sorted(
+                [(s, v) for s, v in zip(sims, ids) if v != qi],
+                key=lambda x: (-x[0], x[1]))
+            topsets[qi] = {v for _, v in order[:5]}
+        base[d] = topsets
+    for d in (8, 32):
+        hit = sum(len(base[d][q] & base[64][q]) for q in base[d])
+        tot = sum(len(base[64][q]) for q in base[d])
+        want = round(hit / tot, 6)
+        assert got[got["dim"] == d]["recall_at_k"].iloc[0] == want, d
