@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the already-green r2 block.
     return {
         # --- newest first: queries added latest-in-round lead the window ---
+        # TPC-H Q8 shape: per-year nation market share in one region
+        "market_share": R.market_share,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -527,6 +529,27 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Q8-shape market share: exact scaled-int64 revenue both sides
+        "market_share": (
+            "WITH o AS (SELECT o_orderkey, "
+            "  EXTRACT(year FROM o_orderdate) AS o_year "
+            "  FROM orders JOIN customer ON c_custkey = o_custkey "
+            "  JOIN nation ON n_nationkey = c_nationkey "
+            "  JOIN region ON r_regionkey = n_regionkey "
+            "  WHERE r_name = 'AMERICA'), "
+            "f AS (SELECT o_year, "
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "  (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev, "
+            "  (n2.n_name = 'NATION_3') AS tgt "
+            "  FROM lineitem JOIN o ON o_orderkey = l_orderkey "
+            "  JOIN supplier ON s_suppkey = l_suppkey "
+            "  JOIN nation n2 ON n2.n_nationkey = s_nationkey) "
+            "SELECT o_year, "
+            "round(SUM(CASE WHEN tgt THEN rev ELSE 0 END) * 1.0 "
+            "  / SUM(rev), 6) AS mkt_share, "
+            "round(SUM(rev) / 10000.0, 6) AS revenue_all "
+            "FROM f GROUP BY o_year"
+        ),
         # PII scrub: identical RE2 patterns + marker construction both sides
         "pii_scrub": (
             "WITH m AS (SELECT doc_id, text || ' contact u' || "

