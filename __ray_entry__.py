@@ -41,6 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- newest first: queries added latest-in-round lead the window ---
         # TPC-H Q8 shape: per-year nation market share in one region
         "market_share": R.market_share,
+        # session-length distribution with exact-microsecond durations
+        "session_duration_stats": R.session_duration_stats,
+        # brand-blocked fuzzy string self-join (vectorized Levenshtein)
+        "name_edit_pairs": R.name_edit_pairs,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -529,6 +533,30 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # fuzzy self-join: same blocking key + DuckDB levenshtein
+        "name_edit_pairs": (
+            "SELECT a.p_partkey AS u, b.p_partkey AS v, a.p_brand, "
+            "levenshtein(a.p_name, b.p_name) AS dist "
+            "FROM part a JOIN part b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) <= 6"
+        ),
+        # session-length distribution over the 30-min-gap islands
+        "session_duration_stats": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "g AS (SELECT user_id, sid, count(*) AS n_ev, "
+            "  epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us "
+            "  FROM s GROUP BY 1, 2) "
+            "SELECT n_ev AS session_len, count(*) AS n_sessions, "
+            "round(SUM(dur_us) / count(*) / 1000000.0, 6) "
+            "  AS avg_duration_s FROM g GROUP BY 1"
+        ),
         # Q8-shape market share: exact scaled-int64 revenue both sides
         "market_share": (
             "WITH o AS (SELECT o_orderkey, "

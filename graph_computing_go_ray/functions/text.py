@@ -222,3 +222,41 @@ def rolling_fingerprint(texts, window: int = 8) -> np.ndarray:
             wins = wins * base + hs[k : k + n_win]
         out[i] = int(wins.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
     return out
+
+
+def levenshtein_batch(A, B) -> np.ndarray:
+    """Unit-cost edit distance for P string pairs at once: the classic DP,
+    vectorized ACROSS pairs — the two scalar loops run over character
+    positions (bounded by the longest string, ~15 for part names), each
+    step an O(P) numpy op, so per-pair work never drops to Python.
+    Matches DuckDB levenshtein() exactly (same unit costs)."""
+    P = len(A)
+    if P == 0:
+        return np.array([], np.int64)
+    la = np.fromiter((len(s) for s in A), np.int64, P)
+    lb = np.fromiter((len(s) for s in B), np.int64, P)
+    ma, mb = int(la.max()), int(lb.max())
+
+    def codes(S, m):
+        if m == 0:
+            return np.zeros((P, 0), np.uint32)
+        joined = "".join(s.ljust(m, "\0") for s in S)
+        return np.frombuffer(
+            joined.encode("utf-32-le"), np.uint32).reshape(P, m)
+
+    ca, cb = codes(A, ma), codes(B, mb)
+    prev = np.broadcast_to(
+        np.arange(mb + 1, dtype=np.int64), (P, mb + 1)).copy()
+    res = lb.copy()  # answer for pairs with empty A
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, mb + 1):
+            sub = prev[:, j - 1] + (ca[:, i - 1] != cb[:, j - 1])
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub)
+        done = la == i
+        if done.any():
+            res[done] = cur[done, lb[done]]
+        prev = cur
+    return res

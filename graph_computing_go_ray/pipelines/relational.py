@@ -1783,3 +1783,111 @@ def market_share(sf_dir: str, nation: str = "NATION_3",
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def session_duration_stats(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Session-length distribution: sessionize per user (30-min gap
+    islands, the events_sessionize rule), then one row per session LENGTH
+    with the session count and mean duration — the engagement profile a
+    product pipeline derives from its session table. Durations accumulate
+    as exact integer microseconds inside each user bucket (users are
+    bucket-local, so sessions never straddle tasks); the final exchange
+    sums a histogram-sized table."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_s = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        sid = new_s.groupby(g["user_id"].to_numpy()).cumsum()
+        # parquet ts is timestamp[us]: pandas keeps the unit, so int64
+        # view IS microseconds already (no ns assumption)
+        us = (pd.to_datetime(g["ts"]).astype("datetime64[ns]")
+              .astype("int64").to_numpy() // 1000)
+        sess = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(), "sid": sid.to_numpy(),
+            "us": us,
+        }).groupby(["user_id", "sid"]).agg(
+            n_ev=("us", "size"), lo=("us", "min"), hi=("us", "max"))
+        dist = pd.DataFrame({
+            "session_len": sess["n_ev"].to_numpy().astype(np.int64),
+            "n_sessions": np.int64(1),
+            "dur_us": (sess["hi"] - sess["lo"]).to_numpy().astype(np.int64),
+        }).groupby("session_len", as_index=False).sum()
+        return dist
+
+    part = bucket_grouped(
+        ev, ["user_id"], per_bucket, num_buckets=32,
+        out_schema=pa.schema([
+            ("session_len", pa.int64()), ("n_sessions", pa.int64()),
+            ("dur_us", pa.int64()),
+        ]),
+    )
+    agg = bucket_grouped_sum(part, ["session_len"],
+                             ["n_sessions", "dur_us"], num_buckets=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        from .textstats import round_sql
+
+        d = t["dur_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_sessions"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "session_len": t["session_len"].cast(pa.int64()),
+            "n_sessions": t["n_sessions"].cast(pa.int64()),
+            "avg_duration_s": pa.array(
+                round_sql(d / n / 1000000.0), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- fuzzy join
+def name_edit_pairs(sf_dir: str, max_dist: int = 6) -> Dataset:
+    """Fuzzy string self-join with blocking (the record-linkage / data-
+    cleaning primitive): part-name pairs within the same brand at edit
+    distance <= max_dist. The brand is the blocking key — candidate pairs
+    are generated only within brand groups (the allpairs kernel), never
+    across the whole table, and the Levenshtein DP runs vectorized ACROSS
+    the pair batch (functions/text.levenshtein_batch). At 10^12 rows the
+    blocking key bounds the quadratic term to the largest block; hot
+    blocks would salt the same way the wedge kernels do."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from ..functions.pairs import allpairs_by_group
+    from ..functions.text import levenshtein_batch
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_name"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "p_partkey"], ignore_index=True)
+        codes = pd.factorize(g["p_brand"])[0]
+        ia, ib = allpairs_by_group(codes, np.arange(len(g), dtype=np.int64))
+        empty = pd.DataFrame({
+            "u": pd.Series([], dtype=np.int64),
+            "v": pd.Series([], dtype=np.int64),
+            "p_brand": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype=np.int64)})
+        if len(ia) == 0:
+            return empty
+        names = g["p_name"].to_numpy()
+        d = levenshtein_batch(list(names[ia]), list(names[ib]))
+        keep = d <= max_dist
+        if not keep.any():
+            return empty
+        pk = g["p_partkey"].to_numpy()
+        return pd.DataFrame({
+            "u": pk[ia][keep], "v": pk[ib][keep],
+            "p_brand": g["p_brand"].to_numpy()[ia][keep],
+            "dist": d[keep].astype(np.int64),
+        })
+
+    return bucket_grouped(
+        parts, ["p_brand"], per_bucket,
+        num_buckets=default_num_buckets(),
+        out_schema=pa.schema([
+            ("u", pa.int64()), ("v", pa.int64()),
+            ("p_brand", pa.large_string()), ("dist", pa.int64()),
+        ]),
+    )
