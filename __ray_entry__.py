@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_duration_stats": R.session_duration_stats,
         # brand-blocked fuzzy string self-join (vectorized Levenshtein)
         "name_edit_pairs": R.name_edit_pairs,
+        # long-to-wide pivot over a fixed column spec
+        "orders_priority_pivot": R.orders_priority_pivot,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -533,6 +535,21 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # pivot: fixed CASE columns (the spec-at-plan-time form)
+        "orders_priority_pivot": (
+            "SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' "
+            "  THEN 1 END), 0) AS BIGINT) AS n_urgent, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' "
+            "  THEN 1 END), 0) AS BIGINT) AS n_high, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' "
+            "  THEN 1 END), 0) AS BIGINT) AS n_medium, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderpriority = "
+            "  '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS n_notspec, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' "
+            "  THEN 1 END), 0) AS BIGINT) AS n_low "
+            "FROM orders GROUP BY 1"
+        ),
         # fuzzy self-join: same blocking key + DuckDB levenshtein
         "name_edit_pairs": (
             "SELECT a.p_partkey AS u, b.p_partkey AS v, a.p_brand, "

@@ -1891,3 +1891,50 @@ def name_edit_pairs(sf_dir: str, max_dist: int = 6) -> Dataset:
             ("p_brand", pa.large_string()), ("dist", pa.int64()),
         ]),
     )
+
+
+# ---------------------------------------------------------------- pivot
+def orders_priority_pivot(sf_dir: str) -> Dataset:
+    """Pivot (long-to-wide) aggregate: order counts per year spread
+    across the five fixed o_orderpriority columns — the reshape operator
+    a reporting pipeline ends with. Ray Data has no native pivot; the
+    idiomatic form is per-batch partial (year x priority) counts, one
+    bucketed exchange on year, then a vectorized column spread per year
+    group. The column set is FIXED (pivot requires a known spec at plan
+    time — at 100 TB you never discover columns by scanning twice)."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+
+    PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    COLS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pd.to_datetime(pd.Series(
+            t["o_orderdate"].to_numpy(zero_copy_only=False))).dt.year
+        df = pd.DataFrame({
+            "o_year": yr.to_numpy().astype(np.int64),
+            "prio": t["o_orderpriority"].to_pylist(),
+            "n": np.int64(1),
+        }).groupby(["o_year", "prio"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    longf = orders.map_batches(partial, batch_format="pyarrow")
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["o_year", "prio"], as_index=False)["n"].sum()
+        wide = agg.pivot_table(index="o_year", columns="prio", values="n",
+                               aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"o_year": wide.index.to_numpy()})
+        for p, c in zip(PRIOS, COLS):
+            out[c] = (wide[p].to_numpy().astype(np.int64)
+                      if p in wide.columns
+                      else np.zeros(len(wide), np.int64))
+        return out
+
+    return bucket_grouped(
+        longf, ["o_year"], spread, num_buckets=8,
+        out_schema=pa.schema([("o_year", pa.int64())] +
+                             [(c, pa.int64()) for c in COLS]),
+    )
