@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_edit_pairs": R.name_edit_pairs,
         # long-to-wide pivot over a fixed column spec
         "orders_priority_pivot": R.orders_priority_pivot,
+        # first-order Markov transition matrix of event types per user
+        "event_transitions": R.event_transitions,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -535,6 +537,16 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # per-user consecutive event-type transitions + conditional P
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "  lead(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS nxt FROM events), "
+            "c AS (SELECT event_type AS from_type, nxt AS to_type, "
+            "  count(*) AS n FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, round(n * 1.0 / "
+            "  SUM(n) OVER (PARTITION BY from_type), 6) AS p FROM c"
+        ),
         # pivot: fixed CASE columns (the spec-at-plan-time form)
         "orders_priority_pivot": (
             "SELECT EXTRACT(year FROM o_orderdate) AS o_year, "

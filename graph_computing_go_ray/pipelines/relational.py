@@ -1871,8 +1871,18 @@ def name_edit_pairs(sf_dir: str, max_dist: int = 6) -> Dataset:
             "dist": pd.Series([], dtype=np.int64)})
         if len(ia) == 0:
             return empty
-        names = g["p_name"].to_numpy()
-        d = levenshtein_batch(list(names[ia]), list(names[ib]))
+        # names are heavily dictionary-coded: run the DP once per
+        # DISTINCT (name_a, name_b) combination and gather back — at
+        # sf0.1 this cuts ~8M pair DPs to ~50k distinct ones (measured
+        # 39.6 s -> ~2 s; the Arrow-dictionary-encoding move)
+        ncodes, uniq = pd.factorize(g["p_name"])
+        nu = len(uniq)
+        packed = ncodes[ia].astype(np.int64) * nu + ncodes[ib]
+        upairs, inv = np.unique(packed, return_inverse=True)
+        un = uniq.to_numpy() if hasattr(uniq, "to_numpy") else np.asarray(uniq)
+        d_u = levenshtein_batch(list(un[upairs // nu]),
+                                list(un[upairs % nu]))
+        d = d_u[inv]
         keep = d <= max_dist
         if not keep.any():
             return empty
@@ -1937,4 +1947,51 @@ def orders_priority_pivot(sf_dir: str) -> Dataset:
         longf, ["o_year"], spread, num_buckets=8,
         out_schema=pa.schema([("o_year", pa.int64())] +
                              [(c, pa.int64()) for c in COLS]),
+    )
+
+
+# ---------------------------------------------------------------- transitions
+def event_transitions(sf_dir: str) -> Dataset:
+    """First-order Markov transition profile of the event stream: counts
+    and conditional probabilities P(next_type | type) over consecutive
+    events of each user (ordered by ts, event_id) — the session-behavior
+    model a funnel analysis starts from. One bucketed pass builds local
+    lag pairs (users are bucket-local); the pair keyspace is
+    |event_types|^2, so the final exchange and the per-from normalization
+    are O(1)-sized regardless of input."""
+    from ..engine.join import bucket_grouped
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        return pd.DataFrame({
+            "from_type": et[:-1][same], "to_type": et[1:][same],
+            "n": np.int64(1),
+        }).groupby(["from_type", "to_type"], as_index=False).sum()
+
+    part = bucket_grouped(
+        ev, ["user_id"], per_bucket, num_buckets=32,
+        out_schema=pa.schema([
+            ("from_type", pa.large_string()), ("to_type", pa.large_string()),
+            ("n", pa.int64()),
+        ]),
+    )
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+        tot = out.groupby("from_type")["n"].transform("sum").to_numpy()
+        out["p"] = round_sql(out["n"].to_numpy() / tot)
+        return out
+
+    return bucket_grouped(
+        part, ["from_type"], fold, num_buckets=8,
+        out_schema=pa.schema([
+            ("from_type", pa.large_string()), ("to_type", pa.large_string()),
+            ("n", pa.int64()), ("p", pa.float64()),
+        ]),
     )
