@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_pivot": R.orders_priority_pivot,
         # first-order Markov transition matrix of event types per user
         "event_transitions": R.event_transitions,
+        # sliding-window distinct: DAU / trailing-7-day WAU / stickiness
+        "dau_wau": R.dau_wau,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -537,6 +539,19 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # DAU / trailing-7-day WAU via the window-day explosion
+        "dau_wau": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "  date_trunc('day', ts) AS day FROM events), "
+            "dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), "
+            "wd AS (SELECT DISTINCT user_id, "
+            "  day + o * INTERVAL 1 DAY AS wday "
+            "  FROM ud CROSS JOIN generate_series(0, 6) AS t(o)), "
+            "wau AS (SELECT wday, count(*) AS wau FROM wd GROUP BY wday) "
+            "SELECT dau.day, dau.dau, wau.wau, "
+            "round(dau.dau * 1.0 / wau.wau, 6) AS stickiness "
+            "FROM dau JOIN wau ON wau.wday = dau.day"
+        ),
         # per-user consecutive event-type transitions + conditional P
         "event_transitions": (
             "WITH o AS (SELECT user_id, event_type, "

@@ -44,6 +44,8 @@ QUERY_SUBSET = [
     "dup_span_fraction", "lang_confusion", "chars_percentile_filter",
     # round-3 late additions (wedge census, temporal slice, corpus audits)
     "butterfly_count", "graph_growth", "lexical_richness", "source_overlap",
+    # round-3 continuation: star join, retention, PQ-ANN, fuzzy join
+    "market_share", "cohort_retention", "pq_topk", "name_edit_pairs",
 ]
 
 

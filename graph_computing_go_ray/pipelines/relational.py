@@ -1995,3 +1995,61 @@ def event_transitions(sf_dir: str) -> Dataset:
             ("n", pa.int64()), ("p", pa.float64()),
         ]),
     )
+
+
+# ---------------------------------------------------------------- DAU/WAU
+def dau_wau(sf_dir: str) -> Dataset:
+    """Daily active users and trailing-7-day weekly active users per day,
+    plus the DAU/WAU stickiness ratio — the sliding-window DISTINCT
+    aggregate (a distinct count cannot pre-aggregate across windows, so
+    the exact form explodes each (user, active-day) into the 7 window
+    days it serves and distincts per user again). Users are bucket-local:
+    both distinct passes and the 7-day explosion stay inside one user
+    bucket, and only (day, partial-count) rows cross the final exchange.
+    Output rows are days with DAU > 0."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(g["ts"]).dt.normalize().to_numpy()
+        ud = pd.DataFrame({"u": g["user_id"].to_numpy(),
+                           "day": day}).drop_duplicates()
+        dau = ud.groupby("day", as_index=False).agg(dau=("u", "size"))
+        dau["wau"] = np.int64(0)
+        frames = [dau.rename(columns={"day": "d"})]
+        # explode each active day into the 7 trailing-window days it
+        # serves, distinct per user again, count per window day
+        parts = []
+        for o in range(7):
+            parts.append(pd.DataFrame({
+                "u": ud["u"], "d": ud["day"] + np.timedelta64(o, "D")}))
+        wau = (pd.concat(parts, ignore_index=True).drop_duplicates()
+               .groupby("d", as_index=False).agg(wau=("u", "size")))
+        wau["dau"] = np.int64(0)
+        frames.append(wau)
+        return pd.concat(frames, ignore_index=True)[["d", "dau", "wau"]]
+
+    part = bucket_grouped(
+        ev, ["user_id"], per_bucket, num_buckets=32,
+        out_schema=pa.schema([
+            ("d", pa.timestamp("us")), ("dau", pa.int64()),
+            ("wau", pa.int64()),
+        ]),
+    )
+    agg = bucket_grouped_sum(part, ["d"], ["dau", "wau"], num_buckets=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        dau = t["dau"].to_numpy(zero_copy_only=False)
+        wau = t["wau"].to_numpy(zero_copy_only=False)
+        keep = dau > 0
+        return pa.table({
+            "day": t["d"].filter(pa.array(keep)),
+            "dau": pa.array(dau[keep], pa.int64()),
+            "wau": pa.array(wau[keep], pa.int64()),
+            "stickiness": pa.array(
+                round_sql(dau[keep] / wau[keep]), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
