@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Matryoshka truncated-dim recall@k curve (full-dim row == 1.0,
         # exact-replica pytest)
         "truncation_recall": S.truncation_recall,
+        # Davies-Bouldin clustering quality (exact from one streaming
+        # pass; numpy-replica pytest)
+        "kmeans_db_index": S.kmeans_db_index,
         # first-fit-decreasing sequence packing per hash shard (exact
         # FFD parity pytest; no SQL form)
         "pack_bins_ffd": TX.pack_bins_ffd,

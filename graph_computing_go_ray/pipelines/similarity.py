@@ -581,7 +581,29 @@ def kmeans_embeddings(
     Iterative by nature (no SQL oracle); tests assert exact parity with a
     single-process numpy Lloyd's replica sharing the init."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _kmeans_fit(emb, n_clusters, n_iters, seed, sample_size)
+    ref = ray.put(cent)
 
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _emb_to_np(t["embedding"])
+        d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + (
+            (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "cluster": pa.array(d2.argmin(axis=1).astype(np.int64))}
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def _kmeans_fit(emb: Dataset, n_clusters: int, n_iters: int, seed: int,
+                sample_size: int) -> np.ndarray:
+    """The distributed Lloyd's fit loop of kmeans_embeddings, factored so
+    evaluation metrics (Davies-Bouldin below, SemDeDup) reuse the exact
+    same centroids: per-batch (cluster, vec_sum, count) partials, driver
+    fold, seeded bounded-sample init."""
     spd = emb.limit(sample_size).to_pandas()
     sm = np.array(spd["embedding"].to_list(), dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -615,20 +637,7 @@ def kmeans_embeddings(
             new[int(c_i)] = tot / g["n"].sum()
         cent = new
 
-    ref = ray.put(cent)
-
-    def assign(t: pa.Table) -> pa.Table:
-        c = ray.get(ref)
-        m = _emb_to_np(t["embedding"])
-        d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + (
-            (c * c).sum(axis=1)[None, :]
-        )
-        return pa.table(
-            {"vec_id": t["vec_id"],
-             "cluster": pa.array(d2.argmin(axis=1).astype(np.int64))}
-        )
-
-    return emb.map_batches(assign, batch_format="pyarrow")
+    return cent
 
 
 def pca_embeddings(sf_dir: str, k: int = 8) -> pd.DataFrame:
@@ -953,3 +962,58 @@ def truncation_recall(
         rows.append({"dim": int(d),
                      "recall_at_k": round(hit / max(tot, 1), 6)})
     return pd.DataFrame(rows)
+
+
+def kmeans_db_index(
+    sf_dir: str, n_clusters: int = 8, n_iters: int = 10, seed: int = 13,
+    sample_size: int = 65536,
+) -> pd.DataFrame:
+    """Davies-Bouldin clustering quality index over the k-means fit
+    (public metric, Davies & Bouldin 1979): DB = (1/k) sum_i max_{j!=i}
+    (s_i + s_j) / d(c_i, c_j) with s_i = mean distance of cluster i's
+    members to its centroid. Unlike silhouette (O(n^2)), every term
+    needs only centroids + one streaming pass of per-batch
+    (cluster, sum_dist, count) partials — exact at any scale. One row
+    per cluster (n, scatter, db_component) plus the global index
+    repeated (db_index); exact numpy-replica parity in pytest."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _kmeans_fit(emb, n_clusters, n_iters, seed, sample_size)
+    ref = ray.put(cent)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _emb_to_np(t["embedding"])
+        d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + (
+            (c * c).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        dist = np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+        ks, inv = np.unique(a, return_inverse=True)
+        return pa.table({
+            "cluster": pa.array(ks.astype(np.int64)),
+            "sd": pa.array(np.bincount(inv, weights=dist)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("cluster", as_index=False).agg(
+        sd=("sd", "sum"), n=("n", "sum"))
+    k = len(cent)
+    s = np.zeros(k)
+    n = np.zeros(k, np.int64)
+    s[agg["cluster"].to_numpy()] = (
+        agg["sd"].to_numpy() / np.maximum(agg["n"].to_numpy(), 1))
+    n[agg["cluster"].to_numpy()] = agg["n"].to_numpy()
+    cd = np.sqrt(np.maximum(
+        ((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1), 1e-300))
+    ratio = (s[:, None] + s[None, :]) / cd
+    np.fill_diagonal(ratio, -np.inf)
+    db_i = ratio.max(axis=1)
+    db = float(db_i.mean())
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n": n,
+        "scatter": np.round(s, 6),
+        "db_component": np.round(db_i, 6),
+        "db_index": np.round(np.full(k, db), 6),
+    })

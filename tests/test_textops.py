@@ -492,3 +492,37 @@ def test_truncation_recall_exact_replica():
         tot = sum(len(base[64][q]) for q in base[d])
         want = round(hit / tot, 6)
         assert got[got["dim"] == d]["recall_at_k"].iloc[0] == want, d
+
+
+def test_kmeans_db_index_exact_replica():
+    sf = "/root/testdata/sf0.001"
+    got = S.kmeans_db_index(sf, n_clusters=4, n_iters=5)
+    assert len(got) == 4
+
+    # single-process replica sharing the init
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.RandomState(13)
+    cent = m[rng.choice(len(m), size=4, replace=False)].copy()
+    for _ in range(5):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(axis=1)
+        for c in range(4):
+            if (a == c).any():
+                cent[c] = m[a == c].mean(axis=0)
+    d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    a = d2.argmin(axis=1)
+    dist = np.sqrt(d2[np.arange(len(a)), a])
+    s = np.array([dist[a == c].mean() if (a == c).any() else 0.0
+                  for c in range(4)])
+    n = np.bincount(a, minlength=4)
+    cd = np.sqrt(((cent[:, None, :] - cent[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(cd, 1.0)
+    ratio = (s[:, None] + s[None, :]) / cd
+    np.fill_diagonal(ratio, -np.inf)
+    db_i = ratio.max(axis=1)
+    assert (got["n"].to_numpy() == n).all()
+    np.testing.assert_allclose(got["scatter"].to_numpy(), s, atol=1e-6)
+    np.testing.assert_allclose(got["db_component"].to_numpy(), db_i, atol=1e-6)
+    np.testing.assert_allclose(got["db_index"].to_numpy(),
+                               np.full(4, db_i.mean()), atol=1e-6)
