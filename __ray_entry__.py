@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": R.event_transitions,
         # sliding-window distinct: DAU / trailing-7-day WAU / stickiness
         "dau_wau": R.dau_wau,
+        # skyline (Pareto frontier): local skyline per block + one fold
+        "parts_skyline": R.parts_skyline,
+        # year-over-year new / retained / churned customer accounting
+        "customer_churn": R.customer_churn,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -542,6 +546,35 @@ def _lang_id_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # churn: year-set membership via self-joins on (customer, year)
+        "customer_churn": (
+            "WITH cy AS (SELECT DISTINCT o_custkey AS c, "
+            "  EXTRACT(year FROM o_orderdate) AS y FROM orders), "
+            "stat AS (SELECT b.y AS year, "
+            "  SUM(CASE WHEN a.c IS NULL THEN 1 ELSE 0 END) AS n_new, "
+            "  SUM(CASE WHEN a.c IS NOT NULL THEN 1 ELSE 0 END) "
+            "    AS n_retained "
+            "  FROM cy b LEFT JOIN cy a ON a.c = b.c AND a.y = b.y - 1 "
+            "  GROUP BY 1), "
+            "ch AS (SELECT a.y + 1 AS year, count(*) AS n_churned "
+            "  FROM cy a LEFT JOIN cy b ON b.c = a.c AND b.y = a.y + 1 "
+            "  WHERE b.c IS NULL GROUP BY 1) "
+            "SELECT s.year, CAST(n_new AS BIGINT) AS n_new, "
+            "CAST(n_retained AS BIGINT) AS n_retained, "
+            "CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned "
+            "FROM stat s LEFT JOIN ch ON ch.year = s.year"
+        ),
+        # skyline via NOT EXISTS strict dominance, cents-exact compare
+        "parts_skyline": (
+            "SELECT p_partkey, p_retailprice, p_size FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b WHERE "
+            "  CAST(round(b.p_retailprice * 100) AS BIGINT) <= "
+            "  CAST(round(a.p_retailprice * 100) AS BIGINT) "
+            "  AND b.p_size >= a.p_size "
+            "  AND (CAST(round(b.p_retailprice * 100) AS BIGINT) < "
+            "       CAST(round(a.p_retailprice * 100) AS BIGINT) "
+            "       OR b.p_size > a.p_size))"
+        ),
         # DAU / trailing-7-day WAU via the window-day explosion
         "dau_wau": (
             "WITH ud AS (SELECT DISTINCT user_id, "

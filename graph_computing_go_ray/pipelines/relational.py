@@ -2053,3 +2053,130 @@ def dau_wau(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- skyline
+def _skyline_sweep(price_cents: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D skyline (minimize price, maximize
+    size; dominance strict in >= 1 coordinate, so exact ties survive).
+    One lexsort sweep: a row survives iff no strictly-cheaper row has
+    size >= its own AND no same-price row has strictly larger size."""
+    n = len(price_cents)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-size, price_cents))
+    p, s = price_cents[order], size[order]
+    # per equal-price group: group max size = first element (size desc)
+    grp_start = np.concatenate([[True], p[1:] != p[:-1]])
+    gidx = np.cumsum(grp_start) - 1
+    gmax = s[grp_start][gidx]
+    # running max of size over STRICTLY cheaper groups (exclusive cummax)
+    gmax_per_group = s[grp_start]
+    prev = np.concatenate([[np.iinfo(np.int64).min],
+                           np.maximum.accumulate(gmax_per_group)[:-1]])
+    cheaper_max = prev[gidx]
+    keep_sorted = (s == gmax) & (s > cheaper_max)
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def parts_skyline(sf_dir: str) -> Dataset:
+    """Skyline (Pareto frontier) query: parts not dominated on
+    (p_retailprice minimized, p_size maximized) — the multi-criteria
+    shortlist operator. Distributed form: each block computes its LOCAL
+    skyline (the skyline of a union is contained in the union of local
+    skylines, so this is lossless), survivors fold once on the driver
+    through the same sweep. Prices compare as exact cents; exact ties on
+    both axes are mutually non-dominating and all survive (matching the
+    NOT EXISTS strict-dominance SQL)."""
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _skyline_sweep(cents, size)
+        # carry the ORIGINAL price doubles: output values must be the
+        # source column verbatim, cents are only the comparison key
+        return pa.table({
+            "p_partkey": t["p_partkey"].filter(pa.array(keep)),
+            "p_retailprice": t["p_retailprice"].filter(pa.array(keep)),
+            "c": pa.array(cents[keep]),
+            "p_size": pa.array(size[keep]),
+        })
+
+    cand = parts.map_batches(local, batch_format="pyarrow").to_pandas()
+    keep = _skyline_sweep(cand["c"].to_numpy(), cand["p_size"].to_numpy())
+    out = cand[keep]
+    return ray.data.from_arrow(pa.table({
+        "p_partkey": pa.array(out["p_partkey"].to_numpy(np.int64)),
+        "p_retailprice": pa.array(out["p_retailprice"].to_numpy(np.float64)),
+        "p_size": pa.array(out["p_size"].to_numpy(np.int64).astype(np.int32)),
+    }))
+
+
+# ---------------------------------------------------------------- churn
+def customer_churn(sf_dir: str) -> Dataset:
+    """Year-over-year customer lifecycle accounting: per order year, how
+    many active customers are NEW (not active the prior year), RETAINED
+    (active both years), and how many of the prior year's actives
+    CHURNED (not active this year) — the snapshot-diff / SCD-change
+    detection pattern. Customers are bucket-local, so the year-set
+    membership tests run as local merges and only per-year integer
+    partials cross the exchange; output covers years with activity."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        y = pd.to_datetime(g["o_orderdate"]).dt.year.to_numpy()
+        cy = pd.DataFrame({"c": g["o_custkey"].to_numpy(),
+                           "y": y}).drop_duplicates(ignore_index=True)
+        key = cy["c"].to_numpy() * 10000 + cy["y"].to_numpy()
+        keyset = np.sort(key)
+
+        def member(k: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(keyset, k).clip(max=len(keyset) - 1)
+            return keyset[idx] == k
+
+        prev_active = member(key - 1)   # (c, y-1) present
+        next_active = member(key + 1)   # (c, y+1) present
+        stat = pd.DataFrame({
+            "year": cy["y"].to_numpy().astype(np.int64),
+            "n_new": (~prev_active).astype(np.int64),
+            "n_retained": prev_active.astype(np.int64),
+            "n_churned": np.int64(0),
+        })
+        ch = pd.DataFrame({
+            "year": (cy["y"].to_numpy()[~next_active] + 1).astype(np.int64),
+            "n_new": np.int64(0), "n_retained": np.int64(0),
+            "n_churned": np.int64(1),
+        })
+        return pd.concat([stat, ch], ignore_index=True).groupby(
+            "year", as_index=False).sum()
+
+    part = bucket_grouped(
+        orders, ["o_custkey"], per_bucket, num_buckets=32,
+        out_schema=pa.schema([
+            ("year", pa.int64()), ("n_new", pa.int64()),
+            ("n_retained", pa.int64()), ("n_churned", pa.int64()),
+        ]),
+    )
+    agg = bucket_grouped_sum(
+        part, ["year"], ["n_new", "n_retained", "n_churned"], num_buckets=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        new = t["n_new"].to_numpy(zero_copy_only=False)
+        ret = t["n_retained"].to_numpy(zero_copy_only=False)
+        keep = (new + ret) > 0  # churn-only years (past the last active
+        # year) mirror the SQL stats-side join and drop
+        return t.filter(pa.array(keep)).cast(pa.schema([
+            ("year", pa.int64()), ("n_new", pa.int64()),
+            ("n_retained", pa.int64()), ("n_churned", pa.int64()),
+        ]))
+
+    return agg.map_batches(fin, batch_format="pyarrow")
