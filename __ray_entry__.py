@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": R.parts_skyline,
         # year-over-year new / retained / churned customer accounting
         "customer_churn": R.customer_churn,
+        # near-dup survivor policy: keep the longest doc per cluster
+        "near_dup_keep_longest": D.near_dup_keep_longest,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -542,6 +544,27 @@ def _lang_id_oracle() -> str:
         "  ELSE 'es' END AS lang_pred "
         "FROM documents d LEFT JOIN scores USING (doc_id)"
     )
+
+
+_NEARDUP_LAB_CTE = (
+    "WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all("
+    "  lower(text), '[a-z0-9]+') AS ws FROM documents), "
+    "grams AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+    "  || ' ' || ws[i+2] for i in generate_series(1, "
+    "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
+    "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+    "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2), "
+    "p AS (SELECT u, v FROM inter "
+    "  JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
+    "  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2), "
+    "e AS (SELECT u AS a, v AS b FROM p UNION SELECT v, u FROM p), "
+    "reach AS (SELECT a, b FROM e "
+    "  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
+    "lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
+    "  FROM reach GROUP BY a) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2124,24 +2147,16 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure (tiny pair graph at oracle scale); cluster_id =
         # min doc_id reachable, matching the hash-min superstep fixpoint
         "near_dup_clusters": (
-            "WITH RECURSIVE toks AS (SELECT doc_id, regexp_extract_all("
-            "  lower(text), '[a-z0-9]+') AS ws FROM documents), "
-            "grams AS (SELECT DISTINCT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
-            "  || ' ' || ws[i+2] for i in generate_series(1, "
-            "  greatest(len(ws) - 2, 0))]) AS g FROM toks), "
-            "sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1), "
-            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
-            "  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id "
-            "  GROUP BY 1, 2), "
-            "p AS (SELECT u, v FROM inter "
-            "  JOIN sz sa ON u = sa.doc_id JOIN sz sb ON v = sb.doc_id "
-            "  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2), "
-            "e AS (SELECT u AS a, v AS b FROM p UNION SELECT v, u FROM p), "
-            "reach AS (SELECT a, b FROM e "
-            "  UNION SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a), "
-            "lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id "
-            "  FROM reach GROUP BY a) "
+            _NEARDUP_LAB_CTE +
             "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM lab"
+        ),
+        # alternate survivor policy: keep the LONGEST doc per cluster
+        "near_dup_keep_longest": (
+            _NEARDUP_LAB_CTE +
+            "SELECT lab.doc_id, cluster_id, row_number() OVER ("
+            "  PARTITION BY cluster_id "
+            "  ORDER BY d.n_chars DESC, lab.doc_id) = 1 AS keep "
+            "FROM lab JOIN documents d ON d.doc_id = lab.doc_id"
         ),
         # rank-ceil(q*n) quantile, made explicit so both sides share one
         # unambiguous definition (quantile_disc interpolation varies)

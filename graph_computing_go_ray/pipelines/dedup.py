@@ -452,3 +452,39 @@ def dup_cluster_sizes(sf_dir: str, threshold: float = 0.2) -> pd.DataFrame:
         "cluster_size": hist.index.to_numpy(np.int64),
         "n_clusters": hist.to_numpy(np.int64),
     })
+
+
+def near_dup_keep_longest(sf_dir: str, threshold: float = 0.2) -> Dataset:
+    """Alternate near-dup survivor policy: within each cluster keep the
+    LONGEST document (ties -> smaller doc_id) instead of the min-id — the
+    keep rule quality-oriented curation pipelines prefer (the longest
+    variant usually carries the most content). Composition: cluster
+    labels from near_dup_clusters, n_chars attached by a size-adaptive
+    join (labels are pair-graph-sized), per-cluster argmax via one
+    bucketed pass. Output (doc_id, cluster_id, keep)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped
+    from ..sources.readers import read_table
+
+    labels = near_dup_clusters(sf_dir, threshold=threshold)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    j = adaptive_map_join(
+        labels.map_batches(lambda t: t.select(["doc_id", "cluster_id"]),
+                           batch_format="pyarrow"),
+        docs, on="doc_id", key_col="doc_id", val_cols=["n_chars"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        first = ~g["cluster_id"].duplicated()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "cluster_id": g["cluster_id"],
+            "keep": first.to_numpy(),
+        })
+
+    return bucket_grouped(
+        j, ["cluster_id"], pick, num_buckets=default_num_buckets(),
+        out_schema=pa.schema([
+            ("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+            ("keep", pa.bool_()),
+        ]),
+    )
