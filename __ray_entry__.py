@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_churn": R.customer_churn,
         # near-dup survivor policy: keep the longest doc per cluster
         "near_dup_keep_longest": D.near_dup_keep_longest,
+        # per-doc n-gram novelty (fraction of grams first seen here)
+        "novelty_rate": TX.novelty_rate,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -569,6 +571,19 @@ _NEARDUP_LAB_CTE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # novelty: first-owner of each distinct 3-gram = min doc_id
+        # (reuses the near-dup tokenization CTEs; unreferenced CTEs are
+        # not executed by DuckDB)
+        "novelty_rate": (
+            _NEARDUP_LAB_CTE +
+            ", first AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY g) "
+            "SELECT g.doc_id, count(*) AS n_grams, "
+            "CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_novel, "
+            "round(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END) * 1.0 "
+            "  / count(*), 6) AS novelty "
+            "FROM grams g JOIN first f USING (g) GROUP BY 1"
+        ),
         # churn: year-set membership via self-joins on (customer, year)
         "customer_churn": (
             "WITH cy AS (SELECT DISTINCT o_custkey AS c, "

@@ -951,3 +951,76 @@ def pii_scrub(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def novelty_rate(sf_dir: str, n: int = 3) -> Dataset:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word 3-grams whose corpus-wide first occurrence (min doc_id) is this
+    doc — the marginal-contribution diagnostic behind dedup-aware data
+    valuation (a doc full of already-seen grams adds little). Dataflow:
+    per-batch distinct (doc, gram) rows from the vectorized tokenizer,
+    one gram-bucketed min to find first owners, one bucketed join back,
+    per-doc integer counts. Gram strings shuffle (the token_df
+    precedent); first-owner rows are vocabulary-sized."""
+    from ..engine.join import (bucket_grouped, bucket_join,
+                               default_num_buckets, rename_cols)
+    from ..functions.text import batch_word_tokens
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks, didx = batch_word_tokens(t["text"].to_pylist())
+        if len(toks) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.large_string())})
+        same = didx[n - 1:] == didx[:len(didx) - n + 1]
+        grams = np.array(
+            [" ".join(toks[i:i + n]) for i in np.flatnonzero(same)],
+            dtype=object)
+        gdoc = ids[didx[:len(didx) - n + 1][same]]
+        df = pd.DataFrame({"doc_id": gdoc, "g": grams}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("doc_id", pa.int64()), ("g", pa.large_string())]))
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow").materialize()
+
+    def first_of(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("g", as_index=False).agg(fd=("doc_id", "min"))
+
+    first = bucket_grouped(
+        grams, ["g"], first_of, num_buckets=default_num_buckets(),
+        out_schema=pa.schema([("g", pa.large_string()),
+                              ("fd", pa.int64())]),
+    )
+    j = bucket_join(grams, rename_cols(first, {"g": "g2"}),
+                    on="g", right_on="g2", how="inner",
+                    num_buckets=default_num_buckets())
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        fd = t["fd"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"doc_id": did,
+                           "n_grams": np.int64(1),
+                           "n_novel": (fd == did).astype(np.int64)})
+        g = df.groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..engine.join import bucket_grouped_sum
+
+    agg = bucket_grouped_sum(
+        j.map_batches(per_doc, batch_format="pyarrow"),
+        ["doc_id"], ["n_grams", "n_novel"],
+        num_buckets=default_num_buckets())
+
+    def fin(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False)
+        nv = t["n_novel"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty": pa.array(round_sql(nv / ng), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
