@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_longest": D.near_dup_keep_longest,
         # per-doc n-gram novelty (fraction of grams first seen here)
         "novelty_rate": TX.novelty_rate,
+        # CUBE(year, priority): all four grouping sets, one scan
+        "orders_cube": R.orders_cube,
+        # temporal edge persistence: yearly (part, supplier) Jaccard
+        "edge_persistence": R.edge_persistence,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -571,6 +575,32 @@ _NEARDUP_LAB_CTE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # persistence: self-join of the yearly distinct edge sets
+        "edge_persistence": (
+            "WITH e AS (SELECT DISTINCT EXTRACT(year FROM l_shipdate) AS y, "
+            "  l_partkey AS p, l_suppkey AS s FROM lineitem), "
+            "n AS (SELECT y, count(*) AS n_edges FROM e GROUP BY y), "
+            "pers AS (SELECT a.y, count(*) AS n_persist FROM e a "
+            "  JOIN e b ON b.p = a.p AND b.s = a.s AND b.y = a.y + 1 "
+            "  GROUP BY a.y) "
+            "SELECT n.y AS year, n.n_edges, "
+            "CAST(COALESCE(p.n_persist, 0) AS BIGINT) AS n_persist, "
+            "round(COALESCE(p.n_persist, 0) * 1.0 / "
+            "  GREATEST(n.n_edges + COALESCE(n2.n_edges, 0) "
+            "    - COALESCE(p.n_persist, 0), 1), 6) AS jaccard_next "
+            "FROM n LEFT JOIN pers p ON p.y = n.y "
+            "LEFT JOIN n n2 ON n2.y = n.y + 1"
+        ),
+        # CUBE with -1/'ALL' sentinels (hashable frame, rollup convention)
+        "orders_cube": (
+            "SELECT COALESCE(EXTRACT(year FROM o_orderdate), -1) AS o_year, "
+            "COALESCE(o_orderpriority, 'ALL') AS prio, "
+            "count(*) AS n_orders, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "  / 100.0 AS total_price "
+            "FROM orders GROUP BY CUBE (EXTRACT(year FROM o_orderdate), "
+            "o_orderpriority)"
+        ),
         # novelty: first-owner of each distinct 3-gram = min doc_id
         # (reuses the near-dup tokenization CTEs; unreferenced CTEs are
         # not executed by DuckDB)

@@ -2180,3 +2180,117 @@ def customer_churn(sf_dir: str) -> Dataset:
         ]))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- cube
+def orders_cube(sf_dir: str) -> Dataset:
+    """CUBE(year, priority) over orders — all four grouping sets (both
+    dims, each marginal, grand total) with -1/'ALL' sentinels, completing
+    the grouping-sets family next to orders_rollup. Same scale shape:
+    only the finest (year, priority) level aggregates distributed with
+    exact cents partials; every coarser set re-aggregates that
+    |years| x |priorities| result frame."""
+    from ..engine.join import bucket_grouped
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderdate", "o_orderpriority",
+                                 "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame({"o_year": y,
+                           "prio": t["o_orderpriority"].to_pylist(),
+                           "price_c": cents})
+        out = df.groupby(["o_year", "prio"], as_index=False).agg(
+            n_orders=("price_c", "size"), price_c=("price_c", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["o_year", "prio"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), price_c=("price_c", "sum"))
+
+    fine = bucket_grouped(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_year"], combine,
+    ).to_pandas()
+
+    by_year = fine.groupby("o_year", as_index=False).agg(
+        n_orders=("n_orders", "sum"), price_c=("price_c", "sum"))
+    by_year["prio"] = "ALL"
+    by_prio = fine.groupby("prio", as_index=False).agg(
+        n_orders=("n_orders", "sum"), price_c=("price_c", "sum"))
+    by_prio["o_year"] = -1
+    total = pd.DataFrame({
+        "o_year": [-1], "prio": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()],
+        "price_c": [fine["price_c"].sum()],
+    })
+    allrows = pd.concat([fine, by_year, by_prio, total], ignore_index=True)
+    allrows["total_price"] = allrows.pop("price_c").astype(np.int64) / 100.0
+    return ray.data.from_arrow(pa.Table.from_pandas(
+        allrows[["o_year", "prio", "n_orders", "total_price"]],
+        preserve_index=False,
+    ).cast(pa.schema([
+        ("o_year", pa.int64()), ("prio", pa.large_string()),
+        ("n_orders", pa.int64()), ("total_price", pa.float64()),
+    ])))
+
+
+# ---------------------------------------------------------------- persistence
+def edge_persistence(sf_dir: str) -> Dataset:
+    """Temporal edge persistence of the part–supplier shipment network:
+    per shipment year, how many distinct (part, supplier) edges exist,
+    how many persist into the next year, and the Jaccard overlap of
+    consecutive yearly edge sets — the churn profile of a temporal graph
+    (complements graph_growth's densification view). Edges bucket on
+    l_partkey, so every (part, supplier) pair's whole year history is
+    task-local and membership tests are one searchsorted; only per-year
+    integer partials cross the exchange."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_shipdate"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        y = pd.to_datetime(g["l_shipdate"]).dt.year.to_numpy()
+        e = pd.DataFrame({
+            "p": g["l_partkey"].to_numpy(), "s": g["l_suppkey"].to_numpy(),
+            "y": y,
+        }).drop_duplicates(ignore_index=True)
+        code = pd.factorize(
+            e["p"].astype(str) + ":" + e["s"].astype(str))[0]
+        key = code.astype(np.int64) * 10000 + e["y"].to_numpy()
+        keyset = np.sort(key)
+        idx = np.searchsorted(keyset, key + 1).clip(max=len(keyset) - 1)
+        persist = keyset[idx] == key + 1
+        return pd.DataFrame({
+            "year": e["y"].to_numpy().astype(np.int64),
+            "n_edges": np.int64(1),
+            "n_persist": persist.astype(np.int64),
+        }).groupby("year", as_index=False).sum()
+
+    part = bucket_grouped(
+        li, ["l_partkey"], per_bucket, num_buckets=32,
+        out_schema=pa.schema([
+            ("year", pa.int64()), ("n_edges", pa.int64()),
+            ("n_persist", pa.int64()),
+        ]),
+    )
+    agg = bucket_grouped_sum(part, ["year"], ["n_edges", "n_persist"],
+                             num_buckets=8).to_pandas()
+    agg = agg.sort_values("year", ignore_index=True)
+    nxt = dict(zip(agg["year"], agg["n_edges"]))
+    n_next = np.array([nxt.get(yy + 1, 0) for yy in agg["year"]], np.int64)
+    denom = agg["n_edges"].to_numpy() + n_next - agg["n_persist"].to_numpy()
+    jac = round_sql(agg["n_persist"].to_numpy() / np.maximum(denom, 1))
+    return ray.data.from_arrow(pa.table({
+        "year": pa.array(agg["year"].to_numpy(np.int64)),
+        "n_edges": pa.array(agg["n_edges"].to_numpy(np.int64)),
+        "n_persist": pa.array(agg["n_persist"].to_numpy(np.int64)),
+        "jaccard_next": pa.array(jac, pa.float64()),
+    }))
