@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": R.orders_cube,
         # temporal edge persistence: yearly (part, supplier) Jaccard
         "edge_persistence": R.edge_persistence,
+        # exact Gini of the in-degree distribution (histogram rank sums)
+        "degree_gini": G.degree_gini,
         # PII redaction pass: typed placeholder scrub + per-doc counts
         "pii_scrub": TX.pii_scrub,
         # market-basket association strength of co-occurrence edges
@@ -575,6 +577,20 @@ _NEARDUP_LAB_CTE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Gini from the degree histogram, integer rank sums per run
+        "degree_gini": (
+            "WITH d AS (SELECT l_partkey AS dst, count(*) AS deg "
+            "  FROM lineitem GROUP BY l_partkey), "
+            "h AS (SELECT deg, count(*) AS c FROM d GROUP BY deg), "
+            "o AS (SELECT deg, c, 1 + COALESCE(SUM(c) OVER ("
+            "  ORDER BY deg ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "  1 PRECEDING), 0) AS strt FROM h), "
+            "t AS (SELECT SUM(deg * (c * (2 * strt + c - 1) // 2)) AS t, "
+            "  SUM(deg * c) AS s, SUM(c) AS n FROM o) "
+            "SELECT CAST(n AS BIGINT) AS n_vertices, "
+            "CAST(s AS BIGINT) AS sum_degree, "
+            "round(2.0 * t / (n * s) - (n + 1) * 1.0 / n, 6) AS gini FROM t"
+        ),
         # persistence: self-join of the yearly distinct edge sets
         "edge_persistence": (
             "WITH e AS (SELECT DISTINCT EXTRACT(year FROM l_shipdate) AS y, "

@@ -1540,3 +1540,33 @@ def cooccur_lift(sf_dir: str, min_orders: int = 2, k: int = 100) -> Dataset:
         "n_uv": pa.array(top["n_uv"].to_numpy(np.int64)),
         "lift": pa.array(top["lift"].to_numpy(np.float64)),
     }))
+
+
+def degree_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of the in-degree distribution (inequality of
+    attention in the link graph; 0 = uniform, ->1 = concentrated).
+    Computed EXACTLY from the degree histogram: with degrees sorted
+    ascending, G = 2*sum_i(i*x_i)/(n*S) - (n+1)/n, and the rank sums
+    fold per histogram run as c*(2*start + c - 1)/2 — all integer
+    arithmetic until one final division, so the SQL twin (a window
+    cumsum over the same histogram) is bit-identical. The histogram is
+    degree-count-sized; vertex-scale data never leaves the groupby."""
+    from ..engine import degrees as deg_k
+    from ..engine.join import bucket_grouped_count
+    from ..pipelines.textstats import round_sql
+
+    ind = deg_k.in_degree(lineitem_edges(sf_dir))
+    hist = bucket_grouped_count(ind, ["in_degree"], "c").to_pandas()
+    hist = hist.sort_values("in_degree", ignore_index=True)
+    v = hist["in_degree"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    s = int((v * c).sum())
+    start = 1 + np.concatenate([[0], np.cumsum(c)[:-1]])
+    rank_sums = c * (2 * start + c - 1) // 2
+    t = int((v * rank_sums).sum())
+    gini = 2.0 * t / (n * s) - (n + 1) / n
+    return pd.DataFrame([{
+        "n_vertices": n, "sum_degree": s,
+        "gini": float(round_sql(np.array([gini]))[0]),
+    }])
