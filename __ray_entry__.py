@@ -38,66 +38,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # never sampled go FIRST this round, followed by queries new in round 3,
     # then the already-green r2 block.
     return {
-        # --- newest first: queries added latest-in-round lead the window ---
-        # TPC-H Q8 shape: per-year nation market share in one region
-        "market_share": R.market_share,
-        # session-length distribution with exact-microsecond durations
-        "session_duration_stats": R.session_duration_stats,
-        # brand-blocked fuzzy string self-join (vectorized Levenshtein)
-        "name_edit_pairs": R.name_edit_pairs,
-        # long-to-wide pivot over a fixed column spec
-        "orders_priority_pivot": R.orders_priority_pivot,
-        # first-order Markov transition matrix of event types per user
-        "event_transitions": R.event_transitions,
-        # sliding-window distinct: DAU / trailing-7-day WAU / stickiness
-        "dau_wau": R.dau_wau,
-        # skyline (Pareto frontier): local skyline per block + one fold
-        "parts_skyline": R.parts_skyline,
-        # year-over-year new / retained / churned customer accounting
-        "customer_churn": R.customer_churn,
-        # near-dup survivor policy: keep the longest doc per cluster
-        "near_dup_keep_longest": D.near_dup_keep_longest,
-        # per-doc n-gram novelty (fraction of grams first seen here)
-        "novelty_rate": TX.novelty_rate,
-        # CUBE(year, priority): all four grouping sets, one scan
-        "orders_cube": R.orders_cube,
-        # temporal edge persistence: yearly (part, supplier) Jaccard
-        "edge_persistence": R.edge_persistence,
-        # exact Gini of the in-degree distribution (histogram rank sums)
-        "degree_gini": G.degree_gini,
-        # PII redaction pass: typed placeholder scrub + per-doc counts
-        "pii_scrub": TX.pii_scrub,
-        # market-basket association strength of co-occurrence edges
-        "cooccur_lift": G.cooccur_lift,
-        # TPC-H Q2 shape: grouped argmin with row attribution
-        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
-        # TPC-H Q11 shape: per-supplier value vs a global threshold scalar
-        "important_suppliers": R.important_suppliers,
-        # TPC-H Q14 shape: PROMO revenue share of one month
-        "promo_revenue_share": R.promo_revenue_share,
-        # per-user z-score outlier profile (explicit-moment variance)
-        "events_user_outliers": R.events_user_outliers,
-        # inter-event gap power-of-two histogram
-        "events_gap_hist": R.events_gap_hist,
-        # weekly cohort retention triangle over the events stream
-        "cohort_retention": R.cohort_retention,
-        # per-user trailing moving average (bounded window frame)
-        "events_moving_avg": R.events_moving_avg,
-        # TPC-H Q17 shape: decorrelated per-part avg-quantity threshold
-        "small_qty_revenue": R.small_qty_revenue,
-        # exact 4-cycle census via the co-degree wedge kernel
-        "square_count_chain": G.square_count_chain,
-        # per-brand conductance of the co-occurrence partition
-        "brand_conductance": G.brand_conductance,
-        # CCNet-style perplexity tertile bucketing per source
-        "ppl_buckets": TX.ppl_buckets,
-        # TPC-H Q3 shape: semi-join + fact-fact join + blockwise top-k
-        "shipping_priority": R.shipping_priority,
-        # TPC-H Q5 shape: same-nation customer/supplier equality join
-        "local_supplier_volume": R.local_supplier_volume,
-        # degree-correlation profile knn(k) over the bipartite edge table
-        "avg_neighbor_degree": R.avg_neighbor_degree,
-        # --- round-3 driver window: the 41 oracle queries never sampled ---
+        # --- round-3 driver window (slots 1-50): the 41 oracle-backed
+        # queries CORRECTNESS_r02 never sampled, plus 9 round-3 SQL-oracled
+        # queries. Keep this block FIRST — later additions go below the
+        # window so the recorded gate covers the never-checked set. ---
         # distributed modularity kernel over the CC partition (SQL-oracled)
         "modularity_components": G.modularity_components,
         # multi-pattern keyword tagging (vectorized count_substring)
@@ -177,8 +121,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": TX.doc_chunks,
         # exact distributed quantiles (two-pass histogram refinement)
         "price_quantiles": R.price_quantiles,
-        # --- queries new in round 3 (SQL-oracled first so they land
-        # inside the driver's 50-slot correctness window: slots 42-50) ---
         # M2 complete: snapshot selection + YearTags forward-fill
         "order_year_snapshot_tags": R.order_year_snapshot_tags,
         # BM25 top-k search over a fixed query set (broadcast query terms,
@@ -194,6 +136,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_fraction": TX.dup_span_fraction,
         # language-ID confusion matrix vs the labeled lang column
         "lang_confusion": TX.lang_confusion,
+        # --- end of the 50-slot driver window ---
+        # TPC-H Q8 shape: per-year nation market share in one region
+        "market_share": R.market_share,
+        # session-length distribution with exact-microsecond durations
+        "session_duration_stats": R.session_duration_stats,
+        # brand-blocked fuzzy string self-join (vectorized Levenshtein)
+        "name_edit_pairs": R.name_edit_pairs,
+        # long-to-wide pivot over a fixed column spec
+        "orders_priority_pivot": R.orders_priority_pivot,
+        # first-order Markov transition matrix of event types per user
+        "event_transitions": R.event_transitions,
+        # sliding-window distinct: DAU / trailing-7-day WAU / stickiness
+        "dau_wau": R.dau_wau,
+        # skyline (Pareto frontier): local skyline per block + one fold
+        "parts_skyline": R.parts_skyline,
+        # year-over-year new / retained / churned customer accounting
+        "customer_churn": R.customer_churn,
+        # near-dup survivor policy: keep the longest doc per cluster
+        "near_dup_keep_longest": D.near_dup_keep_longest,
+        # per-doc n-gram novelty (fraction of grams first seen here)
+        "novelty_rate": TX.novelty_rate,
+        # CUBE(year, priority): all four grouping sets, one scan
+        "orders_cube": R.orders_cube,
+        # temporal edge persistence: yearly (part, supplier) Jaccard
+        "edge_persistence": R.edge_persistence,
+        # exact Gini of the in-degree distribution (histogram rank sums)
+        "degree_gini": G.degree_gini,
+        # PII redaction pass: typed placeholder scrub + per-doc counts
+        "pii_scrub": TX.pii_scrub,
+        # market-basket association strength of co-occurrence edges
+        "cooccur_lift": G.cooccur_lift,
+        # TPC-H Q2 shape: grouped argmin with row attribution
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
+        # TPC-H Q11 shape: per-supplier value vs a global threshold scalar
+        "important_suppliers": R.important_suppliers,
+        # TPC-H Q14 shape: PROMO revenue share of one month
+        "promo_revenue_share": R.promo_revenue_share,
+        # per-user z-score outlier profile (explicit-moment variance)
+        "events_user_outliers": R.events_user_outliers,
+        # inter-event gap power-of-two histogram
+        "events_gap_hist": R.events_gap_hist,
+        # weekly cohort retention triangle over the events stream
+        "cohort_retention": R.cohort_retention,
+        # per-user trailing moving average (bounded window frame)
+        "events_moving_avg": R.events_moving_avg,
+        # TPC-H Q17 shape: decorrelated per-part avg-quantity threshold
+        "small_qty_revenue": R.small_qty_revenue,
+        # exact 4-cycle census via the co-degree wedge kernel
+        "square_count_chain": G.square_count_chain,
+        # per-brand conductance of the co-occurrence partition
+        "brand_conductance": G.brand_conductance,
+        # CCNet-style perplexity tertile bucketing per source
+        "ppl_buckets": TX.ppl_buckets,
+        # TPC-H Q3 shape: semi-join + fact-fact join + blockwise top-k
+        "shipping_priority": R.shipping_priority,
+        # TPC-H Q5 shape: same-nation customer/supplier equality join
+        "local_supplier_volume": R.local_supplier_volume,
+        # degree-correlation profile knn(k) over the bipartite edge table
+        "avg_neighbor_degree": R.avg_neighbor_degree,
+        # TPC-H Q4 shape: EXISTS late-lineitem semi-join per priority
+        "order_priority_check": R.order_priority_check,
+        # TPC-H Q13 shape: order-count distribution incl. the zero bucket
+        "customer_order_counts": R.customer_order_counts,
+        # TPC-H Q18 shape: HAVING filter on grouped quantity + attribution
+        "large_volume_customers": R.large_volume_customers,
+        # TPC-H Q15 shape: argmax supplier revenue against a derived view
+        "top_supplier": R.top_supplier,
+        # TPC-H Q22 shape: global-average balance + anti-join by nation
+        "sales_opportunity": R.sales_opportunity,
+        # TPC-H Q7 shape: two-nation trade volume per ship year
+        "volume_shipping": R.volume_shipping,
+        # TPC-H Q10 shape: top-k customers by returned-item revenue
+        "returned_items_top": R.returned_items_top,
+        # TPC-H Q19 shape: OR-of-ANDs disjunctive predicate revenue
+        "disjunctive_revenue": R.disjunctive_revenue,
         # per-source percent_rank window filter via value histograms
         "chars_percentile_filter": C.chars_percentile_filter,
         # JSON props extraction (one vectorized Arrow regex pass) + agg
@@ -1034,6 +1051,92 @@ def oracle_sql() -> dict[str, str]:
         # is the identical IEEE op the Ray side performs, so the hash
         # matches bit-for-bit. round(float_sum, 6) was summation-order-
         # sensitive (round-1 red row).
+        "order_priority_check": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "
+            "AND o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "customer_order_counts": (
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "  SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+            "  LEFT JOIN orders ON c_custkey = o_custkey "
+            "  AND o_orderpriority <> '4-NOT SPECIFIED' "
+            "  GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        "large_volume_customers": (
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+            "sum(l_quantity) AS sum_qty "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "GROUP BY 1, 2, 3, 4, 5 HAVING sum(l_quantity) > 150"
+        ),
+        "top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "  sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r "
+            "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "  AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, "
+            "round(CAST(r AS DOUBLE) / 10000, 6) AS total_revenue "
+            "FROM rev JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE r = (SELECT max(r) FROM rev)"
+        ),
+        "sales_opportunity": (
+            "WITH avgbal AS (SELECT (CAST(sum(CAST(round(c_acctbal * 100) "
+            "  AS BIGINT)) AS DOUBLE) / 100) / count(*) AS a "
+            "  FROM customer WHERE c_acctbal > 0) "
+            "SELECT c_nationkey, count(*) AS numcust, "
+            "round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) "
+            "  AS DOUBLE) / 100, 6) AS totacctbal "
+            "FROM customer, avgbal WHERE c_acctbal > a "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "  AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY c_nationkey"
+        ),
+        "volume_shipping": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+            "  / 10000, 6) AS revenue "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ns ON ns.n_nationkey = s_nationkey "
+            "JOIN nation nc ON nc.n_nationkey = c_nationkey "
+            "WHERE (ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19') "
+            "OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18') "
+            "GROUP BY 1, 2, 3"
+        ),
+        "returned_items_top": (
+            "WITH rev AS (SELECT o_custkey, "
+            "  sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r "
+            "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "  WHERE l_returnflag = 'R' "
+            "  AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "  AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY o_custkey) "
+            "SELECT c_custkey, c_name, c_acctbal, "
+            "round(CAST(r AS DOUBLE) / 10000, 6) AS revenue "
+            "FROM rev JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY r DESC, c_custkey LIMIT 20"
+        ),
+        "disjunctive_revenue": (
+            "SELECT COALESCE(round(CAST(sum("
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) "
+            "  / 10000, 6), 0.0) AS revenue, count(*) AS n_items "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "  AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+            "  AND l_quantity BETWEEN 10 AND 35) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+            "  AND l_quantity BETWEEN 20 AND 50)"
+        ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "

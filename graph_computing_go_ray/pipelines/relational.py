@@ -2294,3 +2294,462 @@ def edge_persistence(sf_dir: str) -> Dataset:
         "n_persist": pa.array(agg["n_persist"].to_numpy(np.int64)),
         "jaccard_next": pa.array(jac, pa.float64()),
     }))
+
+
+# ------------------------------------------------- TPC-H decision shapes II
+def order_priority_check(sf_dir: str, month: str = "1996-07",
+                         months: int = 3, late_days: int = 60) -> Dataset:
+    """TPC-H Q4-shape EXISTS semi-join: orders placed in one quarter with
+    at least one lineitem shipped more than ``late_days`` after the order
+    date, counted per priority. EXISTS(l_shipdate > cutoff) collapses to
+    max(l_shipdate) per order — a per-batch partial-max combiner, one
+    bucketed exchange — then a size-adaptive attach of the quarter's
+    orders (dim path broadcasts only while orders stay dimension-sized)."""
+    from ..engine.join import (adaptive_map_join, bucket_grouped,
+                               bucket_grouped_count, default_num_buckets)
+
+    lo_m = np.datetime64(month, "M")
+    lo = np.datetime64(lo_m.astype("datetime64[D]"), "us")
+    hi = np.datetime64((lo_m + np.timedelta64(months, "M"))
+                       .astype("datetime64[D]"), "us")
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+
+    # combiner: shrink each batch to one row per orderkey before the shuffle
+    part = li.map_batches(local_max, batch_format="pandas")
+    max_ship = bucket_grouped(
+        part, ["l_orderkey"], local_max,
+        num_buckets=default_num_buckets(),
+        out_schema=pa.schema([("l_orderkey", pa.int64()),
+                              ("l_shipdate", pa.timestamp("us"))]),
+    )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pa.array(
+            (t["o_orderdate"].to_numpy(zero_copy_only=False) >= lo)
+            & (t["o_orderdate"].to_numpy(zero_copy_only=False) < hi))),
+        batch_format="pyarrow",
+    )
+    j = adaptive_map_join(max_ship, orders, on="l_orderkey",
+                          key_col="o_orderkey",
+                          val_cols=["o_orderdate", "o_orderpriority"])
+
+    def late(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = ship > odate + np.timedelta64(late_days, "D")
+        return pa.table({"o_orderpriority": t["o_orderpriority"].filter(
+            pa.array(keep))})
+
+    flagged = j.map_batches(late, batch_format="pyarrow")
+    return bucket_grouped_count(flagged, ["o_orderpriority"], "order_count",
+                                num_buckets=8)
+
+
+def customer_order_counts(sf_dir: str,
+                          excl_priority: str = "4-NOT SPECIFIED") -> Dataset:
+    """TPC-H Q13-shape left-join distribution: how many customers placed
+    exactly k qualifying orders, INCLUDING the zero bucket. Per-customer
+    counts take one bucketed exchange; the zero bucket is arithmetic
+    (total customers - customers with >=1 qualifying order), so no outer
+    join materializes customer x orders."""
+    from ..engine.join import bucket_grouped_count
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["o_orderpriority"],
+                                              excl_priority)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    per_cust = bucket_grouped_count(orders, ["o_custkey"], "c_count")
+    per_cust = per_cust.materialize()
+    n_with = per_cust.count()
+    n_total = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+
+    dist = bucket_grouped_count(per_cust.select_columns(["c_count"]),
+                                ["c_count"], "custdist", num_buckets=8)
+    dist = dist.map_batches(
+        lambda t: t.cast(pa.schema([("c_count", pa.int64()),
+                                    ("custdist", pa.int64())])),
+        batch_format="pyarrow",
+    )
+    n_zero = int(n_total - n_with)
+    if n_zero == 0:  # no zero bucket when every customer qualifies
+        return dist
+    zero = ray.data.from_arrow(pa.table({
+        "c_count": pa.array([0], pa.int64()),
+        "custdist": pa.array([n_zero], pa.int64()),
+    }))
+    return dist.union(zero)
+
+
+def large_volume_customers(sf_dir: str, min_qty: float = 150.0) -> Dataset:
+    """TPC-H Q18-shape HAVING filter on a grouped fact: orders whose total
+    lineitem quantity exceeds ``min_qty``, with order and customer
+    attribution. Per-order sums combine per batch before one bucketed
+    exchange; both attach hops ride the size-adaptive join."""
+    from ..engine.join import (adaptive_map_join, bucket_grouped_sum,
+                               default_num_buckets, rename)
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def local_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+
+    part = li.map_batches(local_sum, batch_format="pandas")
+    per_order = bucket_grouped_sum(part, ["l_orderkey"], ["l_quantity"],
+                                   num_buckets=default_num_buckets())
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], min_qty)),
+        batch_format="pyarrow",
+    )
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    j = adaptive_map_join(big, orders, on="l_orderkey", key_col="o_orderkey",
+                          val_cols=["o_custkey", "o_orderdate",
+                                    "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j = adaptive_map_join(j, cust, on="o_custkey", key_col="c_custkey",
+                          val_cols=["c_name"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": t["c_name"],
+            "c_custkey": t["o_custkey"],
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"],
+            "sum_qty": t["l_quantity"],
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def top_supplier(sf_dir: str, month: str = "1996-01",
+                 months: int = 3) -> Dataset:
+    """TPC-H Q15-shape argmax-against-a-derived-view: supplier(s) with the
+    maximum discounted revenue over one quarter (ties all kept). Revenue
+    accumulates as exact scaled int64; the global max folds from the tiny
+    per-supplier table; names attach from the supplier dimension."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum, \
+        default_num_buckets
+    from .textstats import round_sql
+
+    lo_m = np.datetime64(month, "M")
+    lo = np.datetime64(lo_m.astype("datetime64[D]"), "us")
+    hi = np.datetime64((lo_m + np.timedelta64(months, "M"))
+                       .astype("datetime64[D]"), "us")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                             "l_discount"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (d >= lo) & (d < hi)
+        t = t.filter(pa.array(keep))
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev": pa.array(price * (100 - disc))})
+
+    per = bucket_grouped_sum(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_suppkey"], ["rev"], num_buckets=default_num_buckets(),
+    ).materialize()
+    best = int(per.max("rev"))
+    top = per.map_batches(
+        lambda t: t.filter(pc.equal(t["rev"], best)),
+        batch_format="pyarrow",
+    )
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    j = adaptive_map_join(top, sup, on="l_suppkey", key_col="s_suppkey",
+                          val_cols=["s_name"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        v = t["rev"].to_numpy(zero_copy_only=False) / 10000.0
+        return pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "s_name": t["s_name"],
+            "total_revenue": pa.array(round_sql(v), pa.float64()),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def sales_opportunity(sf_dir: str, cutoff: str = "2000-01-01") -> Dataset:
+    """TPC-H Q22-shape global-scalar + anti-join: customers whose balance
+    exceeds the average positive balance and who placed NO order on/after
+    ``cutoff``, grouped by nation. The average is two exact integer
+    scalars (cents sum + count) folded from one pass; the anti-join is the
+    bucketed left-outer null-match pattern (customers_no_orders) — no
+    driver-side key set."""
+    from ..engine.degrees import distinct_pairs
+    from ..engine.join import bucket_grouped, bucket_join
+    from .textstats import round_sql
+
+    cut = np.datetime64(cutoff, "us")
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = np.rint(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        pos = b > 0
+        return pa.table({"s": pa.array([int(b[pos].sum())]),
+                         "n": pa.array([int(pos.sum())])})
+
+    tot = cust.map_batches(bal_partial, batch_format="pyarrow").sum(["s", "n"])
+    s = int(tot["sum(s)"] or 0)
+    n = int(tot["sum(n)"] or 0)
+    avg_bal = (s / 100.0) / n if n else 0.0
+
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], avg_bal)),
+        batch_format="pyarrow",
+    )
+    recent = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(d >= cut))
+        return pa.table({"ok": f["o_custkey"],
+                         "has": pa.array(np.ones(f.num_rows, np.int8))})
+
+    recent = distinct_pairs(
+        recent.map_batches(qualifying, batch_format="pyarrow"), ["ok", "has"])
+    j = bucket_join(rich, recent, on="c_custkey", right_on="ok", how="left")
+    no_recent = j.map_batches(
+        lambda t: t.filter(pc.is_null(t["has"])),
+        batch_format="pyarrow",
+    )
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(g["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame({"c_nationkey": g["c_nationkey"], "cents": cents})
+        agg = out.groupby("c_nationkey", as_index=False).agg(
+            numcust=("cents", "size"), cents=("cents", "sum"))
+        return pd.DataFrame({
+            "c_nationkey": agg["c_nationkey"].astype("int32"),
+            "numcust": agg["numcust"].astype("int64"),
+            "totacctbal": round_sql(agg["cents"].to_numpy() / 100.0),
+        })
+
+    return bucket_grouped(
+        no_recent, ["c_nationkey"], grp, num_buckets=8,
+        out_schema=pa.schema([("c_nationkey", pa.int32()),
+                              ("numcust", pa.int64()),
+                              ("totacctbal", pa.float64())]),
+    )
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_18",
+                    nation_b: str = "NATION_19") -> Dataset:
+    """TPC-H Q7-shape two-nation trade volume: discounted revenue between
+    supplier nation and customer nation (both directions) per ship year.
+    The supplier hop filters to the two nations FIRST (shrinking the fact
+    stream before the orders hop); orders->customer rides the
+    size-adaptive join, so the customer-scale side never broadcasts
+    beyond the dimension limit. Revenue is exact scaled int64."""
+    from ..engine.join import (adaptive_map_join, bucket_grouped_sum,
+                               default_num_buckets)
+    from .textstats import round_sql
+
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    key_of = {v: k for k, v in name_of.items()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = adaptive_map_join(li, sup, on="l_suppkey", key_col="s_suppkey",
+                           val_cols=["s_nationkey"])
+    li = li.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t["s_nationkey"].to_numpy(zero_copy_only=False),
+            [ka, kb]))),
+        batch_format="pyarrow",
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = adaptive_map_join(li, orders, on="l_orderkey",
+                           key_col="o_orderkey", val_cols=["o_custkey"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    li = adaptive_map_join(li, cust, on="o_custkey", key_col="c_custkey",
+                           val_cols=["c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = ((sn == ka) & (cn == kb)) | ((sn == kb) & (cn == ka))
+        t = t.filter(pa.array(keep))
+        sn, cn = sn[keep], cn[keep]
+        yr = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({
+            "sn": pa.array(sn.astype(np.int64)),
+            "cn": pa.array(cn.astype(np.int64)),
+            "l_year": pa.array(yr),
+            "rev": pa.array(price * (100 - disc)),
+        })
+
+    per = bucket_grouped_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["sn", "cn", "l_year"], ["rev"], num_buckets=8,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        sn = t["sn"].to_numpy(zero_copy_only=False)
+        cn = t["cn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "supp_nation": pa.array([name_of[int(x)] for x in sn]),
+            "cust_nation": pa.array([name_of[int(x)] for x in cn]),
+            "l_year": t["l_year"],
+            "revenue": pa.array(round_sql(
+                t["rev"].to_numpy(zero_copy_only=False) / 10000.0),
+                pa.float64()),
+        })
+
+    return per.map_batches(fin, batch_format="pyarrow")
+
+
+def returned_items_top(sf_dir: str, month: str = "1996-01",
+                       months: int = 3, k: int = 20) -> Dataset:
+    """TPC-H Q10-shape returned-item revenue report: top-k customers by
+    revenue lost to returns (l_returnflag = 'R') on orders placed in one
+    quarter. Quarter orders attach via the size-adaptive join; per-customer
+    sums combine per bucket; top-k folds as block-local partial top-k
+    (k rows per block reach the driver, never the customer table)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum, \
+        default_num_buckets
+    from .textstats import round_sql
+
+    lo_m = np.datetime64(month, "M")
+    lo = np.datetime64(lo_m.astype("datetime64[D]"), "us")
+    hi = np.datetime64((lo_m + np.timedelta64(months, "M"))
+                       .astype("datetime64[D]"), "us")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                             "l_discount"])
+
+    def returned(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev": pa.array(price * (100 - disc))})
+
+    li = li.map_batches(returned, batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pa.array(
+            (t["o_orderdate"].to_numpy(zero_copy_only=False) >= lo)
+            & (t["o_orderdate"].to_numpy(zero_copy_only=False) < hi)))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    j = adaptive_map_join(li, orders, on="l_orderkey", key_col="o_orderkey",
+                          val_cols=["o_custkey"])
+    per = bucket_grouped_sum(j.select_columns(["o_custkey", "rev"]),
+                             ["o_custkey"], ["rev"],
+                             num_buckets=default_num_buckets())
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["rev", "o_custkey"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = per.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(["rev", "o_custkey"],
+                               ascending=[False, True]).head(k)
+    winners = ray.data.from_arrow(pa.table({
+        "o_custkey": pa.array(top["o_custkey"].to_numpy(np.int64)),
+        "rev": pa.array(top["rev"].to_numpy(np.int64)),
+    }))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_acctbal"])
+    j2 = adaptive_map_join(winners, cust, on="o_custkey",
+                           key_col="c_custkey",
+                           val_cols=["c_name", "c_acctbal"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "c_acctbal": t["c_acctbal"],
+            "revenue": pa.array(round_sql(
+                t["rev"].to_numpy(zero_copy_only=False) / 10000.0),
+                pa.float64()),
+        })
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def disjunctive_revenue(sf_dir: str) -> Dataset:
+    """TPC-H Q19-shape OR-of-ANDs predicate pushdown: revenue from three
+    disjunctive (brand, size-range, quantity-range) clauses evaluated in
+    one vectorized pass over the joined stream — the part attach is
+    size-adaptive; the result is one exact-integer scalar row."""
+    from ..engine.join import adaptive_map_join
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand",
+                                                "p_size"])
+    j = adaptive_map_join(li, parts, on="l_partkey", key_col="p_partkey",
+                          val_cols=["p_brand", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (
+            ((brand == "Brand#1") & (size >= 1) & (size <= 15)
+             & (qty >= 1) & (qty <= 20))
+            | ((brand == "Brand#2") & (size >= 10) & (size <= 30)
+               & (qty >= 10) & (qty <= 35))
+            | ((brand == "Brand#3") & (size >= 20) & (size <= 50)
+               & (qty >= 20) & (qty <= 50))
+        )
+        t2 = t.filter(pa.array(keep))
+        price = np.rint(t2["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t2["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({"rev": pa.array([int((price * (100 - disc)).sum())]),
+                         "n": pa.array([t2.num_rows])})
+
+    p = j.map_batches(partial, batch_format="pyarrow")
+    tot = p.sum(["rev", "n"])
+    rev = int(tot["sum(rev)"] or 0) if tot else 0
+    n = int(tot["sum(n)"] or 0) if tot else 0
+    return ray.data.from_arrow(pa.table({
+        "revenue": pa.array([float(round_sql(np.array([rev / 10000.0]))[0])],
+                            pa.float64()),
+        "n_items": pa.array([n], pa.int64()),
+    }))
