@@ -211,6 +211,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items_top": R.returned_items_top,
         # TPC-H Q19 shape: OR-of-ANDs disjunctive predicate revenue
         "disjunctive_revenue": R.disjunctive_revenue,
+        # recency-weighted engagement: exp-decay sum per user
+        "events_decay_engagement": R.events_decay_engagement,
+        # per-customer order inter-arrival gaps (telescoping mean, max gap)
+        "orders_interarrival_stats": R.orders_interarrival_stats,
+        # per-nation supplier-revenue vs customer-spend balance
+        "nation_trade_balance": R.nation_trade_balance,
+        # per-brand year-over-year revenue growth ratios
+        "brand_yoy_growth": R.brand_yoy_growth,
         # per-source percent_rank window filter via value histograms
         "chars_percentile_filter": C.chars_percentile_filter,
         # JSON props extraction (one vectorized Arrow regex pass) + agg
@@ -1051,6 +1059,60 @@ def oracle_sql() -> dict[str, str]:
         # is the identical IEEE op the Ray side performs, so the hash
         # matches bit-for-bit. round(float_sum, 6) was summation-order-
         # sensitive (round-1 red row).
+        "events_decay_engagement": (
+            "WITH t AS (SELECT max(ts) AS tm FROM events) "
+            "SELECT user_id, round(sum(value * exp(-((epoch_us(tm) - "
+            "epoch_us(ts)) / 1000000.0) / (7.0 * 86400.0))), 6) "
+            "AS engagement FROM events, t GROUP BY user_id"
+        ),
+        "orders_interarrival_stats": (
+            "WITH s AS (SELECT o_custkey, o_orderdate, lag(o_orderdate) "
+            "  OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev "
+            "  FROM orders), "
+            "mg AS (SELECT o_custkey, max(epoch_us(o_orderdate) - "
+            "  epoch_us(prev)) AS maxg FROM s WHERE prev IS NOT NULL "
+            "  GROUP BY o_custkey), "
+            "ag AS (SELECT o_custkey, count(*) AS n_orders, "
+            "  epoch_us(max(o_orderdate)) - epoch_us(min(o_orderdate)) AS span "
+            "  FROM orders GROUP BY o_custkey HAVING count(*) >= 2) "
+            "SELECT a.o_custkey, a.n_orders, "
+            "round(a.span / (86400000000.0 * (a.n_orders - 1)), 6) "
+            "  AS mean_gap_days, "
+            "round(m.maxg / 86400000000.0, 6) AS max_gap_days "
+            "FROM ag a JOIN mg m ON a.o_custkey = m.o_custkey"
+        ),
+        "nation_trade_balance": (
+            "WITH s AS (SELECT s_nationkey AS nk, "
+            "  sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sup "
+            "  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "  GROUP BY 1), "
+            "c AS (SELECT c_nationkey AS nk, "
+            "  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spd "
+            "  FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1) "
+            "SELECT n_name, "
+            "round(CAST(COALESCE(s.sup, 0) AS DOUBLE) / 10000, 6) "
+            "  AS supply_revenue, "
+            "round(CAST(COALESCE(c.spd, 0) AS DOUBLE) / 100, 6) "
+            "  AS customer_spend, "
+            "round(CAST(COALESCE(s.sup, 0) AS DOUBLE) / 10000 - "
+            "      CAST(COALESCE(c.spd, 0) AS DOUBLE) / 100, 6) AS balance "
+            "FROM nation LEFT JOIN s ON s.nk = n_nationkey "
+            "LEFT JOIN c ON c.nk = n_nationkey"
+        ),
+        "brand_yoy_growth": (
+            "WITH per AS (SELECT p_brand, "
+            "  CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "  sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev "
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY 1, 2) "
+            "SELECT p_brand, l_year, "
+            "round(CAST(rev AS DOUBLE) / 10000, 6) AS revenue, "
+            "COALESCE(CASE WHEN lag(l_year) OVER w = l_year - 1 "
+            "  AND lag(rev) OVER w <> 0 THEN round(CAST(rev AS DOUBLE) / "
+            "  CAST(lag(rev) OVER w AS DOUBLE), 6) END, 0.0) AS yoy_growth "
+            "FROM per WINDOW w AS (PARTITION BY p_brand ORDER BY l_year)"
+        ),
         "order_priority_check": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '1996-07-01' "

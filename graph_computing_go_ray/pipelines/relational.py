@@ -2753,3 +2753,199 @@ def disjunctive_revenue(sf_dir: str) -> Dataset:
                             pa.float64()),
         "n_items": pa.array([n], pa.int64()),
     }))
+
+
+# ---------------------------------------------------- engagement / trade II
+def events_decay_engagement(sf_dir: str, tau_days: float = 7.0) -> Dataset:
+    """Exponential-decay engagement score per user: sum of event values
+    weighted by exp(-age/tau) where age is measured from the stream's max
+    timestamp. One pass: the max folds from per-batch partials, decayed
+    sums combine per batch before a single bucketed exchange (the
+    recency-weighting every engagement/feature-store pipeline ships)."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    t_max = ev.max("ts")  # driver scalar; per-block partial max under the hood
+    t_us = np.datetime64(t_max, "us").astype(np.int64)
+    tau_us = tau_days * 86400.0 * 1e6
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        age = t_us - g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        w = g["value"].to_numpy() * np.exp(-(age / 1e6) / (tau_us / 1e6))
+        return pd.DataFrame({"user_id": g["user_id"], "w": w}).groupby(
+            "user_id", as_index=False)["w"].sum()
+
+    part = ev.map_batches(partial, batch_format="pandas")
+
+    def reduce_(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["w"].sum()
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "engagement": round_sql(out["w"].to_numpy()),
+        })
+
+    return bucket_grouped(
+        part, ["user_id"], reduce_, num_buckets=default_num_buckets(),
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("engagement", pa.float64())]),
+    )
+
+
+def orders_interarrival_stats(sf_dir: str) -> Dataset:
+    """Per-customer order inter-arrival profile: order count, mean gap in
+    days (telescoping (max-min)/(n-1) — needs no ordering), and max gap
+    (one per-bucket vectorized sort + masked diff). Customers with a
+    single order are excluded (no gap exists). All date math in exact
+    integer microseconds until the final division."""
+    from ..engine.join import bucket_grouped
+    from .textstats import round_sql
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["o_custkey", "o_orderdate"]].sort_values(
+            ["o_custkey", "o_orderdate"], ignore_index=True)
+        cust = df["o_custkey"].to_numpy()
+        us = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.empty(len(cust), bool)
+        same[0] = False
+        same[1:] = cust[1:] == cust[:-1]
+        gap = np.empty(len(cust), np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        gd = pd.DataFrame({"c": cust, "us": us, "gap": np.where(same, gap, 0),
+                           "has": same.astype(np.int64)})
+        agg = gd.groupby("c", as_index=False).agg(
+            n_orders=("us", "size"), lo=("us", "min"), hi=("us", "max"),
+            maxg=("gap", "max"), ng=("has", "sum"))
+        agg = agg[agg["n_orders"] >= 2]
+        day_us = 86400000000.0
+        return pd.DataFrame({
+            "o_custkey": agg["c"].astype("int64"),
+            "n_orders": agg["n_orders"].astype("int64"),
+            "mean_gap_days": round_sql(
+                (agg["hi"] - agg["lo"]).to_numpy()
+                / (day_us * (agg["n_orders"].to_numpy() - 1))),
+            "max_gap_days": round_sql(agg["maxg"].to_numpy() / day_us),
+        })
+
+    return bucket_grouped(
+        orders, ["o_custkey"], stats, num_buckets=32,
+        out_schema=pa.schema([("o_custkey", pa.int64()),
+                              ("n_orders", pa.int64()),
+                              ("mean_gap_days", pa.float64()),
+                              ("max_gap_days", pa.float64())]),
+    )
+
+
+def nation_trade_balance(sf_dir: str) -> Dataset:
+    """Per-nation trade balance: revenue earned by its suppliers vs money
+    spent by its customers — two independent one-pass exact-integer
+    aggregates (lineitem x supplier-nation, orders x customer-nation)
+    merged on the 25-row nation dimension at the driver."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    li = adaptive_map_join(li, sup, on="l_suppkey", key_col="s_suppkey",
+                           val_cols=["s_nationkey"])
+
+    def supply_cents(t: pa.Table) -> pa.Table:
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({
+            "nk": pa.array(t["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "supply": pa.array(price * (100 - disc)),
+        })
+
+    supply = bucket_grouped_sum(
+        li.map_batches(supply_cents, batch_format="pyarrow"),
+        ["nk"], ["supply"], num_buckets=8).to_pandas()
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = adaptive_map_join(orders, cust, on="o_custkey",
+                               key_col="c_custkey", val_cols=["c_nationkey"])
+
+    def spend_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        return pa.table({
+            "nk": pa.array(t["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "spend": pa.array(cents),
+        })
+
+    spend = bucket_grouped_sum(
+        orders.map_batches(spend_cents, batch_format="pyarrow"),
+        ["nk"], ["spend"], num_buckets=8).to_pandas()
+
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    m = nat.rename(columns={"n_nationkey": "nk"}).merge(
+        supply, on="nk", how="left").merge(spend, on="nk", how="left")
+    sup_v = m["supply"].fillna(0).to_numpy(np.int64) / 10000.0
+    spd_v = m["spend"].fillna(0).to_numpy(np.int64) / 100.0
+    return ray.data.from_arrow(pa.table({
+        "n_name": pa.array(m["n_name"]),
+        "supply_revenue": pa.array(round_sql(sup_v), pa.float64()),
+        "customer_spend": pa.array(round_sql(spd_v), pa.float64()),
+        "balance": pa.array(round_sql(sup_v - spd_v), pa.float64()),
+    }))
+
+
+def brand_yoy_growth(sf_dir: str) -> Dataset:
+    """Year-over-year revenue growth per part brand: per-(brand, year)
+    exact-integer revenue in one bucketed exchange; the growth ratio joins
+    each row to its prior year inside the tiny (brands x years) result at
+    the driver. First years carry NULL growth (no prior)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                             "l_discount"])
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    j = adaptive_map_join(li, parts, on="l_partkey", key_col="p_partkey",
+                          val_cols=["p_brand"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        return pa.table({"p_brand": t["p_brand"], "l_year": pa.array(yr),
+                         "rev": pa.array(price * (100 - disc))})
+
+    per = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["p_brand", "l_year"], ["rev"], num_buckets=8,
+    ).to_pandas()  # brands x years: dimension-sized
+    per = per.sort_values(["p_brand", "l_year"], ignore_index=True)
+    prev = per.groupby("p_brand")["rev"].shift(1)
+    prev_year = per.groupby("p_brand")["l_year"].shift(1)
+    consecutive = (per["l_year"] - prev_year) == 1
+    growth = np.where(
+        consecutive & prev.notna() & (prev != 0),
+        per["rev"].to_numpy(np.float64)
+        / np.where(prev.fillna(1) == 0, 1, prev.fillna(1)).astype(np.float64),
+        np.nan,
+    )
+    return ray.data.from_arrow(pa.table({
+        "p_brand": pa.array(per["p_brand"]),
+        "l_year": pa.array(per["l_year"].to_numpy(np.int64)),
+        "revenue": pa.array(
+            round_sql(per["rev"].to_numpy(np.int64) / 10000.0), pa.float64()),
+        # 0.0 sentinel for first/non-consecutive years (NULL-free hashing)
+        "yoy_growth": pa.array(
+            round_sql(np.where(np.isnan(growth), 0.0, growth)),
+            pa.float64()),
+    }))
