@@ -417,6 +417,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Davies-Bouldin clustering quality (exact from one streaming
         # pass; numpy-replica pytest)
         "kmeans_db_index": S.kmeans_db_index,
+        # MMR diversified top-k re-ranking (distributed candidate stage +
+        # greedy on the candidate pool; numpy-replica pytest)
+        "mmr_topk": S.mmr_topk,
+        # greedy k-center (farthest-point) coreset selection, one
+        # distributed pass per round (numpy-replica pytest)
+        "kcenter_coreset": S.kcenter_coreset,
+        # simplified silhouette per k-means cluster (numpy-replica pytest)
+        "silhouette_kmeans": S.silhouette_kmeans,
         # first-fit-decreasing sequence packing per hash shard (exact
         # FFD parity pytest; no SQL form)
         "pack_bins_ffd": TX.pack_bins_ffd,

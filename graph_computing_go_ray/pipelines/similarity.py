@@ -1017,3 +1017,165 @@ def kmeans_db_index(
         "db_component": np.round(db_i, 6),
         "db_index": np.round(np.full(k, db), 6),
     })
+
+
+def mmr_topk(sf_dir: str, n_candidates: int = 100, k: int = 10,
+             lam: float = 0.7) -> pd.DataFrame:
+    """Maximal Marginal Relevance diversified top-k — the
+    relevance-vs-redundancy re-ranking step of retrieval / data-selection
+    pipelines. Stage 1 is distributed: brute cosine against the broadcast
+    query with per-batch partial top-``n_candidates`` (each partial carries
+    its candidate vectors, so the driver never touches the full matrix);
+    stage 2 runs the inherently sequential greedy on the tiny candidate
+    pool. Ties break to the lowest vec_id everywhere.
+
+    Tests assert exact parity with a single-process numpy replica
+    (tests/test_quantile_cluster.py)."""
+    _, qm = _query_matrix(sf_dir, 1)
+    q = qm[0]
+    qref = ray.put(q)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _emb_to_np(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ qv
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:n_candidates]
+        return pa.table({
+            "vec_id": pa.array(ids[order]),
+            "sim": pa.array(sims[order]),
+            "emb": pa.array(list(m[order]), pa.list_(pa.float64())),
+        })
+
+    cand = emb.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cand["vec_id"].to_numpy(), -cand["sim"].to_numpy()))
+    cand = cand.iloc[order[:n_candidates]].reset_index(drop=True)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    sims = cand["sim"].to_numpy()
+    mat = np.array(cand["emb"].to_list(), np.float64)
+
+    selected: list[int] = []
+    scores: list[float] = []
+    chosen = np.zeros(len(ids), bool)
+    for _ in range(min(k, len(ids))):
+        if selected:
+            red = (mat @ mat[selected].T).max(axis=1)
+        else:
+            red = np.zeros(len(ids))
+        mmr = lam * sims - (1.0 - lam) * red
+        mmr[chosen] = -np.inf
+        # argmax with vec_id tie-break
+        best = np.lexsort((ids, -mmr))[0]
+        selected.append(int(best))
+        chosen[best] = True
+        scores.append(float(mmr[best]))
+
+    return pd.DataFrame({
+        "rank": np.arange(len(selected), dtype=np.int64),
+        "vec_id": ids[selected],
+        "mmr_score": np.round(scores, ROUND),
+    })
+
+
+def kcenter_coreset(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    2-approximation used to pick maximally-spread exemplars for training
+    subsets. Each of the k-1 rounds is ONE distributed pass: every batch
+    reports its farthest-from-current-centers point (max min-distance,
+    vec_id tie-break) plus that point's vector; the driver keeps the global
+    winner. Centers stay a k-row broadcast. First center = lowest vec_id.
+
+    Tests assert exact parity with a numpy replica."""
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]).materialize()
+
+    def seed_row(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        m = _emb_to_np(t["embedding"])
+        return pa.table({
+            "vec_id": pa.array([ids[i]]),
+            "emb": pa.array([m[i]], pa.list_(pa.float64())),
+        })
+
+    seeds = emb.map_batches(seed_row, batch_format="pyarrow").to_pandas()
+    s0 = seeds.loc[seeds["vec_id"].idxmin()]
+    centers = [np.asarray(s0["emb"], np.float64)]
+    out_ids = [int(s0["vec_id"])]
+    radii = [0.0]
+
+    for _ in range(k - 1):
+        cref = ray.put(np.stack(centers))
+
+        def far(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _emb_to_np(t["embedding"])
+            d2 = ((m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T)
+                  + (c * c).sum(axis=1)[None, :])
+            mind = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            j = np.lexsort((ids, -mind))[0]
+            return pa.table({
+                "vec_id": pa.array([ids[j]]),
+                "d": pa.array([mind[j]]),
+                "emb": pa.array([m[j]], pa.list_(pa.float64())),
+            })
+
+        got = emb.map_batches(far, batch_format="pyarrow").to_pandas()
+        j = np.lexsort((got["vec_id"].to_numpy(), -got["d"].to_numpy()))[0]
+        row = got.iloc[j]
+        centers.append(np.asarray(row["emb"], np.float64))
+        out_ids.append(int(row["vec_id"]))
+        radii.append(float(row["d"]))
+
+    return pd.DataFrame({
+        "round": np.arange(len(out_ids), dtype=np.int64),
+        "vec_id": np.asarray(out_ids, np.int64),
+        "radius": np.round(radii, ROUND),
+    })
+
+
+def silhouette_kmeans(sf_dir: str, n_clusters: int = 8, n_iters: int = 10,
+                      seed: int = 13) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cluster:
+    a = distance to own centroid, b = nearest other centroid,
+    s = (b - a) / max(a, b). Reuses the exact _kmeans_fit centroids, then
+    ONE streaming pass of per-batch (cluster, sum_s, n) partials — the
+    cluster-quality audit of an embedding-curation run at any scale.
+
+    Tests assert parity with a numpy replica sharing the fit."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = _kmeans_fit(emb, n_clusters, n_iters, seed, 65536)
+    ref = ray.put(cent)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _emb_to_np(t["embedding"])
+        d2 = ((m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T)
+              + (c * c).sum(axis=1)[None, :])
+        d = np.sqrt(np.maximum(d2, 0.0))
+        a_idx = d.argmin(axis=1)
+        n = len(a_idx)
+        a = d[np.arange(n), a_idx]
+        d[np.arange(n), a_idx] = np.inf
+        b = d.min(axis=1)
+        denom = np.maximum(np.maximum(a, b), 1e-300)
+        s = (b - a) / denom
+        ks, inv = np.unique(a_idx, return_inverse=True)
+        return pa.table({
+            "cluster": pa.array(ks.astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=s)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("cluster", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+    return pd.DataFrame({
+        "cluster": agg["cluster"].to_numpy(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+        "mean_silhouette": np.round(agg["s"].to_numpy() / agg["n"].to_numpy(),
+                                    ROUND),
+    })

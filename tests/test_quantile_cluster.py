@@ -154,3 +154,85 @@ def test_round_sql_half_away_parity():
         want = con.execute(
             f"select round(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
         assert round_sql(np.array([v]))[0] == want, v
+
+
+# ---------------------------------------------------------------- embeddings
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_matrix():
+    t = pq.read_table(SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], m[order]
+
+
+def test_mmr_topk_numpy_parity():
+    from graph_computing_go_ray.pipelines.similarity import mmr_topk
+
+    got = mmr_topk(SF, n_candidates=50, k=8, lam=0.7)
+
+    ids, m = _emb_matrix()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = mn[ids == 0][0]
+    sims = mn @ q
+    order = np.lexsort((ids, -sims))[:50]
+    cid, csim, cm = ids[order], sims[order], mn[order]
+    sel, chosen = [], np.zeros(len(cid), bool)
+    want_scores = []
+    for _ in range(8):
+        red = (cm @ cm[sel].T).max(axis=1) if sel else np.zeros(len(cid))
+        mmr = 0.7 * csim - 0.3 * red
+        mmr[chosen] = -np.inf
+        b = np.lexsort((cid, -mmr))[0]
+        sel.append(int(b)); chosen[b] = True
+        want_scores.append(mmr[b])
+    assert list(got["vec_id"]) == [int(cid[i]) for i in sel]
+    assert np.allclose(got["mmr_score"], np.round(want_scores, 6), atol=1e-9)
+
+
+def test_kcenter_coreset_numpy_parity():
+    from graph_computing_go_ray.pipelines.similarity import kcenter_coreset
+
+    got = kcenter_coreset(SF, k=6)
+
+    ids, m = _emb_matrix()
+    sel = [int(np.argmin(ids))]
+    radii = [0.0]
+    for _ in range(5):
+        d = np.sqrt(np.maximum(
+            ((m[:, None, :] - m[sel][None, :, :]) ** 2).sum(axis=2), 0
+        )).min(axis=1)
+        j = np.lexsort((ids, -d))[0]
+        sel.append(int(j)); radii.append(float(d[j]))
+    assert list(got["vec_id"]) == [int(ids[i]) for i in sel]
+    assert np.allclose(got["radius"], np.round(radii, 6), atol=1e-9)
+
+
+def test_silhouette_kmeans_replica_parity():
+    from graph_computing_go_ray.pipelines.similarity import (
+        _kmeans_fit, silhouette_kmeans)
+    from graph_computing_go_ray.sources.readers import read_table
+
+    got = silhouette_kmeans(SF, n_clusters=5, n_iters=4, seed=13)
+
+    emb = read_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    cent = _kmeans_fit(emb, 5, 4, 13, 65536)
+    _, m = _emb_matrix()
+    d = np.sqrt(np.maximum(
+        (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :], 0))
+    a_idx = d.argmin(axis=1)
+    a = d[np.arange(len(m)), a_idx]
+    d[np.arange(len(m)), a_idx] = np.inf
+    b = d.min(axis=1)
+    s = (b - a) / np.maximum(np.maximum(a, b), 1e-300)
+    for _, r in got.iterrows():
+        mask = a_idx == r["cluster"]
+        assert int(r["n"]) == int(mask.sum())
+        assert abs(r["mean_silhouette"] - round(float(s[mask].mean()), 6)) < 1e-9
+    # well-formed: every vector assigned, silhouette in [-1, 1]
+    assert got["n"].sum() == len(m)
+    assert (got["mean_silhouette"].abs() <= 1.0).all()
