@@ -434,6 +434,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": C.bpe_train,
         # tokenizer application: per-doc raw vs BPE token counts
         "bpe_apply": C.bpe_apply,
+        # --- round-3 session-2 additions (below the driver window;
+        # verified by the repo's own driver-replica sweep) ---
+        # TPC-H Q6-shape one-pass filter+sum revenue forecast (SQL oracle)
+        "simple_filter_revenue": R.simple_filter_revenue,
+        # TPC-H Q9-shape profit by supplier nation x ship year (SQL oracle)
+        "profit_by_nation_year": R.profit_by_nation_year,
+        # TPC-H Q16-shape distinct-supplier count per part class (SQL oracle)
+        "supplier_cnt_by_part": R.supplier_cnt_by_part,
+        # TPC-H Q20-shape excess-stock supplier selection (SQL oracle)
+        "excess_suppliers": R.excess_suppliers,
+        # TPC-H Q21-shape unique-latest-shipper blame count (SQL oracle)
+        "last_shipper_blame": R.last_shipper_blame,
     }
 
 
@@ -2413,5 +2425,71 @@ def oracle_sql() -> dict[str, str]:
             "FROM dots JOIN norms na ON va = na.vec_id "
             "JOIN norms nb ON vb = nb.vec_id "
             "WHERE d / (na.n * nb.n) >= 0.35"
+        ),
+        "simple_filter_revenue": (
+            "SELECT round(CAST(COALESCE(sum("
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "  CAST(round(l_discount * 100) AS BIGINT)), 0) AS DOUBLE) "
+            "  / 10000, 6) AS revenue, count(*) AS n_items "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        "profit_by_nation_year": (
+            "SELECT n_name AS nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS o_year, "
+            "round(CAST(sum("
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "  (100 - CAST(round(l_discount * 100) AS BIGINT)) - "
+            "  CAST(round(p_retailprice * 100) AS BIGINT) * "
+            "  CAST(round(l_quantity) AS BIGINT) * 100) AS DOUBLE) "
+            "  / 10000, 6) AS sum_profit "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE '%widget%' GROUP BY 1, 2"
+        ),
+        "supplier_cnt_by_part": (
+            "SELECT p_brand, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_size <= 25 GROUP BY 1, 2"
+        ),
+        "excess_suppliers": (
+            "WITH m AS (SELECT l_suppkey, l_shipdate, "
+            "  CAST(round(l_quantity * 100) AS BIGINT) AS q "
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "  WHERE p_name LIKE '%gear%'), "
+            "agg AS (SELECT l_suppkey, "
+            "  sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' "
+            "    AND l_shipdate < TIMESTAMP '1997-01-01' THEN q ELSE 0 END) "
+            "    AS qty_year, "
+            "  sum(q) AS qty_all, "
+            "  count(DISTINCT year(l_shipdate)) AS n_years "
+            "  FROM m GROUP BY l_suppkey) "
+            "SELECT s_name, n_name FROM agg "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE CAST(qty_year AS DOUBLE) > "
+            "1.1 * (CAST(qty_all AS DOUBLE) / CAST(n_years AS DOUBLE))"
+        ),
+        "last_shipper_blame": (
+            "WITH ps AS (SELECT l_orderkey, l_suppkey, "
+            "  max(l_shipdate) AS sd FROM lineitem "
+            "  JOIN orders ON o_orderkey = l_orderkey "
+            "  WHERE o_orderstatus = 'F' GROUP BY 1, 2), "
+            "w AS (SELECT l_orderkey, l_suppkey, sd, "
+            "  max(sd) OVER (PARTITION BY l_orderkey) AS omax, "
+            "  count(*) OVER (PARTITION BY l_orderkey) AS nsupp FROM ps), "
+            "v AS (SELECT *, sum(CASE WHEN sd = omax THEN 1 ELSE 0 END) "
+            "  OVER (PARTITION BY l_orderkey) AS natmax FROM w), "
+            "cnt AS (SELECT l_suppkey, count(*) AS numwait FROM v "
+            "  WHERE nsupp >= 2 AND sd = omax AND natmax = 1 "
+            "  GROUP BY l_suppkey) "
+            "SELECT s_name, numwait FROM cnt "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "ORDER BY numwait DESC, l_suppkey LIMIT 50"
         ),
     }

@@ -2949,3 +2949,312 @@ def brand_yoy_growth(sf_dir: str) -> Dataset:
             round_sql(np.where(np.isnan(growth), 0.0, growth)),
             pa.float64()),
     }))
+
+
+# ------------------------------------------------- remaining TPC-H shapes
+def simple_filter_revenue(sf_dir: str, year: int = 1996,
+                          disc_lo: float = 0.05, disc_hi: float = 0.07,
+                          max_qty: float = 24.0) -> Dataset:
+    """TPC-H Q6-shape forecasting-revenue-change: one vectorized
+    filter+sum pass over lineitem (shipdate year, discount band, quantity
+    cap), exact scaled-int64 accumulation, no join and no shuffle — the
+    partial sums are one tiny row per block folded by Dataset.sum."""
+    from .textstats import round_sql
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+    dlo = int(round(disc_lo * 100))
+    dhi = int(round(disc_hi * 100))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (sd >= lo) & (sd < hi) & (disc >= dlo) & (disc <= dhi) \
+            & (qty < max_qty)
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)[keep]
+        return pa.table({"rev": pa.array([int((price * disc[keep]).sum())]),
+                         "n": pa.array([int(keep.sum())])})
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    tot = p.sum(["rev", "n"])
+    rev = int(tot["sum(rev)"] or 0) if tot else 0
+    n = int(tot["sum(n)"] or 0) if tot else 0
+    return ray.data.from_arrow(pa.table({
+        "revenue": pa.array([float(round_sql(np.array([rev / 10000.0]))[0])],
+                            pa.float64()),
+        "n_items": pa.array([n], pa.int64()),
+    }))
+
+
+def profit_by_nation_year(sf_dir: str, part_like: str = "widget") -> Dataset:
+    """TPC-H Q9-shape product-type profit: for parts whose name contains
+    ``part_like``, profit = discounted revenue minus retail cost
+    (p_retailprice x quantity stands in for ps_supplycost — no partsupp
+    table in the harness), grouped by supplier nation and ship year.
+
+    Shape notes for 10^12 rows: the part filter shrinks the fact stream
+    FIRST (adaptive inner join drops non-matching lineitems), the supplier
+    and nation hops are dimension attaches, and profit accumulates as
+    exact scaled int64 per (nation, year) via one bucketed exchange."""
+    from ..engine.join import adaptive_map_join, bucket_grouped_sum
+    from .textstats import round_sql
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name",
+                                                "p_retailprice"])
+    parts = parts.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], part_like))
+        .select(["p_partkey", "p_retailprice"]),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_shipdate",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+    j = adaptive_map_join(li, parts, on="l_partkey", key_col="p_partkey",
+                          val_cols=["p_retailprice"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = adaptive_map_join(j, sup, on="l_suppkey", key_col="s_suppkey",
+                          val_cols=["s_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        price = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        cost = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                       * 100.0).astype(np.int64)
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      ).astype(np.int64)
+        # both terms scaled to 1e-4 currency units
+        amount = price * (100 - disc) - cost * qty * 100
+        return pa.table({
+            "s_nationkey": pa.array(
+                t["s_nationkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "o_year": pa.array(yr),
+            "amt": pa.array(amount),
+        })
+
+    per = bucket_grouped_sum(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["s_nationkey", "o_year"], ["amt"], num_buckets=8,
+    )
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "nation": pa.array([name_of[int(x)] for x in nk]),
+            "o_year": t["o_year"],
+            "sum_profit": pa.array(round_sql(
+                t["amt"].to_numpy(zero_copy_only=False) / 10000.0),
+                pa.float64()),
+        })
+
+    return per.map_batches(fin, batch_format="pyarrow")
+
+
+def supplier_cnt_by_part(sf_dir: str, excl_brand: str = "Brand#1",
+                         max_size: int = 25) -> Dataset:
+    """TPC-H Q16-shape supplier-relationship count: distinct suppliers who
+    shipped each (p_brand, p_size) class, excluding one brand and large
+    sizes (no partsupp table — the lineitem fact stands in for it).
+
+    COUNT DISTINCT distributes as: project (partkey, suppkey), exact
+    distinct via one bucketed exchange on partkey, attach part attrs, then
+    a second distinct on (brand, size, suppkey) before the grouped count —
+    no supplier- or part-scale state ever broadcasts past the dim limit."""
+    from ..engine.join import adaptive_map_join, bucket_grouped
+
+    parts = read_table(sf_dir, "part",
+                       columns=["p_partkey", "p_brand", "p_size"])
+    parts = parts.map_batches(
+        lambda t: t.filter(
+            pa.array((t["p_brand"].to_numpy(zero_copy_only=False)
+                      != excl_brand)
+                     & (t["p_size"].to_numpy(zero_copy_only=False)
+                        <= max_size))),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    j = adaptive_map_join(li, parts, on="l_partkey", key_col="p_partkey",
+                          val_cols=["p_brand", "p_size"])
+
+    def distinct_cnt(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p_brand", "p_size", "l_suppkey"])
+        out = d.groupby(["p_brand", "p_size"], as_index=False).size()
+        return out.rename(columns={"size": "supplier_cnt"})
+
+    per = bucket_grouped(
+        j.select_columns(["p_brand", "p_size", "l_suppkey"]),
+        ["p_brand"], distinct_cnt, num_buckets=8,
+    )
+    # p_brand is the bucket key, so each (brand, size) group lands whole
+    # in one bucket task: the partial counts are already final.
+    return per.map_batches(
+        lambda t: pa.table({
+            "p_brand": t["p_brand"], "p_size": t["p_size"],
+            "supplier_cnt": pc.cast(t["supplier_cnt"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def excess_suppliers(sf_dir: str, part_like: str = "gear",
+                     year: int = 1996, qty_factor: float = 1.1) -> Dataset:
+    """TPC-H Q20-shape excess-stock suppliers: suppliers whose shipped
+    quantity of name-matched parts during one year exceeds ``qty_factor``
+    x their own all-time average yearly quantity of those parts (the
+    availqty predicate, re-anchored on shipment history since the harness
+    has no partsupp). Emits (s_name, n_name) for qualifying suppliers.
+
+    Both aggregates fold per (suppkey) through ONE bucketed exchange: the
+    year total and the all-year total ride the same partial row, so the
+    self-comparison never re-scans lineitem."""
+    from ..engine.join import (adaptive_map_join, bucket_grouped,
+                               bucket_grouped_sum, bucket_join)
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    parts = parts.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], part_like))
+        .select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_shipdate",
+                             "l_quantity"])
+    j = adaptive_map_join(li, parts, on="l_partkey", key_col="p_partkey",
+                          val_cols=[])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        qty = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        in_year = (sd >= lo) & (sd < hi)
+        yr = sd.astype("datetime64[Y]").astype(np.int64)
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "qty_year": pa.array(np.where(in_year, qty, 0)),
+            "qty_all": pa.array(qty),
+            # one (supp, year) marker per row for the distinct-year count
+            "yr": pa.array(yr),
+        })
+
+    rows = j.map_batches(partial, batch_format="pyarrow")
+    per = bucket_grouped_sum(
+        rows.select_columns(["l_suppkey", "qty_year", "qty_all"]),
+        ["l_suppkey"], ["qty_year", "qty_all"], num_buckets=8,
+    )
+    # distinct ship-years per supplier (for the yearly average)
+    def year_cnt(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_suppkey", "yr"])
+        out = d.groupby("l_suppkey", as_index=False).size()
+        return out.rename(columns={"size": "n_years"})
+
+    years = bucket_grouped(rows.select_columns(["l_suppkey", "yr"]),
+                           ["l_suppkey"], year_cnt, num_buckets=8)
+    both = bucket_join(per, years, on="l_suppkey", right_on="l_suppkey",
+                       how="inner", num_buckets=8)
+
+    def qualify(t: pa.Table) -> pa.Table:
+        qy = t["qty_year"].to_numpy(zero_copy_only=False).astype(np.float64)
+        qa = t["qty_all"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ny = t["n_years"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = qy > qty_factor * (qa / np.maximum(ny, 1.0))
+        return t.filter(pa.array(keep)).select(["l_suppkey"])
+
+    winners = both.map_batches(qualify, batch_format="pyarrow")
+    sup = read_table(sf_dir, "supplier",
+                     columns=["s_suppkey", "s_name", "s_nationkey"])
+    j2 = adaptive_map_join(winners, sup, on="l_suppkey", key_col="s_suppkey",
+                           val_cols=["s_name", "s_nationkey"])
+    nat = read_table(sf_dir, "nation",
+                     columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_name": t["s_name"],
+            "n_name": pa.array([name_of[int(x)] for x in nk]),
+        })
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def last_shipper_blame(sf_dir: str, k: int = 50) -> Dataset:
+    """TPC-H Q21-shape waiting-orders blame: on finished ('F') orders
+    shipped by at least two distinct suppliers, charge the order to the
+    UNIQUE latest-shipping supplier (no blame when the max ship date is
+    tied across suppliers — the exists/not-exists pair of Q21, re-anchored
+    on l_shipdate since the harness has no commit/receipt dates). Returns
+    the top-k suppliers by blamed-order count.
+
+    One bucketed exchange on orderkey co-locates each order's lines; the
+    per-order verdict is a vectorized groupby inside the bucket task
+    (orders are small groups — skew bounded by max lines per order)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = adaptive_map_join(li, orders, on="l_orderkey", key_col="o_orderkey",
+                          val_cols=[])
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        # per (order, supplier) latest ship date
+        ps = g.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "l_shipdate"].max()
+        grp = ps.groupby("l_orderkey")["l_shipdate"]
+        omax = grp.transform("max")
+        nsupp = ps.groupby("l_orderkey")["l_suppkey"].transform("size")
+        at_max = ps["l_shipdate"] == omax
+        n_at_max = ps.assign(am=at_max).groupby("l_orderkey")[
+            "am"].transform("sum")
+        blamed = ps[(nsupp >= 2) & at_max & (n_at_max == 1)]
+        out = blamed.groupby("l_suppkey", as_index=False).size()
+        return out.rename(columns={"size": "numwait"})
+
+    per = bucket_grouped(j, ["l_orderkey"], blame, num_buckets=8)
+    # suppliers may appear in several orderkey buckets: one more fold
+    from ..engine.join import bucket_grouped_sum
+    tot = bucket_grouped_sum(per, ["l_suppkey"], ["numwait"], num_buckets=8)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["numwait", "l_suppkey"],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = tot.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(["numwait", "l_suppkey"],
+                               ascending=[False, True]).head(k)
+    winners = ray.data.from_arrow(pa.table({
+        "l_suppkey": pa.array(top["l_suppkey"].to_numpy(np.int64)),
+        "numwait": pa.array(top["numwait"].to_numpy(np.int64)),
+    }))
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    j2 = adaptive_map_join(winners, sup, on="l_suppkey", key_col="s_suppkey",
+                           val_cols=["s_name"])
+    return j2.map_batches(
+        lambda t: pa.table({"s_name": t["s_name"],
+                            "numwait": pc.cast(t["numwait"], pa.int64())}),
+        batch_format="pyarrow",
+    )
