@@ -446,6 +446,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "excess_suppliers": R.excess_suppliers,
         # TPC-H Q21-shape unique-latest-shipper blame count (SQL oracle)
         "last_shipper_blame": R.last_shipper_blame,
+        # 1-WL color refinement fingerprint (exact numpy-replica pytest)
+        "wl_colors_cooccur": G.wl_colors_cooccur,
+        # random-walk hitting times, fixed-round Jacobi (replica +
+        # exact-linear-solve pytest)
+        "hitting_time_cooccur": G.hitting_time_cooccur,
     }
 
 

@@ -1570,3 +1570,37 @@ def degree_gini(sf_dir: str) -> pd.DataFrame:
         "n_vertices": n, "sum_degree": s,
         "gini": float(round_sql(np.array([gini]))[0]),
     }])
+
+
+def wl_colors_cooccur(sf_dir: str, rounds: int = 3) -> Dataset:
+    """1-WL color refinement over the part co-occurrence graph
+    (engine/wl.py): (id, color) after `rounds` rounds — the structural
+    fingerprint / isomorphism-invariant partition. Exact numpy-replica
+    parity pytest in tests/test_graph_extras.py; the driver row is
+    rows-only (colors are 63-bit hashes, no SQL form)."""
+    from ..engine.wl import wl_colors
+
+    out, _info = wl_colors(
+        cooccur_edge_ds(sf_dir), _workdir(sf_dir, f"wl{rounds}"),
+        rounds=rounds, num_parts=8,
+    )
+    return out
+
+
+def hitting_time_cooccur(sf_dir: str, target_mod: int = 8,
+                         rounds: int = 80) -> Dataset:
+    """Expected random-walk hitting time to the target set
+    {id % target_mod == 0} on the part co-occurrence graph
+    (engine/hitting.py, fixed-round Jacobi). (id, hitting_time); -1.0 for
+    vertices that did not converge within the round budget (isolated or
+    target-free components). Same-round numpy-replica parity +
+    exact-linear-solve sanity pytest in tests/test_graph_extras.py."""
+    from ..engine.hitting import hitting_times
+
+    edges = cooccur_edge_ds(sf_dir)
+    out, _info = hitting_times(
+        edges, None,
+        _workdir(sf_dir, f"hitc-m{target_mod}-r{rounds}"),
+        rounds=rounds, num_parts=8, target_mod=target_mod,
+    )
+    return out

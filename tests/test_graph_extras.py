@@ -1201,3 +1201,67 @@ def test_citation_depth_matches_dp_replica():
         if dv > 0:
             assert i in gd, f"work {i} with depth {dv} missing from output"
     assert max(exp.values()) >= 3  # fixture produces real chains
+
+
+def test_wl_colors_matches_numpy_replica(graph):
+    """Distributed 1-WL refinement == exact in-process replica (integer
+    hashing: equality is exact), plus refinement-invariant sanity."""
+    from graph_computing_go_ray.engine.wl import wl_colors, wl_replica
+
+    edges_pd, eds, root = graph
+    out, info = wl_colors(eds, os.path.join(root, "wl"), rounds=3,
+                          num_parts=4)
+    got = out.to_pandas().sort_values("id", ignore_index=True)
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    want = wl_replica(edges_pd["src"].to_numpy(), edges_pd["dst"].to_numpy(),
+                      ids, rounds=3)
+    assert (got["id"].to_numpy() == ids).all()
+    assert (got["color"].to_numpy() == want).all()
+    # refinement property: round-3 classes refine round-1 classes (two
+    # vertices with equal round-3 color had equal round-1 color)
+    want1 = wl_replica(edges_pd["src"].to_numpy(), edges_pd["dst"].to_numpy(),
+                       ids, rounds=1)
+    c3 = got["color"].to_numpy()
+    for col in np.unique(c3):
+        assert len(np.unique(want1[c3 == col])) == 1
+
+
+def test_hitting_time_matches_replica_and_exact_solve(graph):
+    """Fixed-round Jacobi hitting times: distributed == same-round numpy
+    replica (1e-7), and converged vertices near the exact linear solve."""
+    from graph_computing_go_ray.engine.hitting import (hitting_replica,
+                                                       hitting_times)
+
+    edges_pd, eds, root = graph
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    targets = ids[ids % 7 == 0]
+    out, info = hitting_times(eds, targets, os.path.join(root, "hit"),
+                              rounds=80, num_parts=4)
+    got = out.to_pandas().sort_values("id", ignore_index=True)
+    want = hitting_replica(edges_pd["src"].to_numpy(),
+                           edges_pd["dst"].to_numpy(), ids, targets,
+                           rounds=80)
+    assert (got["id"].to_numpy() == ids).all()
+    g = got["hitting_time"].to_numpy()
+    # sentinels agree exactly; values agree to float-summation-order noise
+    assert ((g < 0) == (want < 0)).all()
+    m = g >= 0
+    assert np.allclose(g[m], want[m], rtol=1e-7, atol=1e-7)
+    # exact solve on the symmetrized multigraph, T-component only
+    s = np.concatenate([edges_pd["src"], edges_pd["dst"]])
+    d = np.concatenate([edges_pd["dst"], edges_pd["src"]])
+    pos = {v: i for i, v in enumerate(ids)}
+    si = np.array([pos[v] for v in s]); di = np.array([pos[v] for v in d])
+    n = len(ids)
+    A = np.zeros((n, n))
+    np.add.at(A, (di, si), 1.0)  # A[v,u] += 1 for u->v message
+    deg = A.sum(axis=1)
+    is_t = np.isin(ids, targets)
+    free = ~is_t & (deg > 0)
+    P = A[np.ix_(free, free)] / deg[free][:, None]
+    h_free = np.linalg.solve(np.eye(free.sum()) - P, np.ones(free.sum()))
+    exact = np.zeros(n); exact[free] = h_free
+    conv = m & (np.abs(g) >= 0)  # converged per sentinel rule
+    # only compare where Jacobi had actually settled
+    assert np.allclose(g[conv & free], exact[conv & free], atol=0.5)
+    assert (g[is_t] == 0.0).all()
