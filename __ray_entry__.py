@@ -446,6 +446,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "excess_suppliers": R.excess_suppliers,
         # TPC-H Q21-shape unique-latest-shipper blame count (SQL oracle)
         "last_shipper_blame": R.last_shipper_blame,
+        # first-touch session attribution of purchase value (SQL oracle)
+        "attribution_revenue": R.attribution_revenue,
+        # per-type daily count z-score anomalies (SQL oracle)
+        "event_daily_anomaly": R.event_daily_anomaly,
+        # Flesch-style readability signals per document (SQL oracle)
+        "readability_scores": TX.readability_scores,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2496,5 +2502,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_name, numwait FROM cnt "
             "JOIN supplier ON s_suppkey = l_suppkey "
             "ORDER BY numwait DESC, l_suppkey LIMIT 50"
+        ),
+        "attribution_revenue": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, value, "
+            "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "  FROM o), "
+            "f AS (SELECT user_id, sess, event_type AS first_type FROM ("
+            "  SELECT user_id, sess, event_type, row_number() OVER ("
+            "  PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn "
+            "  FROM s) WHERE rn = 1), "
+            "p AS (SELECT user_id, sess, "
+            "  sum(CAST(round(value * 100) AS BIGINT)) AS v, "
+            "  count(*) AS np FROM s WHERE event_type = 'purchase' "
+            "  GROUP BY 1, 2) "
+            "SELECT first_type AS event_type, "
+            "round(CAST(COALESCE(sum(v), 0) AS DOUBLE) / 100, 6) "
+            "  AS attributed_value, "
+            "CAST(COALESCE(sum(np), 0) AS BIGINT) AS n_purchases "
+            "FROM f LEFT JOIN p USING (user_id, sess) GROUP BY 1"
+        ),
+        "event_daily_anomaly": (
+            "WITH d AS (SELECT event_type, "
+            "  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS cnt "
+            "  FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, avg(CAST(cnt AS DOUBLE)) AS mu, "
+            "  stddev_samp(CAST(cnt AS DOUBLE)) AS sd, count(*) AS n "
+            "  FROM d GROUP BY 1) "
+            "SELECT d.event_type, day, cnt, "
+            "round((CAST(cnt AS DOUBLE) - mu) / sd, 6) AS z "
+            "FROM d JOIN s ON d.event_type = s.event_type "
+            "WHERE n >= 2 AND sd > 0 "
+            "AND abs((CAST(cnt AS DOUBLE) - mu) / sd) > 2"
+        ),
+        "readability_scores": (
+            "SELECT doc_id, n_words, n_sentences, n_syllables, "
+            "round(206.835 - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE) "
+            "  / CAST(greatest(n_sentences, 1) AS DOUBLE)) "
+            "  - 84.6 * (CAST(n_syllables AS DOUBLE) "
+            "  / CAST(greatest(n_words, 1) AS DOUBLE)), 6) AS flesch "
+            "FROM (SELECT doc_id, "
+            "  len(regexp_extract_all(text, '\\S+')) AS n_words, "
+            "  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences, "
+            "  len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syllables "
+            "  FROM documents)"
         ),
     }

@@ -3258,3 +3258,106 @@ def last_shipper_blame(sf_dir: str, k: int = 50) -> Dataset:
                             "numwait": pc.cast(t["numwait"], pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def attribution_revenue(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """First-touch attribution: sessionize each user's events (30-min
+    gap), then attribute every session's purchase value to the FIRST
+    event_type of that session. (event_type, attributed_value,
+    n_purchases) over ALL sessions (zero rows for types that never open
+    a converting session only if the type never opens any session).
+
+    Users are hash-bucketed; inside a bucket the whole sessionize +
+    first-event + purchase-sum chain is one vectorized pandas pass (sort,
+    grouped diff, cumsum). Partial per-type rows fold in one tiny final
+    exchange — the fact table crosses the wire once."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type",
+                             "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_s = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        g = g.assign(sess=new_s.groupby(g["user_id"]).cumsum())
+        first = g.drop_duplicates(["user_id", "sess"])[
+            ["user_id", "sess", "event_type"]].rename(
+            columns={"event_type": "first_type"})
+        pur = g[g["event_type"] == "purchase"]
+        v = (pur["value"] * 100).round().astype("int64")
+        ps = (pur.assign(v=v).groupby(["user_id", "sess"], as_index=False)
+              .agg(v=("v", "sum"), np_=("v", "size")))
+        m = first.merge(ps, on=["user_id", "sess"], how="left")
+        m[["v", "np_"]] = m[["v", "np_"]].fillna(0).astype("int64")
+        return (m.groupby("first_type", as_index=False)
+                .agg(v=("v", "sum"), np_=("np_", "sum")))
+
+    partial = bucket_grouped(ev, ["user_id"], per_bucket,
+                             num_buckets=default_num_buckets())
+    out = partial.groupby("first_type").aggregate(
+        Sum("v", alias_name="v"), Sum("np_", alias_name="np_"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["first_type"],
+            "attributed_value": pa.array(round_sql(
+                t["v"].to_numpy(zero_copy_only=False) / 100.0), pa.float64()),
+            "n_purchases": pc.cast(t["np_"], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def event_daily_anomaly(sf_dir: str, z_thresh: float = 2.0) -> Dataset:
+    """Daily event-count anomalies per event_type: days where the count's
+    z-score against that type's own daily distribution exceeds
+    ``z_thresh`` in absolute value. (event_type, day, cnt, z).
+
+    Daily counts pre-aggregate per block, fold through one small
+    exchange; the (type x day) table is dimension-sized (days x ~5
+    types), so the z computation is a driver-side numpy pass — the same
+    shape at any corpus scale because days don't grow with rows."""
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        df = pd.DataFrame({"event_type":
+                           t["event_type"].to_numpy(zero_copy_only=False),
+                           "day": day})
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "cnt"}), preserve_index=False)
+
+    d = (ev.map_batches(daily, batch_format="pyarrow")
+         .groupby(["event_type", "day"])
+         .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    rows = []
+    for et, g in d.groupby("event_type"):
+        x = g["cnt"].to_numpy(np.float64)
+        n = len(x)
+        if n < 2:
+            continue
+        mu = x.mean()
+        sd = math.sqrt(((x - mu) ** 2).sum() / (n - 1))
+        if sd <= 0:
+            continue
+        z = (x - mu) / sd
+        keep = np.abs(z) > z_thresh
+        gg = g.loc[keep]
+        rows.append(pd.DataFrame({
+            "event_type": gg["event_type"].to_numpy(),
+            "day": gg["day"].to_numpy().astype("datetime64[us]"),
+            "cnt": gg["cnt"].to_numpy(np.int64),
+            "z": round_sql(z[keep]),
+        }))
+    out = (pd.concat(rows, ignore_index=True) if rows
+           else pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                              "day": pd.Series([], dtype="datetime64[us]"),
+                              "cnt": pd.Series([], dtype="int64"),
+                              "z": pd.Series([], dtype="float64")}))
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
