@@ -452,6 +452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_daily_anomaly": R.event_daily_anomaly,
         # Flesch-style readability signals per document (SQL oracle)
         "readability_scores": TX.readability_scores,
+        # embeddedness-0 edges of the co-occurrence graph (SQL oracle)
+        "local_bridges": G.local_bridges,
+        # chars-per-token fertility proxy by language (SQL oracle)
+        "lang_fertility": TX.lang_fertility,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2549,5 +2553,24 @@ def oracle_sql() -> dict[str, str]:
             "  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences, "
             "  len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS n_syllables "
             "  FROM documents)"
+        ),
+        "local_bridges": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "  FROM lineitem a JOIN lineitem b "
+            "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "und AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e) "
+            "SELECT u, v FROM e WHERE NOT EXISTS ("
+            "  SELECT 1 FROM und n1 JOIN und n2 "
+            "  ON n2.x = e.v AND n2.y = n1.y WHERE n1.x = e.u)"
+        ),
+        "lang_fertility": (
+            "WITH t AS (SELECT lang, "
+            "  len(regexp_extract_all(text, '\\S+')) AS nt, "
+            "  length(text) AS nc FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "CAST(sum(nt) AS BIGINT) AS total_tokens, "
+            "round(CAST(sum(nc) AS DOUBLE) / "
+            "  CAST(greatest(sum(nt), 1) AS DOUBLE), 6) AS chars_per_token "
+            "FROM t GROUP BY lang"
         ),
     }

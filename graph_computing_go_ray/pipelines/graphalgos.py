@@ -1604,3 +1604,57 @@ def hitting_time_cooccur(sf_dir: str, target_mod: int = 8,
         rounds=rounds, num_parts=8, target_mod=target_mod,
     )
     return out
+
+
+def local_bridges(sf_dir: str) -> "Dataset | pd.DataFrame":
+    """Local bridges of the part co-occurrence graph: edges whose
+    endpoints share NO common neighbor (embeddedness 0 — the
+    Easley-Kleinberg local-bridge definition). Computed as the edge set
+    anti-joined against the wedge-kernel common-neighbor edges
+    (engine/linkpred.common_neighbor_edges, the triangle-support
+    primitive); the anti-join is one bucketed hash join, never a
+    broadcast of the edge set. (u, v) rows."""
+    from ..engine.join import bucket_join
+    from ..engine.linkpred import common_neighbor_edges
+
+    edges = cooccur_edge_ds(sf_dir).rename_columns({"src": "u", "dst": "v"})
+    cn = common_neighbor_edges(edges.rename_columns({"u": "src", "v": "dst"}))
+    # pack (u,v) to one collision-free key for the anti-join bucket
+    # exchange — same 32-bit-id packing contract as linkpred._pack64
+    # (63-bit hashed ids would take a two-column merge inside the
+    # bucket groups instead)
+    def pack(t: pa.Table, a: str, b: str, extra: str | None) -> pa.Table:
+        u = t[a].to_numpy(zero_copy_only=False)
+        v = t[b].to_numpy(zero_copy_only=False)
+        key = ((u.astype(np.uint64) << np.uint64(32))
+               | v.astype(np.uint64)).view(np.int64)
+        cols = {"u": pa.array(u), "v": pa.array(v), "key": pa.array(key)}
+        if extra:
+            cols["cn"] = t[extra]
+        out = pa.table(cols)
+        return out
+
+    left = edges.map_batches(lambda t: pack(t, "u", "v", None),
+                             batch_format="pyarrow")
+    right = cn.map_batches(
+        lambda t: pack(t, "u", "v", "cn").select(["key", "cn"]),
+        batch_format="pyarrow")
+    j = bucket_join(left, right, on="key", right_on="key", how="left",
+                    num_buckets=8)
+
+    def keep_bridges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+        m = pac.is_null(t["cn"])
+        return t.filter(m).select(["u", "v"])
+
+    out = j.map_batches(keep_bridges, batch_format="pyarrow").materialize()
+    # a dense graph can have ZERO local bridges, and a Ray 2.49 Dataset
+    # cannot carry the schema of an all-empty pipeline (even
+    # from_arrow(typed 0-row table).to_pandas() comes back column-less)
+    # — fall back to a typed empty pandas frame, which the driver
+    # contract accepts. The materialize is bounded by the bridge count
+    # (bridges are the rare edges by definition).
+    if out.count() == 0:
+        return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                             "v": pd.Series([], dtype="int64")})
+    return out

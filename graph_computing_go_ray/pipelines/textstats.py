@@ -1054,3 +1054,43 @@ def readability_scores(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_fertility(sf_dir: str) -> Dataset:
+    """Per-language tokenizer-fertility proxy: characters per whitespace
+    token, doc and token totals. One projection-pruned scan with partial
+    (lang) sums per block; the exchange is language-dimension-sized."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = pc.count_substring_regex(t["text"], r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nc = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"lang": t["lang"].to_numpy(zero_copy_only=False),
+                           "nt": nt, "nc": nc})
+        out = df.groupby("lang", as_index=False).agg(
+            n_docs=("nt", "size"), total_tokens=("nt", "sum"),
+            total_chars=("nc", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens"),
+                      Sum("total_chars", alias_name="total_chars")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        tt = t["total_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "total_tokens": pc.cast(t["total_tokens"], pa.int64()),
+            "chars_per_token": pa.array(
+                round_sql(c / np.maximum(tt, 1.0)), pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
