@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_bridges": G.local_bridges,
         # chars-per-token fertility proxy by language (SQL oracle)
         "lang_fertility": TX.lang_fertility,
+        # signup→purchase conversion lag per weekly cohort (SQL oracle)
+        "time_to_conversion": R.time_to_conversion,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2572,5 +2574,29 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(nc) AS DOUBLE) / "
             "  CAST(greatest(sum(nt), 1) AS DOUBLE), 6) AS chars_per_token "
             "FROM t GROUP BY lang"
+        ),
+        "time_to_conversion": (
+            "WITH su AS (SELECT user_id, min(ts) AS ts_signup FROM events "
+            "  WHERE event_type = 'signup' GROUP BY 1), "
+            "conv AS (SELECT e.user_id, min(e.ts) AS ts_conv "
+            "  FROM events e JOIN su USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts >= su.ts_signup "
+            "  GROUP BY 1), "
+            "m AS (SELECT su.user_id, "
+            "  date_trunc('week', ts_signup) AS week, ts_signup, ts_conv "
+            "  FROM su LEFT JOIN conv USING (user_id)) "
+            "SELECT CAST(week AS TIMESTAMP) AS signup_week, "
+            "count(*) AS n_users, "
+            "CAST(sum(CASE WHEN ts_conv IS NOT NULL THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS n_converted, "
+            "round(CASE WHEN sum(CASE WHEN ts_conv IS NOT NULL THEN 1 "
+            "  ELSE 0 END) > 0 THEN "
+            "  (CAST(sum(CASE WHEN ts_conv IS NOT NULL THEN "
+            "    epoch_us(ts_conv) - epoch_us(ts_signup) ELSE 0 END) "
+            "    AS DOUBLE) "
+            "  / CAST(greatest(sum(CASE WHEN ts_conv IS NOT NULL THEN 1 "
+            "    ELSE 0 END), 1) AS DOUBLE)) / 3600000000.0 "
+            "  ELSE 0.0 END, 6) AS avg_hours "
+            "FROM m GROUP BY 1"
         ),
     }

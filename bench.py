@@ -46,6 +46,8 @@ QUERY_SUBSET = [
     "butterfly_count", "graph_growth", "lexical_richness", "source_overlap",
     # round-3 continuation: star join, retention, PQ-ANN, fuzzy join
     "market_share", "cohort_retention", "pq_topk", "name_edit_pairs",
+    # round-3 session 2: Q9 profit, session attribution, WL fingerprint
+    "profit_by_nation_year", "attribution_revenue", "wl_colors_cooccur",
 ]
 
 

@@ -3361,3 +3361,71 @@ def event_daily_anomaly(sf_dir: str, z_thresh: float = 2.0) -> Dataset:
                               "cnt": pd.Series([], dtype="int64"),
                               "z": pd.Series([], dtype="float64")}))
     return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def time_to_conversion(sf_dir: str) -> Dataset:
+    """Signup→purchase conversion lag per weekly signup cohort:
+    (signup_week, n_users, n_converted, avg_hours). A user's signup is
+    their EARLIEST 'signup' event, conversion their earliest 'purchase'
+    AT OR AFTER it; the average lag folds exact microsecond integers.
+
+    Both per-user minima come from ONE bucketed pass over the events
+    stream (user-bucketed, vectorized groupby-min inside the bucket), so
+    the fact table crosses the wire once; the cohort rollup is a tiny
+    week-dimension exchange."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        su = (g[g["event_type"] == "signup"]
+              .groupby("user_id", as_index=False)["ts"].min()
+              .rename(columns={"ts": "ts_signup"}))
+        if not len(su):
+            return pd.DataFrame({"week": pd.Series([], dtype="datetime64[us]"),
+                                 "n_users": pd.Series([], dtype="int64"),
+                                 "n_converted": pd.Series([], dtype="int64"),
+                                 "lag_us": pd.Series([], dtype="int64")})
+        pu = g[g["event_type"] == "purchase"].merge(su, on="user_id")
+        pu = pu[pu["ts"] >= pu["ts_signup"]]
+        conv = (pu.groupby("user_id", as_index=False)["ts"].min()
+                .rename(columns={"ts": "ts_conv"}))
+        m = su.merge(conv, on="user_id", how="left")
+        # Monday-anchored signup week (DuckDB date_trunc('week') parity)
+        wk = (m["ts_signup"].dt.normalize()
+              - pd.to_timedelta(m["ts_signup"].dt.dayofweek, unit="D"))
+        conv_mask = m["ts_conv"].notna().to_numpy()
+        # exact integer microsecond lag (float total_seconds loses ulps
+        # past 2^53 ns, which a year-long lag exceeds)
+        conv_us = m["ts_conv"].to_numpy().astype("datetime64[us]").view(np.int64)
+        sign_us = m["ts_signup"].to_numpy().astype("datetime64[us]").view(np.int64)
+        out = pd.DataFrame({
+            "week": wk.astype("datetime64[us]"),
+            "n_users": 1,
+            "n_converted": conv_mask.astype("int64"),
+            "lag_us": np.where(conv_mask, conv_us - sign_us, 0),
+        })
+        return out.groupby("week", as_index=False).sum()
+
+    partial = bucket_grouped(ev, ["user_id"], per_bucket,
+                             num_buckets=default_num_buckets())
+    agg = partial.groupby("week").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_converted", alias_name="n_converted"),
+        Sum("lag_us", alias_name="lag_us"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        nc = t["n_converted"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lag = t["lag_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "signup_week": t["week"],
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+            "n_converted": pc.cast(t["n_converted"], pa.int64()),
+            "avg_hours": pa.array(round_sql(
+                np.where(nc > 0, lag / np.maximum(nc, 1.0) / 3.6e9, 0.0)),
+                pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
