@@ -458,6 +458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_fertility": TX.lang_fertility,
         # signup→purchase conversion lag per weekly cohort (SQL oracle)
         "time_to_conversion": R.time_to_conversion,
+        # watermark late-arrival audit via distributed prefix-max (SQL
+        # oracle)
+        "late_events": R.late_events,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2598,5 +2601,15 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 0 END), 1) AS DOUBLE)) / 3600000000.0 "
             "  ELSE 0.0 END, 6) AS avg_hours "
             "FROM m GROUP BY 1"
+        ),
+        "late_events": (
+            "WITH w AS (SELECT event_id, ts, max(ts) OVER ("
+            "  ORDER BY event_id % 16, event_id ROWS BETWEEN UNBOUNDED "
+            "  PRECEDING AND 1 PRECEDING) AS pm FROM events) "
+            "SELECT event_id, ts, "
+            "round(CAST(epoch_us(pm) - epoch_us(ts) AS DOUBLE) "
+            "  / 60000000.0, 6) AS late_minutes "
+            "FROM w WHERE pm IS NOT NULL "
+            "AND epoch_us(pm) - epoch_us(ts) > 600000000"
         ),
     }

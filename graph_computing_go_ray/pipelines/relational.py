@@ -3429,3 +3429,84 @@ def time_to_conversion(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def late_events(sf_dir: str, late_minutes: float = 10.0,
+                n_shards: int = 16) -> Dataset:
+    """Watermark-style late-arrival audit: events replay in ``n_shards``
+    interleaved arrival shards (arrival rank = (event_id % n_shards,
+    event_id) — the fixture's event_id is time-ordered, so the
+    deterministic shard interleave simulates the out-of-order delivery a
+    real multi-partition stream produces); an event is LATE when its
+    timestamp sits more than ``late_minutes`` behind the maximum
+    timestamp of all earlier-arriving events. (event_id, ts,
+    late_minutes) for late events only.
+
+    The running max is a distributed ordered prefix-MAX via the same
+    two-pass range decomposition as engine/prefix.ordered_prefix_sum:
+    per-range maxima (tiny frame) exclusive-cummax on the driver, then a
+    per-range local sort+cummax — one cheap range exchange, no global
+    sort."""
+    from ..engine.join import default_num_buckets
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    num_ranges = default_num_buckets()
+    key_max = int(ev.max("event_id"))
+    stride = np.int64(key_max + 1)
+    rank_max = int(n_shards) * int(stride)
+    width = max(1, (rank_max + num_ranges) // num_ranges)
+    late_us = np.int64(round(late_minutes * 60e6))
+
+    def with_range(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        rank = (eid % n_shards) * stride + eid
+        t = t.append_column("__rank", pa.array(rank.astype(np.int64)))
+        return t.append_column(
+            "__rb", pa.array((rank // width).astype(np.int64)))
+
+    ranged = ev.map_batches(with_range, batch_format="pyarrow").materialize()
+
+    def range_max(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "__rb": t["__rb"].to_numpy(zero_copy_only=False),
+            "m": t["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64),
+        }).groupby("__rb", as_index=False)["m"].max()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tot = (ranged.map_batches(range_max, batch_format="pyarrow")
+           .groupby("__rb").max("m").to_pandas()
+           .sort_values("__rb", ignore_index=True))
+    # exclusive running max of range maxima (driver holds #ranges scalars)
+    col = [c for c in tot.columns if c != "__rb"][0]
+    run = np.maximum.accumulate(tot[col].to_numpy(np.int64))
+    base = {int(rb): (np.int64(-(2**62)) if i == 0 else run[i - 1])
+            for i, rb in enumerate(tot["__rb"])}
+    import ray as _ray
+    base_ref = _ray.put(base)
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        b = _ray.get(base_ref)
+        g = g.sort_values("__rank", ignore_index=True)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        prev = np.maximum.accumulate(ts_us)
+        # exclusive: shift by one, seed with the prior ranges' max
+        seed = b.get(int(g["__rb"].iloc[0]), np.int64(-(2**62)))
+        excl = np.concatenate([[seed], np.maximum(prev[:-1], seed)])
+        lateness = excl - ts_us
+        keep = lateness > late_us
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "ts": g["ts"].to_numpy()[keep],
+            "late_minutes": round_sql(lateness[keep] / 60e6),
+        })
+
+    out = ranged.groupby("__rb").map_groups(local, batch_format="pandas")
+    return out.map_batches(
+        lambda df: pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("event_id", pa.int64()),
+                       ("ts", pa.timestamp("us")),
+                       ("late_minutes", pa.float64())])),
+        batch_format="pandas",
+    )
