@@ -461,6 +461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # watermark late-arrival audit via distributed prefix-max (SQL
         # oracle)
         "late_events": R.late_events,
+        # pairwise L2 between per-label embedding centroids (SQL oracle)
+        "label_centroid_dists": S.label_centroid_dists,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2611,5 +2613,16 @@ def oracle_sql() -> dict[str, str]:
             "  / 60000000.0, 6) AS late_minutes "
             "FROM w WHERE pm IS NOT NULL "
             "AND epoch_us(pm) - epoch_us(ts) > 600000000"
+        ),
+        "label_centroid_dists": (
+            "WITH flat AS (SELECT label, "
+            "  generate_subscripts(embedding, 1) AS i, "
+            "  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "c AS (SELECT label, i, avg(x) AS m FROM flat GROUP BY 1, 2) "
+            "SELECT CAST(a.label AS BIGINT) AS label_a, "
+            "CAST(b.label AS BIGINT) AS label_b, "
+            "round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS dist "
+            "FROM c a JOIN c b ON a.i = b.i AND a.label < b.label "
+            "GROUP BY 1, 2"
         ),
     }

@@ -1179,3 +1179,51 @@ def silhouette_kmeans(sf_dir: str, n_clusters: int = 8, n_iters: int = 10,
         "mean_silhouette": np.round(agg["s"].to_numpy() / agg["n"].to_numpy(),
                                     ROUND),
     })
+
+
+def label_centroid_dists(sf_dir: str) -> Dataset:
+    """Pairwise L2 distance between per-label embedding centroids —
+    the class-separation report of an embedding table. (label_a,
+    label_b, dist) for label_a < label_b.
+
+    One streaming pass computes per-(label) vector sums + counts as
+    per-batch partials (labels x dims floats per block); the centroid
+    fold and the pairwise distances are driver-side on the
+    dimension-sized (n_labels x d) matrix — the same shape at any corpus
+    scale because labels don't grow with rows."""
+    from .textstats import round_sql
+
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_to_np(t["embedding"]).astype(np.float64)
+        out_l, out_s, out_n = [], [], []
+        for v in np.unique(lab):
+            sel = lab == v
+            out_l.append(int(v))
+            out_s.append(m[sel].sum(axis=0).tobytes())
+            out_n.append(int(sel.sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "s": pa.array(out_s, pa.binary()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums, cnts = {}, {}
+    for _, r in parts.iterrows():
+        v = np.frombuffer(r["s"], np.float64)
+        sums[r["label"]] = sums.get(r["label"], 0) + v
+        cnts[r["label"]] = cnts.get(r["label"], 0) + r["n"]
+    labs = sorted(sums)
+    cent = {v: sums[v] / cnts[v] for v in labs}
+    rows = []
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            d = cent[a] - cent[b]
+            rows.append((int(a), int(b),
+                         float(round_sql(np.array([np.sqrt((d * d).sum())]))[0])))
+    return rd.from_arrow(pa.table({
+        "label_a": pa.array([r[0] for r in rows], pa.int64()),
+        "label_b": pa.array([r[1] for r in rows], pa.int64()),
+        "dist": pa.array([r[2] for r in rows], pa.float64()),
+    }))
