@@ -463,6 +463,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": R.late_events,
         # pairwise L2 between per-label embedding centroids (SQL oracle)
         "label_centroid_dists": S.label_centroid_dists,
+        # RFM quintile segmentation via exact-quantile boundaries (SQL
+        # oracle)
+        "rfm_segments": R.rfm_segments,
+        # ordered string-agg signature histogram, top-k (SQL oracle)
+        "returnflag_sequences": R.returnflag_sequences,
+        # top in-session event-type trigrams (SQL oracle)
+        "session_trigrams": R.session_trigrams,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2624,5 +2631,62 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 6) AS dist "
             "FROM c a JOIN c b ON a.i = b.i AND a.label < b.label "
             "GROUP BY 1, 2"
+        ),
+        "rfm_segments": (
+            "WITH m AS (SELECT user_id, "
+            "  (SELECT epoch_us(max(ts)) FROM events) - epoch_us(max(ts)) "
+            "    AS rec, "
+            "  count(*) AS freq, "
+            "  sum(CAST(round(value * 100) AS BIGINT)) AS mon "
+            "  FROM events GROUP BY user_id), "
+            "nn AS (SELECT count(*) AS n FROM m), "
+            "qv(q) AS (VALUES (0.2), (0.4), (0.6), (0.8)), "
+            "rr AS (SELECT rec AS v, row_number() OVER (ORDER BY rec) rn "
+            "  FROM m), "
+            "rb AS (SELECT q, v FROM qv, nn JOIN rr "
+            "  ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))), "
+            "ff AS (SELECT freq AS v, row_number() OVER (ORDER BY freq) rn "
+            "  FROM m), "
+            "fb AS (SELECT q, v FROM qv, nn JOIN ff "
+            "  ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))), "
+            "mm AS (SELECT mon AS v, row_number() OVER (ORDER BY mon) rn "
+            "  FROM m), "
+            "mb AS (SELECT q, v FROM qv, nn JOIN mm "
+            "  ON rn = greatest(1, CAST(ceil(q * n) AS BIGINT))), "
+            "a AS (SELECT user_id, "
+            "  1 + (SELECT count(*) FROM rb WHERE CAST(rb.v AS DOUBLE) "
+            "    < CAST(m.rec AS DOUBLE)) AS r_q, "
+            "  1 + (SELECT count(*) FROM fb WHERE CAST(fb.v AS DOUBLE) "
+            "    < CAST(m.freq AS DOUBLE)) AS f_q, "
+            "  1 + (SELECT count(*) FROM mb WHERE CAST(mb.v AS DOUBLE) "
+            "    < CAST(m.mon AS DOUBLE)) AS m_q FROM m) "
+            "SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q, "
+            "CAST(m_q AS BIGINT) AS m_q, count(*) AS n_users "
+            "FROM a GROUP BY 1, 2, 3"
+        ),
+        "returnflag_sequences": (
+            "WITH s AS (SELECT l_orderkey, "
+            "  string_agg(l_returnflag, '' ORDER BY l_linenumber) AS sig "
+            "  FROM lineitem GROUP BY 1), "
+            "c AS (SELECT sig, count(*) AS cnt FROM s GROUP BY 1) "
+            "SELECT sig, cnt FROM c ORDER BY cnt DESC, sig LIMIT 20"
+        ),
+        "session_trigrams": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "  FROM o), "
+            "t AS (SELECT event_type AS t1, "
+            "  lead(event_type, 1) OVER w2 AS t2, "
+            "  lead(event_type, 2) OVER w2 AS t3 FROM s "
+            "  WINDOW w2 AS (PARTITION BY user_id, sess "
+            "  ORDER BY ts, event_id)), "
+            "c AS (SELECT t1, t2, t3, count(*) AS cnt FROM t "
+            "  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3) "
+            "SELECT t1, t2, t3, cnt FROM c "
+            "ORDER BY cnt DESC, t1, t2, t3 LIMIT 20"
         ),
     }

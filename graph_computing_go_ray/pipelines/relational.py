@@ -3510,3 +3510,157 @@ def late_events(sf_dir: str, late_minutes: float = 10.0,
                        ("late_minutes", pa.float64())])),
         batch_format="pandas",
     )
+
+
+def rfm_segments(sf_dir: str) -> Dataset:
+    """RFM customer segmentation over the events stream: per user,
+    Recency (µs behind the global max ts), Frequency (events) and
+    Monetary (exact cents); each metric maps to a value-based quintile
+    (q = smallest k with metric <= boundary_k, boundary_k = rank-ceil(qk*n)
+    of the ascending metric — deterministic under ties, unlike ntile).
+    Output: (r_q, f_q, m_q, n_users) segment counts.
+
+    Per-user metrics fold in one bucketed pass; boundaries come from
+    engine/quantile.exact_quantiles (two-pass histogram refinement, no
+    global sort); assignment is a broadcast of 12 scalars."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from ..engine.quantile import exact_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    max_ts = int(np.datetime64(ev.max("ts"), "us").astype(np.int64))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        cents = (g["value"] * 100).round().astype("int64")
+        out = g.assign(ts_us=ts_us, cents=cents).groupby(
+            "user_id", as_index=False).agg(
+            last=("ts_us", "max"), freq=("ts_us", "size"),
+            mon=("cents", "sum"))
+        out["rec"] = max_ts - out["last"]
+        return out[["user_id", "rec", "freq", "mon"]]
+
+    m = bucket_grouped(ev, ["user_id"], per_user,
+                       num_buckets=default_num_buckets()).materialize()
+
+    qs = [0.2, 0.4, 0.6, 0.8]
+    bounds = {}
+    for col in ["rec", "freq", "mon"]:
+        qdf = exact_quantiles(m, col, qs)
+        bounds[col] = qdf.sort_values("q")["value"].to_numpy(np.float64)
+    bref = ray.put(bounds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+
+        def quint(v: np.ndarray, bs: np.ndarray) -> np.ndarray:
+            # q = 1 + #(boundaries strictly below v); v <= b_k -> k
+            return 1 + (v[:, None] > bs[None, :]).sum(axis=1)
+
+        r = quint(t["rec"].to_numpy(zero_copy_only=False).astype(np.float64),
+                  b["rec"])
+        f = quint(t["freq"].to_numpy(zero_copy_only=False).astype(np.float64),
+                  b["freq"])
+        mo = quint(t["mon"].to_numpy(zero_copy_only=False).astype(np.float64),
+                   b["mon"])
+        df = pd.DataFrame({"r_q": r, "f_q": f, "m_q": mo})
+        out = df.groupby(["r_q", "f_q", "m_q"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "n_users"}), preserve_index=False)
+
+    partial = m.map_batches(assign, batch_format="pyarrow")
+    out = partial.groupby(["r_q", "f_q", "m_q"]).aggregate(
+        Sum("n_users", alias_name="n_users"))
+    return out.map_batches(
+        lambda t: pa.table({"r_q": pc.cast(t["r_q"], pa.int64()),
+                            "f_q": pc.cast(t["f_q"], pa.int64()),
+                            "m_q": pc.cast(t["m_q"], pa.int64()),
+                            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def returnflag_sequences(sf_dir: str, k: int = 20) -> Dataset:
+    """Ordered-string-aggregation pattern mining: each order's returnflag
+    signature (l_returnflag chars concatenated in l_linenumber order),
+    histogrammed; top-k signatures by count (count desc, signature asc).
+    Orders co-locate by hash bucket; the signature build is one sorted
+    pandas groupby-join per bucket (bounded by lines-per-order)."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+
+    def sig(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_linenumber"])
+        s = g.groupby("l_orderkey")["l_returnflag"].agg("".join)
+        out = s.to_frame("sig").groupby("sig", as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    per = bucket_grouped(li, ["l_orderkey"], sig, num_buckets=8)
+    tot = bucket_grouped_sum(per, ["sig"], ["cnt"], num_buckets=8)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["cnt", "sig"],
+                                       ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = tot.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["cnt", "sig"],
+                            ascending=[False, True]).head(k)
+    return ray.data.from_arrow(pa.table({
+        "sig": pa.array(top["sig"]),
+        "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
+    }))
+
+
+def session_trigrams(sf_dir: str, gap_minutes: int = 30,
+                     k: int = 20) -> Dataset:
+    """Top-k within-session event-type trigrams (behavioral path mining):
+    sessionize per user (30-min gap), slide a 3-event window in ts order,
+    count (t1, t2, t3) patterns; ties break lexicographically. The whole
+    chain — sessionize, window, partial counts — is one vectorized pass
+    per user bucket; only O(types^3) partial rows cross the wire."""
+    from ..engine.join import bucket_grouped, bucket_grouped_sum
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def tri(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        new_s = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        sess = new_s.groupby(g["user_id"]).cumsum()
+        uid = g["user_id"].to_numpy()
+        sid = sess.to_numpy()
+        et = g["event_type"].to_numpy()
+        same12 = (uid[:-2] == uid[1:-1]) & (sid[:-2] == sid[1:-1])
+        same23 = (uid[1:-1] == uid[2:]) & (sid[1:-1] == sid[2:])
+        keep = same12 & same23
+        if not keep.any():
+            return pd.DataFrame({"t1": pd.Series([], dtype=object),
+                                 "t2": pd.Series([], dtype=object),
+                                 "t3": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"t1": et[:-2][keep], "t2": et[1:-1][keep],
+                           "t3": et[2:][keep]})
+        out = df.groupby(["t1", "t2", "t3"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    per = bucket_grouped(ev, ["user_id"], tri, num_buckets=8)
+    tot = bucket_grouped_sum(per, ["t1", "t2", "t3"], num_buckets=8,
+                             sum_cols=["cnt"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["cnt", "t1", "t2", "t3"],
+            ascending=[False, True, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = tot.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["cnt", "t1", "t2", "t3"],
+                            ascending=[False, True, True, True]).head(k)
+    return ray.data.from_arrow(pa.table({
+        "t1": pa.array(top["t1"]), "t2": pa.array(top["t2"]),
+        "t3": pa.array(top["t3"]),
+        "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
+    }))
