@@ -470,6 +470,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_sequences": R.returnflag_sequences,
         # top in-session event-type trigrams (SQL oracle)
         "session_trigrams": R.session_trigrams,
+        # per-type OLS daily-count trend, exact integer moments (SQL
+        # oracle)
+        "daily_trend": R.daily_trend,
+        # ratio-to-report: nation share of region revenue (SQL oracle)
+        "nation_share_of_region": R.nation_share_of_region,
+        # transductive kNN label spreading accuracy (exact-replica pytest;
+        # iterative, no SQL form)
+        "knn_label_spread": S.knn_label_spread,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2688,5 +2696,35 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3) "
             "SELECT t1, t2, t3, cnt FROM c "
             "ORDER BY cnt DESC, t1, t2, t3 LIMIT 20"
+        ),
+        "daily_trend": (
+            "WITH d AS (SELECT event_type, "
+            "  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, "
+            "  count(*) AS cnt FROM events GROUP BY 1, 2), "
+            "m AS (SELECT event_type, "
+            "  day - min(day) OVER (PARTITION BY event_type) AS x, "
+            "  cnt AS y FROM d), "
+            "a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, "
+            "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx "
+            "  FROM m GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n_days, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+            "  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope, "
+            "round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) "
+            "  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) "
+            "  / CAST(n AS DOUBLE), 6) AS intercept "
+            "FROM a WHERE n * sxx - sx * sx <> 0"
+        ),
+        "nation_share_of_region": (
+            "WITH per AS (SELECT c_nationkey AS nk, "
+            "  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev "
+            "  FROM orders JOIN customer ON c_custkey = o_custkey "
+            "  GROUP BY 1) "
+            "SELECT r_name, n_name, "
+            "round(CAST(rev AS DOUBLE) / 100, 6) AS revenue, "
+            "round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER ("
+            "  PARTITION BY n_regionkey) AS DOUBLE), 6) AS share "
+            "FROM per JOIN nation ON n_nationkey = nk "
+            "JOIN region ON r_regionkey = n_regionkey"
         ),
     }

@@ -3664,3 +3664,93 @@ def session_trigrams(sf_dir: str, gap_minutes: int = 30,
         "t3": pa.array(top["t3"]),
         "cnt": pa.array(top["cnt"].to_numpy(np.int64)),
     }))
+
+
+def daily_trend(sf_dir: str) -> Dataset:
+    """Per-event-type OLS trend of daily counts: slope and intercept of
+    count ~ day_index (days since the type's first active day), from
+    EXACT integer moments (n, Σx, Σy, Σxy, Σx²) so the SQL oracle
+    reproduces the floats bit-for-bit — the textbook distributed
+    regression: per-block partial counts, one tiny exchange, closed form
+    on the dimension-sized (type, day) table."""
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def daily(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").view(np.int64))
+        df = pd.DataFrame({"event_type":
+                           t["event_type"].to_numpy(zero_copy_only=False),
+                           "day": day})
+        out = df.groupby(["event_type", "day"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "cnt"}), preserve_index=False)
+
+    d = (ev.map_batches(daily, batch_format="pyarrow")
+         .groupby(["event_type", "day"])
+         .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    rows = []
+    for et, g in d.groupby("event_type"):
+        day = g["day"].to_numpy(np.int64)
+        x = day - day.min()
+        y = g["cnt"].to_numpy(np.int64)
+        n = np.int64(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((et, int(n), slope, intercept))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "n_days": pa.array([r[1] for r in rows], pa.int64()),
+        "slope": pa.array(round_sql(np.array([r[2] for r in rows])),
+                          pa.float64()),
+        "intercept": pa.array(round_sql(np.array([r[3] for r in rows])),
+                              pa.float64()),
+    }))
+
+
+def nation_share_of_region(sf_dir: str) -> Dataset:
+    """Ratio-to-report: each customer nation's share of its region's
+    order revenue. Fact stream crosses once (customer hop size-adaptive);
+    nation/region are broadcast dims; the share division runs on the
+    25-row result."""
+    from ..engine.join import adaptive_map_join
+    from .textstats import round_sql
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    n2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    r2name = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    j = adaptive_map_join(orders, cust, on="o_custkey", key_col="c_custkey",
+                          val_cols=["c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.rint(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        df = pd.DataFrame({"nk": nk, "rev": cents}).groupby(
+            "nk", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("nk").aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    per["rk"] = per["nk"].map(n2r)
+    tot = per.groupby("rk")["rev"].transform("sum")
+    return ray.data.from_arrow(pa.table({
+        "r_name": pa.array([r2name[int(k)] for k in per["rk"]]),
+        "n_name": pa.array([n2name[int(k)] for k in per["nk"]]),
+        "revenue": pa.array(round_sql(per["rev"].to_numpy(np.int64) / 100.0),
+                            pa.float64()),
+        "share": pa.array(round_sql(per["rev"].to_numpy(np.float64)
+                                    / tot.to_numpy(np.float64)),
+                          pa.float64()),
+    }))

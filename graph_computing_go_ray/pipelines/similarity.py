@@ -1227,3 +1227,158 @@ def label_centroid_dists(sf_dir: str) -> Dataset:
         "label_b": pa.array([r[1] for r in rows], pa.int64()),
         "dist": pa.array([r[2] for r in rows], pa.float64()),
     }))
+
+
+def knn_edges(sf_dir: str, k: int = 10, num_blocks: int | None = None,
+              workdir: str | None = None) -> Dataset:
+    """Exact brute-force kNN edge list (src=neighbor, dst=vector) by
+    cosine, leave-self-out. Block-pair tiling (two blocks per task) with
+    per-task partial top-k per row, then one bucketed reduce to the
+    global top-k — similarity rounds to 6 decimals BEFORE ranking and
+    ties break to the smaller neighbor id (deterministic; same rule as
+    knn_label_accuracy). O(n²·d) is inherent to exact kNN; the IVF/LSH
+    paths are the sub-quadratic alternatives."""
+    from ..engine.join import (bucket_grouped, default_num_buckets,
+                               read_bucket, write_bucketed)
+
+    nb = num_blocks or default_num_buckets()
+    wd = workdir or tempfile.mkdtemp(prefix="gcgr_knn_")
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norm_rows(t: pa.Table) -> pa.Table:
+        m = _emb_to_np(t["embedding"])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "embedding": pa.array(list(m), pa.list_(pa.float64()))})
+
+    write_bucketed(emb.map_batches(norm_rows, batch_format="pyarrow"),
+                   "vec_id", nb, wd)
+    pairs_ds = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(nb) for j in range(i, nb)])
+
+    def topk_of(ids_q, ids_c, sims, self_mask=False):
+        s = np.round(sims, ROUND)
+        if self_mask:
+            s[ids_q[:, None] == ids_c[None, :]] = -np.inf
+        kk = min(k, s.shape[1])
+        # rank by (-sim, id): stable id-ascending sort then stable -sim
+        order = np.argsort(ids_c, kind="stable")
+        s_o = s[:, order]
+        idx = np.argsort(-s_o, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(ids_q, kk)
+        cols = ids_c[order][idx].ravel()
+        vals = np.take_along_axis(s_o, idx, axis=1).ravel()
+        keep = vals > -np.inf
+        return rows[keep], cols[keep], vals[keep]
+
+    def block_pair(t: pa.Table) -> pa.Table:
+        out_q, out_c, out_s = [], [], []
+        for bi, bj in zip(t["bi"].to_pylist(), t["bj"].to_pylist()):
+            ti = read_bucket(wd, int(bi))
+            tj = ti if bi == bj else read_bucket(wd, int(bj))
+            if ti is None or tj is None:
+                continue
+            ia = ti["vec_id"].to_numpy(zero_copy_only=False)
+            ib = tj["vec_id"].to_numpy(zero_copy_only=False)
+            ma = _emb_to_np(ti["embedding"])
+            mb = ma if bi == bj else _emb_to_np(tj["embedding"])
+            sims = ma @ mb.T
+            q, c, s = topk_of(ia, ib, sims, self_mask=(bi == bj))
+            out_q.append(q); out_c.append(c); out_s.append(s)
+            if bi != bj:
+                q2, c2, s2 = topk_of(ib, ia, sims.T)
+                out_q.append(q2); out_c.append(c2); out_s.append(s2)
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "cid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "cid": pa.array(np.concatenate(out_c), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = pairs_ds.map_batches(block_pair, batch_format="pyarrow",
+                                    batch_size=1)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["qid", "sim", "cid"],
+                          ascending=[True, False, True])
+        d = d.groupby("qid", as_index=False).head(k)
+        return d[["qid", "cid"]]
+
+    best = bucket_grouped(
+        partials, ["qid"], reduce_topk,
+        out_schema=pa.schema([("qid", pa.int64()), ("cid", pa.int64())]),
+        num_buckets=nb,
+    )
+    return best.map_batches(
+        lambda t: pa.table({"src": t["cid"], "dst": t["qid"]}),
+        batch_format="pyarrow",
+    )
+
+
+def knn_label_spread(sf_dir: str, k: int = 10, seed_mod: int = 5,
+                     max_iters: int = 10) -> Dataset:
+    """Transductive kNN label spreading (engine/labelspread.py) over the
+    exact kNN graph: vectors with vec_id % seed_mod == 0 keep their true
+    label; the rest take the majority label of their k nearest neighbors,
+    iterated to fixpoint. Reports per-true-label accuracy on the
+    NON-seed vectors: (label, n, n_correct, accuracy). Exact-replica
+    pytest in tests/test_textops.py; driver row is rows-only (iterative,
+    no SQL form)."""
+    import hashlib as _h
+
+    from ..engine.join import adaptive_map_join
+    from ..engine.labelspread import label_spread
+    from .textstats import round_sql
+
+    root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
+    key = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    wd = os.path.join(root, f"{os.path.basename(sf_dir)}-{key}-v3",
+                      f"spread-k{k}-m{seed_mod}")
+
+    labels = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "label"]).to_pandas()
+    seeds = {int(r.vec_id): int(r.label)
+             for r in labels.itertuples() if r.vec_id % seed_mod == 0}
+    edges = knn_edges(sf_dir, k=k)
+    out, _info = label_spread(edges, seeds, wd, max_iters=max_iters)
+
+    truth = rd.from_pandas(labels.rename(
+        columns={"label": "label_true"}))
+    j = adaptive_map_join(out, truth, on="id", key_col="vec_id",
+                          val_cols=["label_true"])
+
+    def score(t: pa.Table) -> pa.Table:
+        is_seed = t["is_seed"].to_numpy(zero_copy_only=False) == 1
+        pred = t["label"].to_numpy(zero_copy_only=False)
+        true = t["label_true"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ~is_seed
+        df = pd.DataFrame({"label": true[m],
+                           "ok": (pred[m] == true[m]).astype(np.int64)})
+        out_ = df.groupby("label", as_index=False).agg(
+            n=("ok", "size"), n_correct=("ok", "sum"))
+        return pa.Table.from_pandas(out_, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = (j.map_batches(score, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(_Sum("n", alias_name="n"),
+                      _Sum("n_correct", alias_name="n_correct")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["n_correct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "n_correct": pc.cast(t["n_correct"], pa.int64()),
+            "accuracy": pa.array(round_sql(c / np.maximum(n, 1.0)),
+                                 pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -526,3 +526,68 @@ def test_kmeans_db_index_exact_replica():
     np.testing.assert_allclose(got["db_component"].to_numpy(), db_i, atol=1e-6)
     np.testing.assert_allclose(got["db_index"].to_numpy(),
                                np.full(4, db_i.mean()), atol=1e-6)
+
+
+def test_knn_edges_matches_bruteforce():
+    """Distributed block-pair kNN edges == single-process brute force with
+    the identical round-then-rank + min-id tie rule (sf0.001)."""
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    k = 5
+    got = S.knn_edges(sf, k=k).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    sims = np.round(m @ m.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    want = set()
+    for i in range(len(ids)):
+        idx = np.argsort(-sims[i], kind="stable")[:k]  # ids ascending base
+        for j in idx:
+            want.add((int(ids[j]), int(ids[i])))
+    gotset = set(zip(got["src"].astype(int), got["dst"].astype(int)))
+    assert gotset == want
+
+
+def test_knn_label_spread_matches_replica():
+    """Distributed label spreading over the kNN graph == exact replica
+    (same seeds, same majority/tie rule, same rounds) at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from graph_computing_go_ray.engine.labelspread import spread_replica
+    from graph_computing_go_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    # engine output (per-label accuracy frame)
+    acc = S.knn_label_spread(sf, k=10, seed_mod=5).to_pandas()
+    # replica: same kNN edges (verified exact above), same seeds
+    edges = S.knn_edges(sf, k=10).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "label"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labs = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seeds = {int(v): int(l) for v, l in zip(vids, labs) if v % 5 == 0}
+    ids = np.sort(vids)
+    pred = spread_replica(edges["src"].to_numpy(), edges["dst"].to_numpy(),
+                          ids, seeds, max_iters=10)
+    truth = labs[np.argsort(vids)]
+    m = np.array([i not in seeds for i in ids])
+    df = pd.DataFrame({"label": truth[m],
+                       "ok": (pred[m] == truth[m]).astype(int)})
+    want = df.groupby("label", as_index=False).agg(
+        n=("ok", "size"), n_correct=("ok", "sum"))
+    got = acc.sort_values("label", ignore_index=True)
+    assert (got["label"].to_numpy() == want["label"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (got["n_correct"].to_numpy() == want["n_correct"].to_numpy()).all()
+    # the fixture's labels are random w.r.t. the embedding space, so the
+    # metric reports ~chance (1/10) — the parity above is the contract;
+    # sanity: accuracies are valid fractions
+    assert ((got["accuracy"] >= 0) & (got["accuracy"] <= 1)).all()
