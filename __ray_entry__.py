@@ -478,6 +478,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transductive kNN label spreading accuracy (exact-replica pytest;
         # iterative, no SQL form)
         "knn_label_spread": S.knn_label_spread,
+        # chi-square bursty terms across sources (SQL oracle)
+        "term_burstiness": C.term_burstiness,
+        # peak session concurrency via distributed interval sweep (SQL
+        # oracle)
+        "peak_concurrent_sessions": R.peak_concurrent_sessions,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2726,5 +2731,46 @@ def oracle_sql() -> dict[str, str]:
             "  PARTITION BY n_regionkey) AS DOUBLE), 6) AS share "
             "FROM per JOIN nation ON n_nationkey = nk "
             "JOIN region ON r_regionkey = n_regionkey"
+        ),
+        "term_burstiness": (
+            "WITH toks AS (SELECT source, "
+            "  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "  FROM documents), "
+            "o AS (SELECT token, source, count(*) AS o FROM toks "
+            "  GROUP BY 1, 2), "
+            "cf AS (SELECT token, sum(o) AS cf FROM o GROUP BY 1 "
+            "  HAVING sum(o) >= 50), "
+            "ts AS (SELECT source, count(*) AS t FROM toks GROUP BY 1), "
+            "tot AS (SELECT sum(t) AS tt FROM ts), "
+            "x AS (SELECT cf.token, cf.cf, sum("
+            "  (CAST(COALESCE(o.o, 0) AS DOUBLE) - CAST(cf.cf AS DOUBLE) "
+            "    * (CAST(ts.t AS DOUBLE) / CAST(tot.tt AS DOUBLE))) "
+            "  * (CAST(COALESCE(o.o, 0) AS DOUBLE) - CAST(cf.cf AS DOUBLE) "
+            "    * (CAST(ts.t AS DOUBLE) / CAST(tot.tt AS DOUBLE))) "
+            "  / (CAST(cf.cf AS DOUBLE) "
+            "    * (CAST(ts.t AS DOUBLE) / CAST(tot.tt AS DOUBLE)))) AS chi2 "
+            "  FROM cf CROSS JOIN ts CROSS JOIN tot "
+            "  LEFT JOIN o ON o.token = cf.token AND o.source = ts.source "
+            "  GROUP BY 1, 2) "
+            "SELECT token, CAST(cf AS BIGINT) AS cf, "
+            "round(chi2, 6) AS chi2 FROM x "
+            "ORDER BY round(chi2, 6) DESC, token LIMIT 30"
+        ),
+        "peak_concurrent_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+            "  THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess "
+            "  FROM o), "
+            "b AS (SELECT user_id, sess, min(ts) AS st, max(ts) AS en "
+            "  FROM s GROUP BY 1, 2), "
+            "p AS (SELECT st AS ts, 1 AS d FROM b "
+            "  UNION ALL SELECT en, -1 FROM b), "
+            "r AS (SELECT ts, sum(d) OVER (ORDER BY ts, d DESC "
+            "  ROWS UNBOUNDED PRECEDING) AS run FROM p) "
+            "SELECT CAST(run AS BIGINT) AS peak, ts AS at_ts FROM r "
+            "WHERE run = (SELECT max(run) FROM r) ORDER BY ts LIMIT 1"
         ),
     }

@@ -1383,3 +1383,83 @@ def source_overlap(sf_dir: str, n: int = 3) -> pd.DataFrame:
             "jaccard": np.float64(round(i / (na + nb - i), 6)),
         })
     return pd.DataFrame(rows)
+
+
+def term_burstiness(sf_dir: str, min_cf: int = 50, k: int = 30) -> Dataset:
+    """Top-k bursty terms: chi-square of each token's observed-vs-expected
+    distribution across sources (expected = collection frequency x the
+    source's share of all tokens). The classic corpus-drift / topicality
+    signal. (token, cf, chi2), chi2 desc then token asc.
+
+    Per-batch (token, source) partial counts fold through one bucketed
+    exchange keyed on token (each token's full source vector co-locates);
+    the per-source token totals are a 5-row broadcast. Zero-count
+    (token, source) cells contribute E (as (0-E)²/E = E), computed
+    without materializing the cross product."""
+    import ray
+
+    from ray.data import aggregate as _agg
+
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from .textstats import round_sql
+    Sum = _agg.Sum
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        if not len(tokens):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "o": pa.array([], pa.int64())})
+        src = t["source"].to_numpy(zero_copy_only=False)[doc_idx]
+        out = (pd.DataFrame({"token": tokens, "source": src})
+               .groupby(["token", "source"], as_index=False, sort=False)
+               .size().rename(columns={"size": "o"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = docs.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # per-source token totals: dimension-sized (a handful of sources)
+    per_src = (counts.groupby("source")
+               .aggregate(Sum("o", alias_name="t")).to_pandas()
+               .sort_values("source", ignore_index=True))
+    srcs = per_src["source"].to_numpy()
+    t_s = per_src["t"].to_numpy(np.float64)
+    t_tot = float(t_s.sum())
+    ref = ray.put((srcs, t_s, t_tot))
+
+    def chi2(g: pd.DataFrame) -> pd.DataFrame:
+        srcs_, ts_, tt_ = ray.get(ref)
+        agg = g.groupby(["token", "source"], as_index=False)["o"].sum()
+        piv = agg.pivot_table(index="token", columns="source", values="o",
+                              fill_value=0, aggfunc="sum")
+        piv = piv.reindex(columns=srcs_, fill_value=0)
+        o = piv.to_numpy(np.float64)
+        cf = o.sum(axis=1)
+        keep = cf >= min_cf
+        if not keep.any():
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "cf": pd.Series([], dtype="int64"),
+                                 "chi2": pd.Series([], dtype="float64")})
+        o, cf = o[keep], cf[keep]
+        e = cf[:, None] * (ts_[None, :] / tt_)
+        d = o - e
+        x2 = (d * d / e).sum(axis=1)
+        out = pd.DataFrame({"token": piv.index.to_numpy()[keep],
+                            "cf": cf.astype(np.int64),
+                            "chi2": round_sql(x2)})
+        return out.sort_values(["chi2", "token"],
+                               ascending=[False, True]).head(k)
+
+    per = bucket_grouped(counts, ["token"], chi2,
+                         num_buckets=default_num_buckets())
+    parts = per.to_pandas()
+    top = parts.sort_values(["chi2", "token"],
+                            ascending=[False, True]).head(k)
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "token": pa.array(top["token"]),
+        "cf": pa.array(top["cf"].to_numpy(np.int64)),
+        "chi2": pa.array(top["chi2"].to_numpy(np.float64), pa.float64()),
+    }))

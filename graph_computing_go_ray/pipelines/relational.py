@@ -3754,3 +3754,75 @@ def nation_share_of_region(sf_dir: str) -> Dataset:
                                     / tot.to_numpy(np.float64)),
                           pa.float64()),
     }))
+
+
+def peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Peak session concurrency: sessionize per user (30-min gap), sweep
+    (+1 at session start, -1 at session end, starts before ends at equal
+    timestamps) and report the maximum running count and the earliest
+    timestamp where it is reached. (peak, at_ts) — one row.
+
+    The running sum is the distributed range-decomposition scan (per-
+    range delta totals exclusive-cumsum on the driver, local sort+cumsum
+    per range, per-range max folded on the driver) — the interval-
+    analytics cousin of late_events' prefix-max."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_s = (g.groupby("user_id")["ts"].diff() > gap).astype("int64")
+        sess = new_s.groupby(g["user_id"]).cumsum()
+        b = (g.assign(sess=sess).groupby(["user_id", "sess"])["ts"]
+             .agg(["min", "max"]).reset_index())
+        st = b["min"].to_numpy().astype("datetime64[us]").view(np.int64)
+        en = b["max"].to_numpy().astype("datetime64[us]").view(np.int64)
+        return pd.DataFrame({
+            "ts_us": np.concatenate([st, en]),
+            "d": np.concatenate([np.ones(len(st), np.int64),
+                                 -np.ones(len(en), np.int64)]),
+        })
+
+    pts = bucket_grouped(ev, ["user_id"], sessions,
+                         num_buckets=default_num_buckets()).materialize()
+
+    num_ranges = default_num_buckets()
+    lo = int(pts.min("ts_us"))
+    hi = int(pts.max("ts_us"))
+    width = max(1, (hi - lo + num_ranges) // num_ranges)
+
+    def with_range(t: pa.Table) -> pa.Table:
+        rb = (t["ts_us"].to_numpy(zero_copy_only=False) - lo) // width
+        return t.append_column("__rb", pa.array(rb.astype(np.int64)))
+
+    ranged = pts.map_batches(with_range, batch_format="pyarrow").materialize()
+    tot = (ranged.groupby("__rb").sum("d").to_pandas()
+           .sort_values("__rb", ignore_index=True))
+    col = [c for c in tot.columns if c != "__rb"][0]
+    csum = np.cumsum(tot[col].to_numpy(np.int64))
+    base = {int(rb): (np.int64(0) if i == 0 else csum[i - 1])
+            for i, rb in enumerate(tot["__rb"])}
+    base_ref = ray.put(base)
+
+    def local_peak(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        # starts before ends at equal ts: sort by (ts, -d)
+        g = g.sort_values(["ts_us", "d"], ascending=[True, False],
+                          ignore_index=True)
+        run = np.cumsum(g["d"].to_numpy(np.int64)) + b.get(
+            int(g["__rb"].iloc[0]), np.int64(0))
+        i = int(np.argmax(run))
+        return pd.DataFrame({"peak": [int(run[i])],
+                             "at_us": [int(g["ts_us"].iloc[i])]})
+
+    parts = (ranged.groupby("__rb")
+             .map_groups(local_peak, batch_format="pandas").to_pandas())
+    j = parts.sort_values(["peak", "at_us"],
+                          ascending=[False, True], ignore_index=True)
+    peak, at_us = int(j["peak"].iloc[0]), int(j["at_us"].iloc[0])
+    return ray.data.from_arrow(pa.table({
+        "peak": pa.array([peak], pa.int64()),
+        "at_ts": pa.array(np.array([at_us], "datetime64[us]")),
+    }))
