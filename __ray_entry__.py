@@ -483,6 +483,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # peak session concurrency via distributed interval sweep (SQL
         # oracle)
         "peak_concurrent_sessions": R.peak_concurrent_sessions,
+        # Spearman rank stability of part in-degree across years (SQL
+        # oracle)
+        "yearly_rank_stability": R.yearly_rank_stability,
+        # same-customer orders within 7 days: self theta-join count (SQL
+        # oracle)
+        "repeat_orders_7d": R.repeat_orders_7d,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2772,5 +2778,34 @@ def oracle_sql() -> dict[str, str]:
             "  ROWS UNBOUNDED PRECEDING) AS run FROM p) "
             "SELECT CAST(run AS BIGINT) AS peak, ts AS at_ts FROM r "
             "WHERE run = (SELECT max(run) FROM r) ORDER BY ts LIMIT 1"
+        ),
+        "yearly_rank_stability": (
+            "WITH d AS (SELECT l_partkey AS part, "
+            "  CAST(year(l_shipdate) AS BIGINT) AS yr, "
+            "  count(DISTINCT l_orderkey) AS deg FROM lineitem "
+            "  GROUP BY 1, 2), "
+            "r AS (SELECT part, yr, row_number() OVER (PARTITION BY yr "
+            "  ORDER BY deg DESC, part) AS rank FROM d), "
+            "pr AS (SELECT a.yr AS year_a, a.rank AS x, b.rank AS y "
+            "  FROM r a JOIN r b ON a.part = b.part AND b.yr = a.yr + 1), "
+            "a AS (SELECT year_a, count(*) AS n, sum(x) AS sx, "
+            "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+            "  sum(y * y) AS syy FROM pr GROUP BY 1) "
+            "SELECT year_a, year_a + 1 AS year_b, "
+            "CAST(n AS BIGINT) AS n_common, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+            "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+            "  * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman "
+            "FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+        ),
+        "repeat_orders_7d": (
+            "WITH p AS (SELECT a.o_custkey AS ck FROM orders a "
+            "  JOIN orders b ON a.o_custkey = b.o_custkey "
+            "  AND (b.o_orderdate > a.o_orderdate "
+            "    OR (b.o_orderdate = a.o_orderdate "
+            "        AND b.o_orderkey > a.o_orderkey)) "
+            "  AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY) "
+            "SELECT count(*) AS n_pairs, "
+            "CAST(count(DISTINCT ck) AS BIGINT) AS n_customers FROM p"
         ),
     }

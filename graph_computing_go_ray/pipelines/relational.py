@@ -3826,3 +3826,133 @@ def peak_concurrent_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
         "peak": pa.array([peak], pa.int64()),
         "at_ts": pa.array(np.array([at_us], "datetime64[us]")),
     }))
+
+
+def yearly_rank_stability(sf_dir: str) -> Dataset:
+    """Temporal rank stability: Spearman correlation between part
+    in-degree ranks (distinct orders linking the part) in consecutive
+    ship years, over parts active in both. Ranks are deterministic
+    row_number by (-degree, part); the correlation folds from EXACT
+    integer moments (n, Σx, Σy, Σxy, Σx², Σy²) so SQL reproduces the
+    float bit-for-bit. (year_a, year_b, n_common, spearman).
+
+    Per-(year, part) degrees fold in one bucketed exchange; the per-year
+    rank assignment is a groupby over years (each year's parts
+    co-locate); the year-pair moment table is dimension-sized."""
+    from ..engine.join import bucket_grouped, bucket_grouped_count
+    from .textstats import round_sql
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        yr = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({"part": t["l_partkey"], "yr": pa.array(yr),
+                         "ok": t["l_orderkey"]})
+
+    rows = li.map_batches(proj, batch_format="pyarrow")
+
+    def deg_fn(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["part", "yr", "ok"])
+        out = d.groupby(["part", "yr"], as_index=False).size()
+        return out.rename(columns={"size": "deg"})
+
+    deg = bucket_grouped(rows, ["part"], deg_fn, num_buckets=8)
+
+    def rank_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["yr", "deg", "part"],
+                          ascending=[True, False, True], ignore_index=True)
+        g["rank"] = g.groupby("yr").cumcount() + 1
+        return g[["part", "yr", "rank"]]
+
+    ranks = bucket_grouped(deg, ["yr"], rank_fn, num_buckets=8)
+
+    def pair_moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["part", "yr"])
+        nxt = g.groupby("part").shift(-1)
+        m = (nxt["yr"] == g["yr"] + 1)
+        x = g.loc[m, "rank"].to_numpy(np.int64)
+        y = nxt.loc[m, "rank"].to_numpy(np.int64)
+        ya = g.loc[m, "yr"].to_numpy(np.int64)
+        df = pd.DataFrame({"year_a": ya, "x": x, "y": y})
+        out = df.assign(xy=df.x * df.y, xx=df.x * df.x, yy=df.y * df.y,
+                        n=1).groupby("year_a", as_index=False)[
+            ["n", "x", "y", "xy", "xx", "yy"]].sum()
+        return out
+
+    mom = bucket_grouped(ranks, ["part"], pair_moments, num_buckets=8)
+    tot = (mom.groupby("year_a")
+           .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="sx"),
+                      Sum("y", alias_name="sy"), Sum("xy", alias_name="sxy"),
+                      Sum("xx", alias_name="sxx"),
+                      Sum("yy", alias_name="syy")).to_pandas()
+           .sort_values("year_a", ignore_index=True))
+    n = tot["n"].to_numpy(np.int64)
+    sx, sy = tot["sx"].to_numpy(np.int64), tot["sy"].to_numpy(np.int64)
+    sxy = tot["sxy"].to_numpy(np.int64)
+    sxx, syy = tot["sxx"].to_numpy(np.int64), tot["syy"].to_numpy(np.int64)
+    num = (n * sxy - sx * sy).astype(np.float64)
+    den = np.sqrt((n * sxx - sx * sx).astype(np.float64)
+                  * (n * syy - sy * sy).astype(np.float64))
+    keep = den > 0
+    return ray.data.from_arrow(pa.table({
+        "year_a": pa.array(tot["year_a"].to_numpy(np.int64)[keep]),
+        "year_b": pa.array(tot["year_a"].to_numpy(np.int64)[keep] + 1),
+        "n_common": pa.array(n[keep]),
+        "spearman": pa.array(round_sql(num[keep] / den[keep]), pa.float64()),
+    }))
+
+
+def repeat_orders_7d(sf_dir: str, days: int = 7) -> Dataset:
+    """Self theta-join: pairs of orders by the SAME customer placed within
+    ``days`` of each other (strictly increasing orderdate pairs; equal
+    dates pair by orderkey order). (n_pairs, n_customers) — one row.
+
+    Customers co-locate by hash bucket; inside a bucket the pair count is
+    a vectorized two-pointer (searchsorted) over the date-sorted orders
+    of ALL that bucket's customers — no per-customer Python loop and no
+    quadratic blowup beyond the true pair count."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    win = np.int64(days) * 86_400_000_000
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          ignore_index=True)
+        ck = g["o_custkey"].to_numpy(np.int64)
+        ts = g["o_orderdate"].to_numpy().astype("datetime64[us]").view(np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], ck[1:] != ck[:-1]]))
+        ends = np.concatenate([starts[1:], [len(ck)]])
+        if not len(ts):
+            return pd.DataFrame({"n_pairs": [0], "n_customers": [0]})
+        # segmented searchsorted via a group-offset composite key: each
+        # group's (normalized) timestamps live in a disjoint integer band,
+        # so ONE global searchsorted answers every row's window bound
+        norm = ts - ts.min()
+        span = np.int64(norm.max()) + win + 2
+        gidx = np.repeat(np.arange(len(starts), dtype=np.int64),
+                         ends - starts)
+        if len(starts) * int(span) < 2 ** 62:
+            key = gidx * span + norm
+            hi = np.searchsorted(key, key + win, side="right")
+        else:  # composite would overflow: per-group fallback
+            hi = np.empty(len(ts), np.int64)
+            for s, e in zip(starts, ends):
+                hi[s:e] = s + np.searchsorted(norm[s:e], norm[s:e] + win,
+                                              side="right")
+        per_row = hi - np.arange(1, len(ts) + 1)
+        grp_cnt = np.add.reduceat(per_row, starts)
+        return pd.DataFrame({"n_pairs": [int(per_row.sum())],
+                             "n_customers": [int((grp_cnt > 0).sum())]})
+
+    per = bucket_grouped(orders, ["o_custkey"], pairs,
+                         num_buckets=default_num_buckets())
+    tot = per.sum(["n_pairs", "n_customers"])
+    return ray.data.from_arrow(pa.table({
+        "n_pairs": pa.array([int(tot["sum(n_pairs)"] or 0)], pa.int64()),
+        "n_customers": pa.array([int(tot["sum(n_customers)"] or 0)],
+                                pa.int64()),
+    }))
