@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same-customer orders within 7 days: self theta-join count (SQL
         # oracle)
         "repeat_orders_7d": R.repeat_orders_7d,
+        # shortest-path extraction via parent pointers + shard reads
+        # (contract pytest; iterative, no SQL form)
+        "sssp_path_chain": G.sssp_path_chain,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +

@@ -1658,3 +1658,63 @@ def local_bridges(sf_dir: str) -> "Dataset | pd.DataFrame":
         return pd.DataFrame({"u": pd.Series([], dtype="int64"),
                              "v": pd.Series([], dtype="int64")})
     return out
+
+
+def sssp_path_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Shortest-path EXTRACTION: weighted SSSP with parent pointers over
+    the part-chain graph (engine/sssp.SsspPathProgram, deterministic
+    (dist, parent)-lexicographic offers), then the actual seed→target
+    path for the farthest reached vertex (max dist, min id tie), walked
+    by direct state-shard reads — at most min(L, P) shard reads, never
+    the vertex table. (step, id, dist) rows along the path. Contract
+    pytest (dist parity + parent-edge validity + path-cost identity) in
+    tests/test_graph_extras.py."""
+    from ..engine.sssp import extract_path, sssp_with_parents
+
+    edges = chain_edge_ds(sf_dir, order_mod)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(((s + d) % 9 + 1).astype(np.float64))})
+
+    ew = edges.map_batches(weigh, batch_format="pyarrow")
+    seed = int(edges.min("src"))
+    wd = _workdir(sf_dir, f"ssspp-m{order_mod}")
+    out, info = sssp_with_parents(ew, [seed], wd, num_parts=8)
+
+    def far(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        i = t["id"].to_numpy(zero_copy_only=False)
+        m = d >= 0
+        if not m.any():
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        order = np.lexsort((i[m], -d[m]))[:1]
+        return pa.table({"id": pa.array(i[m][order]),
+                         "dist": pa.array(d[m][order])})
+
+    head = out.map_batches(far, batch_format="pyarrow").to_pandas()
+    head = head.sort_values(["dist", "id"],
+                            ascending=[False, True]).head(1)
+    target = int(head["id"].iloc[0])
+    path = extract_path(wd, target, info["num_parts"])
+    # attach dists for the path's few ids via a broadcast membership
+    # filter — never the whole vertex table on the driver
+    import ray
+    pref = ray.put(np.sort(np.array(path, np.int64)))
+
+    def sel(t: pa.Table) -> pa.Table:
+        ps = ray.get(pref)
+        i = t["id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ps, i).clip(max=max(len(ps) - 1, 0))
+        return t.filter(pa.array(ps[pos] == i))
+
+    sub = out.map_batches(sel, batch_format="pyarrow").to_pandas()
+    dists = dict(zip(sub["id"].astype(int), sub["dist"].astype(float)))
+    return ray.data.from_arrow(pa.table({
+        "step": pa.array(np.arange(len(path), dtype=np.int64)),
+        "id": pa.array(np.array(path, np.int64)),
+        "dist": pa.array(np.array([dists[p] for p in path], np.float64)),
+    }))

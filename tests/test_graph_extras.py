@@ -1265,3 +1265,43 @@ def test_hitting_time_matches_replica_and_exact_solve(graph):
     # only compare where Jacobi had actually settled
     assert np.allclose(g[conv & free], exact[conv & free], atol=0.5)
     assert (g[is_t] == 0.0).all()
+
+
+def test_sssp_parents_contract(graph):
+    """Parent-pointer SSSP: dist parity with Dijkstra, every parent edge
+    tight (dist[v] == dist[p] + w(p,v)), chains terminate at the seed,
+    and the extracted path's ids are a valid seed→target walk."""
+    from graph_computing_go_ray.engine.sssp import (extract_path,
+                                                    sssp_with_parents)
+
+    edges_pd, _eds, root = graph
+    rng = np.random.RandomState(5)
+    w = rng.randint(1, 20, size=len(edges_pd)).astype(np.float64)
+    seeds = [int(np.unique(edges_pd["src"])[0])]
+    wd = os.path.join(root, "ssspp")
+    out, info = sssp_with_parents(
+        rd.from_pandas(edges_pd.assign(w=w)), seeds, wd, num_parts=4)
+    df = out.to_pandas()
+    got = dict(zip(df["id"].astype(int), df["dist"].astype(float)))
+    par = dict(zip(df["id"].astype(int), df["parent"].astype(int)))
+    want = python_dijkstra(edges_pd, w, seeds)
+    # min edge weight per (src, dst) — parents must use a tight edge
+    ew = (edges_pd.assign(w=w).groupby(["src", "dst"])["w"].min().to_dict())
+    for v, g in got.items():
+        if g < 0:
+            assert v not in want and par[v] == -1
+            continue
+        assert g == want[v]
+        if v in seeds:
+            assert par[v] == v
+        else:
+            p = par[v]
+            assert got[p] >= 0
+            assert got[p] + ew[(p, v)] == g, (p, v)
+    # chain termination + extracted path validity on the farthest vertex
+    reached = {v: g for v, g in got.items() if g >= 0}
+    far = max(reached, key=lambda v: (reached[v], -v))
+    path = extract_path(wd, far, info["num_parts"])
+    assert path[0] == seeds[0] and path[-1] == far
+    cost = sum(ew[(a, b)] for a, b in zip(path[:-1], path[1:]))
+    assert cost == reached[far]
