@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shortest-path extraction via parent pointers + shard reads
         # (contract pytest; iterative, no SQL form)
         "sssp_path_chain": G.sssp_path_chain,
+        # Pearson corr of JSON prop k vs value, exact moments (SQL oracle)
+        "props_value_corr": R.props_value_corr,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2810,5 +2812,19 @@ def oracle_sql() -> dict[str, str]:
             "  AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY) "
             "SELECT count(*) AS n_pairs, "
             "CAST(count(DISTINCT ck) AS BIGINT) AS n_customers FROM p"
+        ),
+        "props_value_corr": (
+            "WITH m AS (SELECT event_type, "
+            "  CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT) "
+            "    AS x, "
+            "  CAST(round(value * 100) AS BIGINT) AS y FROM events), "
+            "a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, "
+            "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx, "
+            "  sum(y * y) AS syy FROM m GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+            "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+            "  * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr "
+            "FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
         ),
     }

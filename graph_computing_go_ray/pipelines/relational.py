@@ -3956,3 +3956,53 @@ def repeat_orders_7d(sf_dir: str, days: int = 7) -> Dataset:
         "n_customers": pa.array([int(tot["sum(n_customers)"] or 0)],
                                 pa.int64()),
     }))
+
+
+def props_value_corr(sf_dir: str) -> Dataset:
+    """Pearson correlation between the JSON prop ``k`` and the event
+    value (exact cents), per event_type — from EXACT integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) folded as per-batch partials, so the SQL
+    oracle reproduces the float bit-for-bit. (event_type, n, corr)."""
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "props", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
+        x = pc.cast(pc.struct_field(ks, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "n": 1, "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+            "syy": y * y,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(),
+            preserve_index=False)
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy")).to_pandas())
+    # products like n*syy exceed int64 at sf>=0.1 — arbitrary-precision
+    # Python ints on the 5-row result match DuckDB's HUGEINT exactly
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            continue
+        corr = float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+        rows.append((r.event_type, n, float(round_sql(np.array([corr]))[0])))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "corr": pa.array([r[2] for r in rows], pa.float64()),
+    }))
