@@ -494,6 +494,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_path_chain": G.sssp_path_chain,
         # Pearson corr of JSON prop k vs value, exact moments (SQL oracle)
         "props_value_corr": R.props_value_corr,
+        # quantity-weighted exact price quantiles (SQL oracle)
+        "weighted_price_quantiles": R.weighted_price_quantiles,
+        # upsert compaction: latest event per (user, type) (SQL oracle)
+        "latest_event_per_user_type": R.latest_event_per_user_type,
+        # tumbling daily OHLC of event values (SQL oracle)
+        "daily_ohlc": R.daily_ohlc,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2826,5 +2832,40 @@ def oracle_sql() -> dict[str, str]:
             "  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
             "  * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr "
             "FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+        ),
+        "weighted_price_quantiles": (
+            "WITH b AS (SELECT l_extendedprice AS v, "
+            "  CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem), "
+            "s AS (SELECT v, sum(w) AS w FROM b GROUP BY v), "
+            "o AS (SELECT v, sum(w) OVER (ORDER BY v "
+            "  ROWS UNBOUNDED PRECEDING) AS cw FROM s), "
+            "tw AS (SELECT CAST(sum(w) AS DOUBLE) AS W FROM b), "
+            "qv(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)) "
+            "SELECT CAST(q AS DOUBLE) AS q, min(v) AS value "
+            "FROM qv, tw, o WHERE CAST(cw AS DOUBLE) >= q * W GROUP BY 1"
+        ),
+        "latest_event_per_user_type": (
+            "SELECT user_id, event_type, event_id, ts, value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id, "
+            "  event_type ORDER BY ts DESC, event_id DESC) AS rn "
+            "  FROM events) WHERE rn = 1"
+        ),
+        "daily_ohlc": (
+            "WITH e AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, "
+            "  ts, event_id, CAST(round(value * 100) AS BIGINT) AS v "
+            "  FROM events), "
+            "f AS (SELECT day, v AS open FROM (SELECT *, row_number() "
+            "  OVER (PARTITION BY day ORDER BY ts, event_id) AS rn FROM e) "
+            "  WHERE rn = 1), "
+            "l AS (SELECT day, v AS close FROM (SELECT *, row_number() "
+            "  OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) "
+            "  AS rn FROM e) WHERE rn = 1), "
+            "a AS (SELECT day, max(v) AS hi, min(v) AS lo, count(*) AS n "
+            "  FROM e GROUP BY 1) "
+            "SELECT a.day, round(CAST(open AS DOUBLE) / 100, 6) AS open, "
+            "round(CAST(hi AS DOUBLE) / 100, 6) AS high, "
+            "round(CAST(lo AS DOUBLE) / 100, 6) AS low, "
+            "round(CAST(close AS DOUBLE) / 100, 6) AS close, n "
+            "FROM a JOIN f ON a.day = f.day JOIN l ON a.day = l.day"
         ),
     }

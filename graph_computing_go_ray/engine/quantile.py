@@ -244,3 +244,80 @@ def grouped_exact_quantiles(
                              "value": float(sub["value"].iloc[pos])})
     return (pd.DataFrame(rows)
             .sort_values(["group", "q"], ignore_index=True))
+
+
+def weighted_exact_quantiles(
+    ds: Dataset, col: str, wcol: str, qs: list[float], k_bins: int = 4096,
+) -> pd.DataFrame:
+    """(q, value) — the SMALLEST value whose cumulative weight (ascending
+    value order) reaches q x total-weight. Same two-pass histogram
+    refinement as exact_quantiles with integer WEIGHT sums in place of
+    counts; the threshold q*W is evaluated once in float64, identically
+    to the SQL twin. Weights must be non-negative int64."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"w": pa.array([int(w.sum())], pa.int64()),
+             "mn": pa.array([float(v.min()) if len(v) else math.inf]),
+             "mx": pa.array([float(v.max()) if len(v) else -math.inf])})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    W = int(stats["w"].sum())
+    if W == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": np.full(len(qs), np.nan)})
+    lo, hi = float(stats["mn"].min()), float(stats["mx"].max())
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _bin_of(v, lo, hi, k_bins)
+        acc = np.bincount(b, weights=w.astype(np.float64),
+                          minlength=k_bins).astype(np.int64)
+        nz = np.flatnonzero(acc)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "w": pa.array(acc[nz], pa.int64())})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby("bin")["w"].sum())
+    weights = np.zeros(k_bins, dtype=np.int64)
+    weights[hist.index.to_numpy()] = hist.to_numpy()
+    cum = weights.cumsum()
+
+    thresholds = {q: q * float(W) for q in qs}
+    bins_needed: dict[int, list[float]] = {}
+    for q, thr in thresholds.items():
+        j = int(np.searchsorted(cum.astype(np.float64), thr, side="left"))
+        j = min(j, k_bins - 1)
+        bins_needed.setdefault(j, []).append(q)
+
+    needed = np.array(sorted(bins_needed), dtype=np.int64)
+
+    def in_bins(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[wcol].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _bin_of(v, lo, hi, k_bins)
+        m = np.isin(b, needed)
+        df = pd.DataFrame({"bin": b[m], "value": v[m], "w": w[m]})
+        out = df.groupby(["bin", "value"], as_index=False)["w"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vals = (ds.map_batches(in_bins, batch_format="pyarrow")
+            .to_pandas().groupby(["bin", "value"], as_index=False)["w"].sum())
+
+    rows = []
+    for j, qlist in bins_needed.items():
+        sub = vals[vals["bin"] == j].sort_values("value")
+        vcum = sub["w"].cumsum().to_numpy(np.int64)
+        base = int(cum[j - 1]) if j > 0 else 0
+        for q in qlist:
+            thr_in = thresholds[q] - float(base)
+            pos = int(np.searchsorted(vcum.astype(np.float64), thr_in,
+                                      side="left"))
+            pos = min(pos, len(vcum) - 1)
+            rows.append({"q": float(q), "value": float(sub["value"].iloc[pos])})
+    out = pd.DataFrame(rows).sort_values("q", ignore_index=True)
+    out["q"] = out["q"].astype(np.float64)
+    out["value"] = out["value"].astype(np.float64)
+    return out

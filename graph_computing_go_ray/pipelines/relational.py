@@ -4006,3 +4006,117 @@ def props_value_corr(sf_dir: str) -> Dataset:
         "n": pa.array([r[1] for r in rows], pa.int64()),
         "corr": pa.array([r[2] for r in rows], pa.float64()),
     }))
+
+
+def weighted_price_quantiles(sf_dir: str) -> Dataset:
+    """Quantity-weighted price quantiles: the smallest extendedprice whose
+    cumulative shipped-quantity share reaches q — exact, via the
+    two-pass weighted histogram refinement
+    (engine/quantile.weighted_exact_quantiles; no global sort, driver
+    holds K bin weights). (q, value)."""
+    from ..engine.quantile import weighted_exact_quantiles
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t["l_extendedprice"],
+            "w": pa.array(np.rint(
+                t["l_quantity"].to_numpy(zero_copy_only=False))
+                .astype(np.int64)),
+        })
+
+    ds = li.map_batches(prep, batch_format="pyarrow").materialize()
+    out = weighted_exact_quantiles(ds, "v", "w", [0.25, 0.5, 0.75, 0.9])
+    return ray.data.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+def latest_event_per_user_type(sf_dir: str) -> Dataset:
+    """Upsert compaction: the LATEST event per (user, event_type) —
+    argmax by (ts, event_id). One bucketed exchange on user; inside a
+    bucket the argmax is a vectorized sort + drop_duplicates. Returns
+    (user_id, event_type, event_id, ts, value) of the surviving rows —
+    the SCD-style read view of an append-only event log."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "event_id", "ts",
+                             "value"])
+
+    def compact(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          ascending=[True, True, False, False])
+        return g.drop_duplicates(["user_id", "event_type"])[
+            ["user_id", "event_type", "event_id", "ts", "value"]]
+
+    return bucket_grouped(ev, ["user_id"], compact,
+                          num_buckets=default_num_buckets())
+
+
+def daily_ohlc(sf_dir: str) -> Dataset:
+    """Tumbling-window OHLC of event values per day: open = value of the
+    first event (ts, event_id order), close = last, high/low = max/min —
+    the finance-style first/last-by-time aggregate. Per-block partials
+    carry (first_ts, first_id, open, last_ts, last_id, close, hi, lo, n)
+    per day and merge associatively, so the fold is one tiny exchange."""
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = (t["ts"].to_numpy(zero_copy_only=False)
+                 .astype("datetime64[us]").view(np.int64))
+        day = ts_us // 86_400_000_000
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        val = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        df = pd.DataFrame({"day": day, "ts": ts_us, "eid": eid, "v": val})
+        df = df.sort_values(["day", "ts", "eid"])
+        first = df.drop_duplicates("day", keep="first")
+        last = df.drop_duplicates("day", keep="last")
+        agg = df.groupby("day", as_index=False)["v"].agg(["max", "min", "size"])
+        out = pd.DataFrame({
+            "day": first["day"].to_numpy(),
+            "f_ts": first["ts"].to_numpy(), "f_id": first["eid"].to_numpy(),
+            "open": first["v"].to_numpy(),
+            "l_ts": last["ts"].to_numpy(), "l_id": last["eid"].to_numpy(),
+            "close": last["v"].to_numpy(),
+            "hi": agg["max"].to_numpy(np.int64),
+            "lo": agg["min"].to_numpy(np.int64),
+            "n": agg["size"].to_numpy(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "f_ts", "f_id"])
+        first = g.drop_duplicates("day", keep="first")
+        g2 = g.sort_values(["day", "l_ts", "l_id"])
+        last = g2.drop_duplicates("day", keep="last")
+        agg = g.groupby("day", as_index=False).agg(
+            hi=("hi", "max"), lo=("lo", "min"), n=("n", "sum"))
+        out = first[["day", "open"]].merge(
+            last[["day", "close"]], on="day").merge(agg, on="day")
+        return out
+
+    from ..engine.join import bucket_grouped
+    per = bucket_grouped(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], merge,
+        num_buckets=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        day_us = t["day"].to_numpy(zero_copy_only=False) * 86_400_000_000
+        return pa.table({
+            "day": pa.array(day_us.astype("datetime64[us]")),
+            "open": pa.array(round_sql(
+                t["open"].to_numpy(zero_copy_only=False) / 100.0)),
+            "high": pa.array(round_sql(
+                t["hi"].to_numpy(zero_copy_only=False) / 100.0)),
+            "low": pa.array(round_sql(
+                t["lo"].to_numpy(zero_copy_only=False) / 100.0)),
+            "close": pa.array(round_sql(
+                t["close"].to_numpy(zero_copy_only=False) / 100.0)),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return per.map_batches(fin, batch_format="pyarrow")
