@@ -500,6 +500,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user_type": R.latest_event_per_user_type,
         # tumbling daily OHLC of event values (SQL oracle)
         "daily_ohlc": R.daily_ohlc,
+        # histogram of per-user event-mix entropies (SQL oracle)
+        "user_event_entropy_hist": R.user_event_entropy_hist,
+        # robust mean via exact-quantile winsorization (SQL oracle)
+        "winsorized_value_mean": R.winsorized_value_mean,
+        # bitmap-style cohort set algebra (SQL oracle)
+        "segment_users_abc": R.segment_users_abc,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2867,5 +2873,44 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(lo AS DOUBLE) / 100, 6) AS low, "
             "round(CAST(close AS DOUBLE) / 100, 6) AS close, n "
             "FROM a JOIN f ON a.day = f.day JOIN l ON a.day = l.day"
+        ),
+        "user_event_entropy_hist": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS k "
+            "  FROM events GROUP BY 1, 2), "
+            "n AS (SELECT user_id, sum(k) AS n FROM c GROUP BY 1), "
+            "h AS (SELECT c.user_id, round(sum("
+            "  -(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "  * log2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS h "
+            "  FROM c JOIN n USING (user_id) GROUP BY 1) "
+            "SELECT CAST(CAST(floor(h * 10) AS BIGINT) AS DOUBLE) / 10 "
+            "  AS bin_lo, count(*) AS n_users FROM h GROUP BY 1"
+        ),
+        "winsorized_value_mean": (
+            "WITH s AS (SELECT value AS v, "
+            "  row_number() OVER (ORDER BY value) AS rn, "
+            "  count(*) OVER () AS n FROM events), "
+            "qb AS (SELECT "
+            "  max(CASE WHEN rn = greatest(1, "
+            "    CAST(ceil(0.01 * n) AS BIGINT)) THEN v END) AS lo, "
+            "  max(CASE WHEN rn = greatest(1, "
+            "    CAST(ceil(0.99 * n) AS BIGINT)) THEN v END) AS hi FROM s) "
+            "SELECT (SELECT count(*) FROM events) AS n, lo, hi, "
+            "round(CAST(sum(CAST(round(greatest(lo, least(hi, value)) "
+            "  * 100) AS BIGINT)) AS DOUBLE) / 100 "
+            "  / (SELECT count(*) FROM events), 6) AS winsorized_mean "
+            "FROM events, qb GROUP BY lo, hi"
+        ),
+        "segment_users_abc": (
+            "WITH p AS (SELECT user_id, "
+            "  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "    AS a, "
+            "  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b, "
+            "  max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c "
+            "  FROM events GROUP BY 1) "
+            "SELECT CAST(sum(a) AS BIGINT) AS n_purchase, "
+            "CAST(sum(b) AS BIGINT) AS n_click, "
+            "CAST(sum(c) AS BIGINT) AS n_error, "
+            "CAST(sum(CASE WHEN a = 1 AND b = 1 AND c = 0 THEN 1 ELSE 0 "
+            "  END) AS BIGINT) AS n_target FROM p"
         ),
     }

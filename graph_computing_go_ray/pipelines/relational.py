@@ -4120,3 +4120,105 @@ def daily_ohlc(sf_dir: str) -> Dataset:
         })
 
     return per.map_batches(fin, batch_format="pyarrow")
+
+
+def user_event_entropy_hist(sf_dir: str) -> Dataset:
+    """Histogram of per-user event-type mix entropies (H in bits, binned
+    at 0.1): how specialised user behaviour is. Per-user type counts fold
+    in one bucketed pass; H folds per user inside the bucket (fixed
+    ascending-type summation order so SQL reproduces the float); the
+    histogram exchange is bin-dimension-sized. (bin_lo, n_users)."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], as_index=False).size()
+             .sort_values(["user_id", "event_type"]))
+        n = c.groupby("user_id")["size"].transform("sum").to_numpy(np.float64)
+        p = c["size"].to_numpy(np.float64) / n
+        term = -p * np.log2(p)
+        h = pd.DataFrame({"user_id": c["user_id"], "t": term}).groupby(
+            "user_id", sort=True)["t"].sum()
+        b = np.floor(round_sql(h.to_numpy()) * 10.0).astype(np.int64)
+        out = pd.DataFrame({"bin": b}).groupby("bin", as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    per = bucket_grouped(ev, ["user_id"], per_user,
+                         num_buckets=default_num_buckets())
+    agg = per.groupby("bin").aggregate(Sum("n_users", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "bin_lo": pa.array(
+                t["bin"].to_numpy(zero_copy_only=False) / 10.0,
+                pa.float64()),
+            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def winsorized_value_mean(sf_dir: str, lo_q: float = 0.01,
+                          hi_q: float = 0.99) -> Dataset:
+    """Winsorized mean of the event value: clamp to the exact rank-ceil
+    [p01, p99] boundaries (engine/quantile.exact_quantiles), then an
+    exact-cents mean — the robust-mean pattern with distributed exact
+    boundaries. (n, lo, hi, winsorized_mean)."""
+    from ..engine.quantile import exact_quantiles
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["value"]).materialize()
+    qdf = exact_quantiles(ev, "value", [lo_q, hi_q])
+    lo = float(qdf.sort_values("q")["value"].iloc[0])
+    hi = float(qdf.sort_values("q")["value"].iloc[1])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.clip(v, lo, hi)
+        cents = np.rint(c * 100.0).astype(np.int64)
+        return pa.table({"s": pa.array([int(cents.sum())], pa.int64()),
+                         "n": pa.array([len(cents)], pa.int64())})
+
+    tot = ev.map_batches(partial, batch_format="pyarrow").sum(["s", "n"])
+    s = int(tot["sum(s)"] or 0)
+    n = int(tot["sum(n)"] or 0)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "lo": pa.array([lo], pa.float64()),
+        "hi": pa.array([hi], pa.float64()),
+        "winsorized_mean": pa.array(
+            [float(round_sql(np.array([s / 100.0 / max(n, 1)]))[0])],
+            pa.float64()),
+    }))
+
+
+def segment_users_abc(sf_dir: str) -> Dataset:
+    """Multi-predicate cohort algebra: users who purchased AND clicked
+    but never errored, plus the full inclusion counts — bitmap-index
+    style set intersection as one bucketed boolean fold per user.
+    (n_purchase, n_click, n_error, n_target)."""
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.assign(
+            a=(g["event_type"] == "purchase").astype("int64"),
+            b=(g["event_type"] == "click").astype("int64"),
+            c=(g["event_type"] == "error").astype("int64"),
+        ).groupby("user_id", as_index=False)[["a", "b", "c"]].max()
+        return pd.DataFrame({
+            "n_purchase": [int(p["a"].sum())],
+            "n_click": [int(p["b"].sum())],
+            "n_error": [int(p["c"].sum())],
+            "n_target": [int(((p["a"] == 1) & (p["b"] == 1)
+                              & (p["c"] == 0)).sum())],
+        })
+
+    per = bucket_grouped(ev, ["user_id"], flags,
+                         num_buckets=default_num_buckets())
+    tot = per.sum(["n_purchase", "n_click", "n_error", "n_target"])
+    return ray.data.from_arrow(pa.table({
+        k: pa.array([int(tot[f"sum({k})"] or 0)], pa.int64())
+        for k in ["n_purchase", "n_click", "n_error", "n_target"]
+    }))
