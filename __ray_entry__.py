@@ -506,6 +506,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_value_mean": R.winsorized_value_mean,
         # bitmap-style cohort set algebra (SQL oracle)
         "segment_users_abc": R.segment_users_abc,
+        # frontier-adaptive residual-push PageRank (replica + power-iter
+        # agreement pytest; iterative, no SQL form)
+        "delta_pagerank_bipartite": G.delta_pagerank_bipartite,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +

@@ -1718,3 +1718,37 @@ def sssp_path_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
         "id": pa.array(np.array(path, np.int64)),
         "dist": pa.array(np.array([dists[p] for p in path], np.float64)),
     }))
+
+
+def delta_pagerank_bipartite(sf_dir: str, theta_scale: float = 1e-6,
+                             tol: float = 1e-6) -> Dataset:
+    """Residual-push (delta) PageRank over the order→part bipartite graph
+    (engine/deltapr.py): frontier-adaptive pushes instead of full power
+    sweeps; theta = theta_scale / n holds sub-threshold residuals so the
+    per-round frontier shrinks to the hubs; absorbed-residual L1 error
+    <= d/(1-d) x (tol + n*theta). At bench scale per-round fixed cost
+    dominates, so batch wall-time tracks round count (the residual-mass
+    stop needs more rounds than power iteration's L1-delta stop at equal
+    accuracy — recorded honestly in BASELINE.md §6.13); the push form's
+    value is frontier-shaped work, which is what counts when edge work
+    dominates at full scale. (id, rank) rounded for stability; replica +
+    power-iteration-agreement pytest in tests/test_superstep.py."""
+    from ..engine.deltapr import delta_pagerank
+    from ..engine.superstep import _load_graph_meta, build_graph_partitions
+
+    edges = lineitem_edges(sf_dir)
+    # theta depends on n: resolve after the partition build
+    wd = _workdir(sf_dir, f"dpr-t{theta_scale}")
+    info = _load_graph_meta(wd)
+    if info is None:
+        info = build_graph_partitions(edges, wd, 8)
+    theta = theta_scale / info["n_vertices"]
+    ranks, _info = delta_pagerank(edges, wd, tol=tol, theta=theta,
+                                  num_parts=8, info=info)
+    return ranks.map_batches(
+        lambda t: pa.table({"id": t["id"],
+                            "rank": pa.array(np.round(
+                                t["rank"].to_numpy(zero_copy_only=False), 10),
+                                pa.float64())}),
+        batch_format="pyarrow",
+    )

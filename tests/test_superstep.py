@@ -225,3 +225,49 @@ def test_gather_arrow_resolution_rule():
 
     # the real weighted program defines BOTH at the same level -> arrow
     assert _resolve_gather_arrow(WeightedPageRankProgram()) is not None
+
+
+def test_delta_pagerank_matches_replica_and_power_iteration(graph):
+    """Residual-push PageRank: same-round replica parity (1e-10) and
+    fixed-point agreement with the power-iteration engine (1e-5); with
+    theta > 0 the pushed frontier must shrink below n while still
+    converging to the same ranks."""
+    from graph_computing_go_ray.engine.deltapr import (
+        delta_pagerank, delta_pagerank_replica)
+
+    edges_pd, edges_ds, root = graph
+    ids = np.unique(np.concatenate([edges_pd["src"], edges_pd["dst"]]))
+    n = len(ids)
+
+    # theta = 0: full sweeps — parity with the replica and with power iter
+    wd0 = os.path.join(root, "dpr0")
+    out0, info0 = delta_pagerank(edges_ds, wd0, tol=1e-9, theta=0.0,
+                                 num_parts=4)
+    df0 = out0.to_pandas().sort_values("id", ignore_index=True)
+    want0 = delta_pagerank_replica(edges_pd["src"].to_numpy(),
+                                   edges_pd["dst"].to_numpy(), ids,
+                                   tol=1e-9, theta=0.0)
+    assert info0["converged"]
+    np.testing.assert_allclose(df0["rank"].to_numpy(), want0,
+                               rtol=0, atol=1e-10)
+    pr = numpy_pagerank(edges_pd, tol=1e-12, iters=500)
+    np.testing.assert_allclose(df0["rank"].to_numpy(),
+                               [pr[i] for i in df0["id"]],
+                               rtol=0, atol=1e-5)
+    assert abs(df0["rank"].sum() - 1.0) < 1e-6
+
+    # theta > 0: frontier-adaptive — same fixed point, exact replica
+    theta = 1e-7 / n
+    wd1 = os.path.join(root, "dpr1")
+    out1, info1 = delta_pagerank(edges_ds, wd1, tol=1e-9, theta=theta,
+                                 num_parts=4)
+    df1 = out1.to_pandas().sort_values("id", ignore_index=True)
+    want1 = delta_pagerank_replica(edges_pd["src"].to_numpy(),
+                                   edges_pd["dst"].to_numpy(), ids,
+                                   tol=1e-9, theta=theta)
+    assert info1["converged"]
+    np.testing.assert_allclose(df1["rank"].to_numpy(), want1,
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(df1["rank"].to_numpy(),
+                               [pr[i] for i in df1["id"]],
+                               rtol=0, atol=1e-5)
