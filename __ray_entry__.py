@@ -509,6 +509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # frontier-adaptive residual-push PageRank (replica + power-iter
         # agreement pytest; iterative, no SQL form)
         "delta_pagerank_bipartite": G.delta_pagerank_bipartite,
+        # entropy rate of the PR-stationary walk (numpy-replica pytest)
+        "walk_entropy_rate": G.walk_entropy_rate,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +

@@ -1752,3 +1752,48 @@ def delta_pagerank_bipartite(sf_dir: str, theta_scale: float = 1e-6,
                                 pa.float64())}),
         batch_format="pyarrow",
     )
+
+
+def walk_entropy_rate(sf_dir: str) -> Dataset:
+    """Entropy rate of the PageRank-stationary random walk on the
+    order→part bipartite graph: H = Σ_v π_v · h_v bits/step, where h_v =
+    log2(outdeg_v) for walk-following vertices (uniform next-hop over
+    parallel edges) and h_v = log2(N) for dangling vertices (uniform
+    jump) — the per-step uncertainty of the surfer under the engine's own
+    stationary distribution. One join of the PageRank output against the
+    degree table (both already distributed), folded to a single row:
+    (entropy_rate_bits, dangling_share). Numpy-replica pytest in
+    tests/test_graph_extras.py."""
+    from ..engine.join import bucket_join
+
+    ranks = pagerank(
+        lineitem_edges(sf_dir), _workdir(sf_dir, "pagerank"),
+        tol=1e-9, max_iters=100, num_parts=8,
+    )[0]
+    from ..engine import degrees as deg_k
+    deg = deg_k.out_degree(lineitem_edges(sf_dir))
+    j = bucket_join(ranks, deg.rename_columns({"src": "id"}),
+                    on="id", right_on="id", how="left", num_buckets=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        d = t["out_degree"].to_numpy(zero_copy_only=False)
+        d = np.where(np.isnan(d.astype(np.float64)), 0.0,
+                     d.astype(np.float64))
+        walk = d > 0
+        h = np.where(walk, np.log2(np.maximum(d, 1.0)), 0.0)
+        return pa.table({
+            "hw": pa.array([float((r * h).sum())]),
+            "pd": pa.array([float(r[~walk].sum())]),
+        })
+
+    tot = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hw = float(tot["hw"].sum())
+    p_dang = float(tot["pd"].sum())
+    n = int(ranks.count())
+    h_rate = hw + p_dang * float(np.log2(max(n, 2)))
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "entropy_rate_bits": pa.array([round(h_rate, 6)], pa.float64()),
+        "dangling_share": pa.array([round(p_dang, 6)], pa.float64()),
+    }))

@@ -1305,3 +1305,39 @@ def test_sssp_parents_contract(graph):
     assert path[0] == seeds[0] and path[-1] == far
     cost = sum(ew[(a, b)] for a, b in zip(path[:-1], path[1:]))
     assert cost == reached[far]
+
+
+def test_walk_entropy_rate_matches_numpy():
+    """Entropy rate of the PR-stationary walk == direct numpy computation
+    (PR to 1e-9 + exact degree/entropy fold) at sf0.001."""
+    from graph_computing_go_ray.pipelines.graphalgos import walk_entropy_rate
+
+    sf = "/root/testdata/sf0.001"
+    got = walk_entropy_rate(sf).to_pandas()
+
+    from graph_computing_go_ray.sources.readers import lineitem_edges
+    e = lineitem_edges(sf).to_pandas()
+    ids = np.unique(np.concatenate([e["src"], e["dst"]]))
+    pos = {v: i for i, v in enumerate(ids)}
+    s = np.array([pos[v] for v in e["src"]])
+    n = len(ids)
+    outd = np.bincount(s, minlength=n).astype(float)
+    # numpy PR, same formulation as the engine
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    t = np.array([pos[v] for v in e["dst"]])
+    for _ in range(300):
+        dang = r[outd == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, t, r[s] / outd[s])
+        new = (1 - d) / n + d * (contrib + dang / n)
+        if np.abs(new - r).sum() < 1e-12:
+            r = new
+            break
+        r = new
+    walk = outd > 0
+    hw = float((r[walk] * np.log2(outd[walk])).sum())
+    pd_ = float(r[~walk].sum())
+    want = hw + pd_ * np.log2(n)
+    assert abs(got["entropy_rate_bits"].iloc[0] - round(want, 6)) < 2e-6
+    assert abs(got["dangling_share"].iloc[0] - round(pd_, 6)) < 2e-6
