@@ -511,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_pagerank_bipartite": G.delta_pagerank_bipartite,
         # entropy rate of the PR-stationary walk (numpy-replica pytest)
         "walk_entropy_rate": G.walk_entropy_rate,
+        # cross-source bigram-LM cross-entropy matrix (SQL oracle)
+        "source_lm_divergence": C.source_lm_divergence,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2917,5 +2919,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(c) AS BIGINT) AS n_error, "
             "CAST(sum(CASE WHEN a = 1 AND b = 1 AND c = 0 THEN 1 ELSE 0 "
             "  END) AS BIGINT) AS n_target FROM p"
+        ),
+        "source_lm_divergence": (
+            "WITH toks AS (SELECT source, "
+            "  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws "
+            "  FROM documents), "
+            "pairs AS (SELECT source, unnest([{'a': ws[i], 'b': ws[i+1]} "
+            "  for i in generate_series(1, greatest(len(ws) - 1, 0))]) "
+            "  AS x FROM toks), "
+            "pc AS (SELECT source, x.a AS a, x.b AS b, count(*) AS n "
+            "  FROM pairs GROUP BY 1, 2, 3), "
+            "cu AS (SELECT source, a, sum(n) AS na FROM pc GROUP BY 1, 2), "
+            "vv AS (SELECT count(DISTINCT token) AS v FROM (SELECT "
+            "  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "  AS token FROM documents)), "
+            "nb AS (SELECT source, sum(n) AS nb FROM pc GROUP BY 1), "
+            "srcs AS (SELECT DISTINCT source FROM documents), "
+            "x AS (SELECT s.source AS lm_source, "
+            "  b.source AS target_source, "
+            "  sum(b.n * log2((COALESCE(ca.n, 0) + 1.0) "
+            "    / (COALESCE(cua.na, 0) + v))) AS t "
+            "  FROM pc b CROSS JOIN srcs s CROSS JOIN vv "
+            "  LEFT JOIN pc ca ON ca.source = s.source AND ca.a = b.a "
+            "    AND ca.b = b.b "
+            "  LEFT JOIN cu cua ON cua.source = s.source AND cua.a = b.a "
+            "  GROUP BY 1, 2) "
+            "SELECT lm_source, target_source, "
+            "CAST(nb AS BIGINT) AS n_bigrams, "
+            "round(-t / CAST(nb AS DOUBLE), 6) AS cross_entropy_bits "
+            "FROM x JOIN nb ON nb.source = x.target_source"
         ),
     }

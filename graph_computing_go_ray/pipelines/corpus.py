@@ -1463,3 +1463,97 @@ def term_burstiness(sf_dir: str, min_cf: int = 50, k: int = 30) -> Dataset:
         "cf": pa.array(top["cf"].to_numpy(np.int64)),
         "chi2": pa.array(top["chi2"].to_numpy(np.float64), pa.float64()),
     }))
+
+
+def source_lm_divergence(sf_dir: str) -> Dataset:
+    """Domain-shift matrix: cross-entropy (bits/bigram) of each source's
+    bigram stream under every other source's add-one-smoothed bigram LM —
+    the CCNet/KenLM-style corpus-similarity diagnostic, as one
+    left-token-bucketed exchange. (lm_source, target_source, n_bigrams,
+    cross_entropy_bits).
+
+    Per-batch (source, a, b) partial counts bucket on the LEFT token, so
+    each bucket holds every source's full (a, *) row set: the smoothed
+    per-(A, B) log-prob sums are 5 vectorized merges per bucket, and only
+    a sources² partial matrix leaves each bucket. The vocab size V and
+    per-source bigram totals are dimension-sized driver folds."""
+    import ray as _ray
+
+    from ray.data import aggregate as _agg
+
+    from ..engine.join import bucket_grouped, default_num_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tokens, doc_idx = T.batch_word_tokens(t["text"].to_pylist())
+        if len(tokens) < 2:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        mask = doc_idx[1:] == doc_idx[:-1]
+        src = t["source"].to_numpy(zero_copy_only=False)[doc_idx[:-1][mask]]
+        out = (pd.DataFrame({"source": src, "a": tokens[:-1][mask],
+                             "b": tokens[1:][mask]})
+               .groupby(["source", "a", "b"], as_index=False, sort=False)
+               .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = docs.map_batches(partial, batch_format="pyarrow").materialize()
+
+    # vocab size V: distinct unigram tokens over the corpus (left OR right
+    # position — identical to SQL's unnest-all distinct because every
+    # token appears as a left token unless it's a doc's last, and as a
+    # right token unless first; union both sides)
+    def uni(t: pa.Table) -> pa.Table:
+        tokens, _ = T.batch_word_tokens(t["text"].to_pylist())
+        u = np.unique(tokens) if len(tokens) else np.array([], object)
+        return pa.table({"token": pa.array(u, pa.string())})
+
+    from ..engine.degrees import distinct_pairs
+    vocab = distinct_pairs(
+        docs.map_batches(uni, batch_format="pyarrow"), ["token"])
+    V = int(vocab.count())
+
+    nb = (counts.groupby("source")
+          .aggregate(_agg.Sum("n", alias_name="nb")).to_pandas())
+    n_of = dict(zip(nb["source"], nb["nb"].astype(np.int64)))
+    srcs = sorted(n_of)
+
+    def bucket_sums(g: pd.DataFrame) -> pd.DataFrame:
+        pc_ = g.groupby(["source", "a", "b"], as_index=False)["n"].sum()
+        cu = pc_.groupby(["source", "a"], as_index=False)["n"].sum() \
+            .rename(columns={"n": "na"})
+        rows = []
+        for A in srcs:
+            ca = pc_[pc_["source"] == A][["a", "b", "n"]].rename(
+                columns={"n": "n_a"})
+            cua = cu[cu["source"] == A][["a", "na"]]
+            m = pc_.merge(ca, on=["a", "b"], how="left").merge(
+                cua, on="a", how="left")
+            num = m["n_a"].fillna(0).to_numpy(np.float64) + 1.0
+            den = m["na"].fillna(0).to_numpy(np.float64) + float(V)
+            term = m["n"].to_numpy(np.float64) * np.log2(num / den)
+            s = pd.DataFrame({"target_source": m["source"], "t": term}) \
+                .groupby("target_source", as_index=False)["t"].sum()
+            s["lm_source"] = A
+            rows.append(s)
+        return pd.concat(rows, ignore_index=True)
+
+    per = bucket_grouped(counts, ["a"], bucket_sums,
+                         num_buckets=default_num_buckets())
+    tot = (per.groupby(["lm_source", "target_source"])
+           .aggregate(_agg.Sum("t", alias_name="t")).to_pandas())
+    tot = tot.sort_values(["lm_source", "target_source"],
+                          ignore_index=True)
+    from .textstats import round_sql
+    nbv = tot["target_source"].map(n_of).to_numpy(np.float64)
+    h = round_sql(-tot["t"].to_numpy(np.float64) / nbv)
+    return _ray.data.from_arrow(pa.table({
+        "lm_source": pa.array(tot["lm_source"]),
+        "target_source": pa.array(tot["target_source"]),
+        "n_bigrams": pa.array(tot["target_source"].map(n_of)
+                              .to_numpy(np.int64)),
+        "cross_entropy_bits": pa.array(h, pa.float64()),
+    }))
