@@ -513,6 +513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_entropy_rate": G.walk_entropy_rate,
         # cross-source bigram-LM cross-entropy matrix (SQL oracle)
         "source_lm_divergence": C.source_lm_divergence,
+        # Broder bow-tie decomposition CORE/IN/OUT/OTHER (python-replica
+        # pytest; iterative, no SQL form)
+        "bowtie_chain": G.bowtie_chain,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +

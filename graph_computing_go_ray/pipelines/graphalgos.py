@@ -1797,3 +1797,81 @@ def walk_entropy_rate(sf_dir: str) -> Dataset:
         "entropy_rate_bits": pa.array([round(h_rate, 6)], pa.float64()),
         "dangling_share": pa.array([round(p_dang, 6)], pa.float64()),
     }))
+
+
+def bowtie_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
+    """Broder bow-tie decomposition of the directed part-chain graph
+    (Broder et al., "Graph structure in the Web"): CORE = the largest SCC
+    (ties to smallest scc_id), OUT = reachable FROM the core (directed
+    BFS), IN = reaching the core (BFS on reversed edges), OTHER =
+    everything else (tendrils/tubes/disconnected). (component, n_vertices)
+    — the canonical first question asked of a crawl-scale link graph.
+
+    Composition: engine/scc.py peeling for components, two directed
+    multi-seed BFS runs for IN/OUT. Core seeds are collected as one id
+    array (bounded by the core size; at 10^12 vertices the seed set would
+    ride the state shards via a join instead — same BFS program).
+    Python-replica pytest (Tarjan + BFS) in tests/test_graph_extras.py."""
+    from ..engine.bfs import bfs_depths
+    from ..engine.scc import strongly_connected_components
+
+    edges = chain_edge_ds(sf_dir, order_mod)
+    scc, _ = strongly_connected_components(
+        edges, _workdir(sf_dir, f"sccfb-m{order_mod}"), num_parts=8)
+    # largest SCC id via a distributed count, never the vertex table
+    sizes = (scc.groupby("scc_id").count().to_pandas()
+             .sort_values(["count()", "scc_id"],
+                          ascending=[False, True], ignore_index=True))
+    core_id = int(sizes["scc_id"].iloc[0])
+
+    def core_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+        m = pac.equal(t["scc_id"], core_id)
+        return t.filter(m).select(["id"])
+
+    core = scc.map_batches(core_ids, batch_format="pyarrow").to_pandas()
+    seeds = [int(x) for x in core["id"]]
+
+    fwd, _ = bfs_depths(edges, seeds,
+                        _workdir(sf_dir, f"bt-fwd-m{order_mod}"),
+                        num_parts=8, symmetrize=False)
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    bwd, _ = bfs_depths(edges.map_batches(rev, batch_format="pyarrow"),
+                        seeds, _workdir(sf_dir, f"bt-bwd-m{order_mod}"),
+                        num_parts=8, symmetrize=False)
+
+    from ..engine.join import bucket_join
+    j = bucket_join(scc,
+                    fwd.rename_columns({"dist": "d_out"}),
+                    on="id", right_on="id", how="left", num_buckets=8)
+    j = bucket_join(j, bwd.rename_columns({"dist": "d_in"}),
+                    on="id", right_on="id", how="left", num_buckets=8)
+
+    def classify(t: pa.Table) -> pa.Table:
+        sid = t["scc_id"].to_numpy(zero_copy_only=False)
+        do = t["d_out"].to_numpy(zero_copy_only=False).astype(np.float64)
+        di = t["d_in"].to_numpy(zero_copy_only=False).astype(np.float64)
+        reach_out = ~np.isnan(do) & (do >= 0)
+        reach_in = ~np.isnan(di) & (di >= 0)
+        cls = np.where(sid == core_id, "CORE",
+                       np.where(reach_out, "OUT",
+                                np.where(reach_in, "IN", "OTHER")))
+        df = pd.DataFrame({"component": cls}).groupby(
+            "component", as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n_vertices"}), preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    out = (j.map_batches(classify, batch_format="pyarrow")
+           .groupby("component")
+           .aggregate(_Sum("n_vertices", alias_name="n_vertices")))
+    import pyarrow.compute as pac
+    return out.map_batches(
+        lambda t: pa.table({"component": t["component"],
+                            "n_vertices": pac.cast(t["n_vertices"],
+                                                   pa.int64())}),
+        batch_format="pyarrow",
+    )

@@ -1341,3 +1341,84 @@ def test_walk_entropy_rate_matches_numpy():
     want = hw + pd_ * np.log2(n)
     assert abs(got["entropy_rate_bits"].iloc[0] - round(want, 6)) < 2e-6
     assert abs(got["dangling_share"].iloc[0] - round(pd_, 6)) < 2e-6
+
+
+def test_bowtie_matches_python_replica():
+    """Bow-tie decomposition == python Tarjan + BFS replica (sf0.001
+    chain graph): identical per-class counts."""
+    from collections import deque
+
+    from graph_computing_go_ray.pipelines.graphalgos import (bowtie_chain,
+                                                             chain_edge_ds)
+
+    sf = "/root/testdata/sf0.001"
+    got = (bowtie_chain(sf).to_pandas()
+           .set_index("component")["n_vertices"].to_dict())
+    edges = chain_edge_ds(sf).to_pandas()
+    adj, radj = {}, {}
+    nodes = set()
+    for s, d in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+        adj.setdefault(s, []).append(d)
+        radj.setdefault(d, []).append(s)
+        nodes.add(s); nodes.add(d)
+    # iterative Tarjan
+    index = {}; low = {}; on_stack = set(); stack = []
+    comp_of = {}; counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]; counter[0] += 1
+                stack.append(v); on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1)); work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop(); on_stack.discard(w); comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        comp_of[w] = m
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    from collections import Counter
+    csize = Counter(comp_of.values())
+    big = max(csize.values())
+    core_id = min(c for c, n in csize.items() if n == big)
+    core = {v for v, c in comp_of.items() if c == core_id}
+
+    def bfs(seedset, g):
+        seen = set(seedset)
+        q = deque(seedset)
+        while q:
+            v = q.popleft()
+            for w in g.get(v, []):
+                if w not in seen:
+                    seen.add(w); q.append(w)
+        return seen
+
+    out_r = bfs(core, adj)
+    in_r = bfs(core, radj)
+    want = {"CORE": len(core),
+            "OUT": len(out_r - core),
+            "IN": len(in_r - core - out_r)}
+    want["OTHER"] = len(nodes) - sum(want.values())
+    want = {k: v for k, v in want.items() if v > 0}
+    assert got == want
