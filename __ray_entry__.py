@@ -516,6 +516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Broder bow-tie decomposition CORE/IN/OUT/OTHER (python-replica
         # pytest; iterative, no SQL form)
         "bowtie_chain": G.bowtie_chain,
+        # deterministic content-hash train/val/test split report (SQL
+        # oracle)
+        "train_val_test_split": C.train_val_test_split,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2951,5 +2954,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(nb AS BIGINT) AS n_bigrams, "
             "round(-t / CAST(nb AS DOUBLE), 6) AS cross_entropy_bits "
             "FROM x JOIN nb ON nb.source = x.target_source"
+        ),
+        "train_val_test_split": (
+            "WITH s AS (SELECT source, CASE "
+            "  WHEN substring(md5(text), 1, 8) < lpad(lower(to_hex("
+            "    CAST(least(floor(0.8 * 4294967296.0), 4294967295.0) "
+            "    AS BIGINT))), 8, '0') THEN 'train' "
+            "  WHEN substring(md5(text), 1, 8) < lpad(lower(to_hex("
+            "    CAST(least(floor(0.9 * 4294967296.0), 4294967295.0) "
+            "    AS BIGINT))), 8, '0') THEN 'val' "
+            "  ELSE 'test' END AS split FROM documents), "
+            "c AS (SELECT source, split, count(*) AS n_docs "
+            "  FROM s GROUP BY 1, 2), "
+            "t AS (SELECT source, sum(n_docs) AS tot FROM c GROUP BY 1) "
+            "SELECT c.source, split, n_docs, "
+            "round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6) "
+            "  AS fraction FROM c JOIN t ON c.source = t.source"
         ),
     }

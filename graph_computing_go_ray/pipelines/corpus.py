@@ -1557,3 +1557,50 @@ def source_lm_divergence(sf_dir: str) -> Dataset:
                               .to_numpy(np.int64)),
         "cross_entropy_bits": pa.array(h, pa.float64()),
     }))
+
+
+def train_val_test_split(sf_dir: str, train: float = 0.8,
+                         val: float = 0.1) -> Dataset:
+    """Deterministic three-way corpus split: each document lands in
+    train/val/test by its content hash (first 8 md5 hex chars compared
+    against the fixed-width hex thresholds — the quality_weighted_sample
+    trick, so reruns and disjoint shards agree with no RNG state), and
+    the report is per-(source, split) counts with the realised fraction.
+    (source, split, n_docs, fraction). Embarrassingly parallel: a pure
+    per-batch classification + a tiny grouped fold."""
+    from ray.data import aggregate as _agg
+
+    from .textstats import round_sql
+
+    t_train = format(int(min(np.floor(train * 4294967296.0),
+                             4294967295.0)), "08x")
+    t_val = format(int(min(np.floor((train + val) * 4294967296.0),
+                           4294967295.0)), "08x")
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        split = np.array(["train" if f[:8] < t_train
+                          else ("val" if f[:8] < t_val else "test")
+                          for f in fps], object)
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "split": split,
+        }).groupby(["source", "split"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n_docs"}), preserve_index=False)
+
+    agg = (docs.map_batches(fn, batch_format="pyarrow")
+           .groupby(["source", "split"])
+           .aggregate(_agg.Sum("n_docs", alias_name="n_docs")).to_pandas())
+    tot = agg.groupby("source")["n_docs"].transform("sum")
+    import ray.data as _rd
+    return _rd.from_arrow(pa.table({
+        "source": pa.array(agg["source"]),
+        "split": pa.array(agg["split"]),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "fraction": pa.array(round_sql(
+            agg["n_docs"].to_numpy(np.float64) / tot.to_numpy(np.float64)),
+            pa.float64()),
+    }))
