@@ -519,6 +519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic content-hash train/val/test split report (SQL
         # oracle)
         "train_val_test_split": C.train_val_test_split,
+        # Benford first-digit audit of order totals (SQL oracle)
+        "benford_price": R.benford_price,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2970,5 +2972,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.source, split, n_docs, "
             "round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6) "
             "  AS fraction FROM c JOIN t ON c.source = t.source"
+        ),
+        "benford_price": (
+            "WITH f AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) "
+            "  AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit "
+            "  FROM orders WHERE floor(o_totalprice) >= 1), "
+            "c AS (SELECT digit, count(*) AS n FROM f GROUP BY 1), "
+            "d9 AS (SELECT unnest(generate_series(1, 9)) AS digit), "
+            "j AS (SELECT d9.digit, COALESCE(n, 0) AS n FROM d9 "
+            "  LEFT JOIN c ON c.digit = d9.digit), "
+            "t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM j), "
+            "x AS (SELECT sum((CAST(n AS DOUBLE) "
+            "  - log10(1 + 1.0 / digit) * total) "
+            "  * (CAST(n AS DOUBLE) - log10(1 + 1.0 / digit) * total) "
+            "  / (log10(1 + 1.0 / digit) * total)) AS chi2 FROM j, t) "
+            "SELECT j.digit, n, "
+            "round(CAST(n AS DOUBLE) / total, 6) AS observed_p, "
+            "round(log10(1 + 1.0 / digit), 6) AS expected_p, "
+            "round(chi2, 6) AS chi2 FROM j, t, x"
         ),
     }

@@ -4222,3 +4222,42 @@ def segment_users_abc(sf_dir: str) -> Dataset:
         k: pa.array([int(tot[f"sum({k})"] or 0)], pa.int64())
         for k in ["n_purchase", "n_click", "n_error", "n_target"]
     }))
+
+
+def benford_price(sf_dir: str) -> Dataset:
+    """Benford's-law audit of order totals: distribution of the first
+    significant digit of floor(o_totalprice) vs the Benford expectation
+    log10(1 + 1/d), plus the chi-square statistic replicated on every row
+    (digit extraction is string-based on the integer part, so both sides
+    share one exact definition). (digit, n, observed_p, expected_p,
+    chi2) — the classic synthetic-data / fraud smoke test."""
+    from .textstats import round_sql
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     ).astype(np.int64)
+        keep = v >= 1
+        first = np.array([int(str(x)[0]) for x in v[keep]], np.int64)
+        cnt = np.bincount(first, minlength=10)[1:]
+        return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n")).to_pandas()
+           .sort_values("digit", ignore_index=True))
+    n = agg["n"].to_numpy(np.int64)
+    total = float(n.sum())
+    d = agg["digit"].to_numpy(np.int64).astype(np.float64)
+    exp_p = np.log10(1.0 + 1.0 / d)
+    obs_p = n.astype(np.float64) / total
+    e = exp_p * total
+    chi2 = float((((n.astype(np.float64) - e) ** 2) / e).sum())
+    return ray.data.from_arrow(pa.table({
+        "digit": pa.array(agg["digit"].to_numpy(np.int64)),
+        "n": pa.array(n),
+        "observed_p": pa.array(round_sql(obs_p), pa.float64()),
+        "expected_p": pa.array(round_sql(exp_p), pa.float64()),
+        "chi2": pa.array(round_sql(np.full(9, chi2)), pa.float64()),
+    }))
