@@ -521,6 +521,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": C.train_val_test_split,
         # Benford first-digit audit of order totals (SQL oracle)
         "benford_price": R.benford_price,
+        # grouped stddev from exact integer moments (SQL oracle)
+        "price_dispersion_by_type": R.price_dispersion_by_type,
+        # chained exact quantiles: median absolute deviation (SQL oracle)
+        "price_mad": R.price_mad,
+        # char-class composition audit per source (SQL oracle)
+        "charclass_profile": TX.charclass_profile,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -2990,5 +2996,50 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(n AS DOUBLE) / total, 6) AS observed_p, "
             "round(log10(1 + 1.0 / digit), 6) AS expected_p, "
             "round(chi2, 6) AS chi2 FROM j, t, x"
+        ),
+        "price_dispersion_by_type": (
+            "WITH m AS (SELECT p_type, "
+            "  CAST(round(p_retailprice * 100) AS BIGINT) AS x FROM part), "
+            "a AS (SELECT p_type, count(*) AS n, sum(x) AS sx, "
+            "  sum(x * x) AS sxx FROM m GROUP BY 1) "
+            "SELECT p_type, CAST(n AS BIGINT) AS n, "
+            "round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) "
+            "  AS mean_price, "
+            "round(sqrt((CAST(n * sxx - sx * sx AS DOUBLE) "
+            "  / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)) / 10000), 6) "
+            "  AS stddev_price FROM a WHERE n >= 2"
+        ),
+        "price_mad": (
+            "WITH s AS (SELECT o_totalprice AS v, "
+            "  row_number() OVER (ORDER BY o_totalprice) AS rn, "
+            "  count(*) OVER () AS n FROM orders), "
+            "m AS (SELECT v AS med FROM s WHERE rn = greatest(1, "
+            "  CAST(ceil(0.5 * n) AS BIGINT))), "
+            "d AS (SELECT abs(o_totalprice - med) AS dv FROM orders, m), "
+            "s2 AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn, "
+            "  count(*) OVER () AS n FROM d), "
+            "m2 AS (SELECT dv AS mad FROM s2 WHERE rn = greatest(1, "
+            "  CAST(ceil(0.5 * n) AS BIGINT))) "
+            "SELECT round(med, 6) AS median, round(mad, 6) AS mad "
+            "FROM m, m2"
+        ),
+        "charclass_profile": (
+            "WITH m AS (SELECT source, length(text) AS n, "
+            "  len(regexp_extract_all(text, '[A-Za-z]')) AS a, "
+            "  len(regexp_extract_all(text, '[0-9]')) AS d, "
+            "  len(regexp_extract_all(text, '\\s')) AS sp "
+            "  FROM documents), "
+            "a2 AS (SELECT source, sum(n) AS n, sum(a) AS a, sum(d) AS d, "
+            "  sum(sp) AS sp FROM m GROUP BY 1) "
+            "SELECT source, CAST(n AS BIGINT) AS n_chars, "
+            "round(CAST(a AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0), 6) "
+            "  AS alpha_frac, "
+            "round(CAST(d AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0), 6) "
+            "  AS digit_frac, "
+            "round(CAST(sp AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0), 6) "
+            "  AS space_frac, "
+            "round(CAST(n - a - d - sp AS DOUBLE) "
+            "  / greatest(CAST(n AS DOUBLE), 1.0), 6) AS other_frac "
+            "FROM a2"
         ),
     }

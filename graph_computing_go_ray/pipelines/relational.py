@@ -4261,3 +4261,69 @@ def benford_price(sf_dir: str) -> Dataset:
         "expected_p": pa.array(round_sql(exp_p), pa.float64()),
         "chi2": pa.array(round_sql(np.full(9, chi2)), pa.float64()),
     }))
+
+
+def price_dispersion_by_type(sf_dir: str) -> Dataset:
+    """Grouped dispersion: per part type, retail-price mean and sample
+    stddev from EXACT integer cent moments (n, Σx, Σx²) — one partial
+    pass + a type-dimension fold; SQL reproduces the floats bit-for-bit
+    via the same closed form. (p_type, n, mean_price, stddev_price)."""
+    from .textstats import round_sql
+
+    parts = read_table(sf_dir, "part", columns=["p_type", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.rint(t["p_retailprice"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "p_type": t["p_type"].to_numpy(zero_copy_only=False),
+            "n": 1, "sx": x, "sxx": x * x,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("p_type", as_index=False).sum(), preserve_index=False)
+
+    agg = (parts.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sxx", alias_name="sxx")).to_pandas())
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        if n < 2:
+            continue
+        mean = float(sx) / float(n) / 100.0
+        var = (float(n * sxx - sx * sx) / float(n) / float(n - 1)) / 10000.0
+        rows.append((r.p_type, n, float(round_sql(np.array([mean]))[0]),
+                     float(round_sql(np.array([math.sqrt(var)]))[0])))
+    return ray.data.from_arrow(pa.table({
+        "p_type": pa.array([r[0] for r in rows]),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "mean_price": pa.array([r[2] for r in rows], pa.float64()),
+        "stddev_price": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
+def price_mad(sf_dir: str) -> Dataset:
+    """Median absolute deviation of order totals: median via the exact
+    two-pass quantile engine, then a SECOND exact-quantile pass over
+    |x - median| — the chained robust-statistic shape. (median, mad)."""
+    from ..engine.quantile import exact_quantiles
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_totalprice"]).materialize()
+    med = float(exact_quantiles(orders, "o_totalprice", [0.5])["value"]
+                .iloc[0])
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array(np.abs(v - med), pa.float64())})
+
+    devs = orders.map_batches(dev, batch_format="pyarrow").materialize()
+    mad = float(exact_quantiles(devs, "d", [0.5])["value"].iloc[0])
+    from .textstats import round_sql
+    return ray.data.from_arrow(pa.table({
+        "median": pa.array([float(round_sql(np.array([med]))[0])],
+                           pa.float64()),
+        "mad": pa.array([float(round_sql(np.array([mad]))[0])],
+                        pa.float64()),
+    }))

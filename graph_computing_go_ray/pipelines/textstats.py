@@ -1094,3 +1094,57 @@ def lang_fertility(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def charclass_profile(sf_dir: str) -> Dataset:
+    """Character-class composition per source: fractions of alphabetic,
+    digit, whitespace and other characters — the cheap encoding/noise
+    audit a corpus intake runs first. Vectorized Arrow regex counts
+    (count_substring_regex over single-char classes) with DuckDB
+    regexp_extract_all parity; exact integer partials, one tiny fold.
+    (source, n_chars, alpha_frac, digit_frac, space_frac, other_frac)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        total = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        alpha = pc.count_substring_regex(t["text"], r"[A-Za-z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        digit = pc.count_substring_regex(t["text"], r"[0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        space = pc.count_substring_regex(t["text"], r"\s").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_chars": total, "alpha": alpha, "digit": digit,
+            "space": space,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False)
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_chars", alias_name="n_chars"),
+                      Sum("alpha", alias_name="alpha"),
+                      Sum("digit", alias_name="digit"),
+                      Sum("space", alias_name="space")))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = t["alpha"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["digit"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["space"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = np.maximum(n, 1.0)
+        return pa.table({
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "alpha_frac": pa.array(round_sql(a / nn), pa.float64()),
+            "digit_frac": pa.array(round_sql(d / nn), pa.float64()),
+            "space_frac": pa.array(round_sql(s / nn), pa.float64()),
+            "other_frac": pa.array(round_sql((n - a - d - s) / nn),
+                                   pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
