@@ -527,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad": R.price_mad,
         # char-class composition audit per source (SQL oracle)
         "charclass_profile": TX.charclass_profile,
+        # hour-of-day seasonality per event type (SQL oracle)
+        "hourly_profile": R.hourly_profile,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -3041,5 +3043,14 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(n - a - d - sp AS DOUBLE) "
             "  / greatest(CAST(n AS DOUBLE), 1.0), 6) AS other_frac "
             "FROM a2"
+        ),
+        "hourly_profile": (
+            "WITH c AS (SELECT event_type, "
+            "  CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n "
+            "  FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT c.event_type, hour, n, "
+            "round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) "
+            "  AS frac_of_type FROM c JOIN t ON c.event_type = t.event_type"
         ),
     }

@@ -4327,3 +4327,36 @@ def price_mad(sf_dir: str) -> Dataset:
         "mad": pa.array([float(round_sql(np.array([mad]))[0])],
                         pa.float64()),
     }))
+
+
+def hourly_profile(sf_dir: str) -> Dataset:
+    """Hour-of-day seasonality per event type: (event_type, hour, n,
+    frac_of_type). Per-block partial counts, one (type x 24)-sized
+    exchange; the fraction folds on the dimension table."""
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = (t["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        hour = (us // 3_600_000_000) % 24
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "hour": hour,
+        }).groupby(["event_type", "hour"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False)
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    tot = agg.groupby("event_type")["n"].transform("sum")
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(agg["event_type"]),
+        "hour": pa.array(agg["hour"].to_numpy(np.int64)),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "frac_of_type": pa.array(round_sql(
+            agg["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)),
+            pa.float64()),
+    }))
