@@ -529,6 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charclass_profile": TX.charclass_profile,
         # hour-of-day seasonality per event type (SQL oracle)
         "hourly_profile": R.hourly_profile,
+        # order-to-last-ship fulfillment lag histogram (SQL oracle)
+        "order_fulfillment_hist": R.order_fulfillment_hist,
+        # Welch two-sample t from exact integer moments (SQL oracle)
+        "weekend_value_ttest": R.weekend_value_ttest,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -3052,5 +3056,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.event_type, hour, n, "
             "round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) "
             "  AS frac_of_type FROM c JOIN t ON c.event_type = t.event_type"
+        ),
+        "order_fulfillment_hist": (
+            "WITH m AS (SELECT o_orderkey, "
+            "  CAST(CAST(max(l_shipdate) AS DATE) "
+            "    - CAST(o_orderdate AS DATE) AS BIGINT) AS days "
+            "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "  GROUP BY o_orderkey, o_orderdate) "
+            "SELECT days, count(*) AS n_orders FROM m GROUP BY 1"
+        ),
+        "weekend_value_ttest": (
+            "WITH m AS (SELECT event_type, "
+            "  CASE WHEN ((epoch_us(ts) // 86400000000 + 4) % 7) >= 5 "
+            "    THEN 1 ELSE 0 END AS we, "
+            "  CAST(round(value * 100) AS BIGINT) AS x FROM events), "
+            "a AS (SELECT event_type, we, count(*) AS n, sum(x) AS sx, "
+            "  sum(x * x) AS sxx FROM m GROUP BY 1, 2), "
+            "p AS (SELECT w.event_type, w.n AS n1, w.sx AS s1, "
+            "  w.sxx AS q1, e.n AS n2, e.sx AS s2, e.sxx AS q2 "
+            "  FROM a w JOIN a e ON w.event_type = e.event_type "
+            "  AND w.we = 0 AND e.we = 1) "
+            "SELECT event_type, CAST(n1 AS BIGINT) AS n_weekday, "
+            "CAST(n2 AS BIGINT) AS n_weekend, "
+            "round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100, 6) "
+            "  AS mean_wd, "
+            "round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100, 6) "
+            "  AS mean_we, "
+            "round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100 "
+            "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100) "
+            "  / sqrt(((CAST(n1 * q1 - s1 * s1 AS DOUBLE) "
+            "    / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE)) / 10000) "
+            "    / n1 "
+            "  + ((CAST(n2 * q2 - s2 * s2 AS DOUBLE) "
+            "    / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)) / 10000) "
+            "    / n2), 6) AS t_stat "
+            "FROM p WHERE n1 >= 2 AND n2 >= 2"
         ),
     }

@@ -4360,3 +4360,94 @@ def hourly_profile(sf_dir: str) -> Dataset:
             agg["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)),
             pa.float64()),
     }))
+
+
+def order_fulfillment_hist(sf_dir: str) -> Dataset:
+    """Fulfilment-lag histogram: whole days from order date to the
+    order's LAST ship date, counted per lag. The lineitem->orders hop is
+    the size-adaptive join; per-order max folds inside orderkey buckets;
+    the histogram exchange is lag-dimension-sized. (days, n_orders)."""
+    from ..engine.join import adaptive_map_join, bucket_grouped
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+    j = adaptive_map_join(li, orders, on="l_orderkey", key_col="o_orderkey",
+                          val_cols=["o_orderdate"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_orderkey", as_index=False).agg(
+            ship=("l_shipdate", "max"), od=("o_orderdate", "first"))
+        days = ((m["ship"].to_numpy().astype("datetime64[D]")
+                 - m["od"].to_numpy().astype("datetime64[D]"))
+                .astype(np.int64))
+        out = pd.DataFrame({"days": days}).groupby(
+            "days", as_index=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    per = bucket_grouped(j, ["l_orderkey"], per_order, num_buckets=8)
+    agg = per.groupby("days").aggregate(Sum("n_orders",
+                                            alias_name="n_orders"))
+    return agg.map_batches(
+        lambda t: pa.table({"days": pc.cast(t["days"], pa.int64()),
+                            "n_orders": pc.cast(t["n_orders"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def weekend_value_ttest(sf_dir: str) -> Dataset:
+    """Welch two-sample t between weekend and weekday event values per
+    event type, from EXACT integer cent moments (n, Σx, Σx² per side) —
+    so the SQL oracle reproduces the statistic bit-for-bit.
+    (event_type, n_weekday, n_weekend, mean_wd, mean_we, t_stat)."""
+    from .textstats import round_sql
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (t["ts"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").view(np.int64) // 86_400_000_000)
+        # 1970-01-01 was a Thursday: weekday index = (day + 4) % 7,
+        # Saturday = 5, Sunday = 6
+        we = ((day + 4) % 7 >= 5).astype(np.int64)
+        x = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                    * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "we": we, "n": 1, "sx": x, "sxx": x * x,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "we"], as_index=False).sum(),
+            preserve_index=False)
+
+    agg = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "we"])
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sxx", alias_name="sxx")).to_pandas())
+    rows = []
+    for et, g in agg.groupby("event_type"):
+        g = g.set_index("we")
+        if 0 not in g.index or 1 not in g.index:
+            continue
+        n1, s1, q1 = (int(g.loc[0, "n"]), int(g.loc[0, "sx"]),
+                      int(g.loc[0, "sxx"]))
+        n2, s2, q2 = (int(g.loc[1, "n"]), int(g.loc[1, "sx"]),
+                      int(g.loc[1, "sxx"]))
+        if n1 < 2 or n2 < 2:
+            continue
+        m1 = float(s1) / float(n1) / 100.0
+        m2 = float(s2) / float(n2) / 100.0
+        v1 = (float(n1 * q1 - s1 * s1) / float(n1) / float(n1 - 1)) / 10000.0
+        v2 = (float(n2 * q2 - s2 * s2) / float(n2) / float(n2 - 1)) / 10000.0
+        t_ = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+        rows.append((et, n1, n2, float(round_sql(np.array([m1]))[0]),
+                     float(round_sql(np.array([m2]))[0]),
+                     float(round_sql(np.array([t_]))[0])))
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "n_weekday": pa.array([r[1] for r in rows], pa.int64()),
+        "n_weekend": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_wd": pa.array([r[3] for r in rows], pa.float64()),
+        "mean_we": pa.array([r[4] for r in rows], pa.float64()),
+        "t_stat": pa.array([r[5] for r in rows], pa.float64()),
+    }))
