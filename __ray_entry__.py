@@ -533,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfillment_hist": R.order_fulfillment_hist,
         # Welch two-sample t from exact integer moments (SQL oracle)
         "weekend_value_ttest": R.weekend_value_ttest,
+        # per-source exact-duplicate rate, hash-only shuffle (SQL oracle)
+        "source_dedup_rate": TX.source_dedup_rate,
         # 1-WL color refinement fingerprint (exact numpy-replica pytest)
         "wl_colors_cooccur": G.wl_colors_cooccur,
         # random-walk hitting times, fixed-round Jacobi (replica +
@@ -3091,5 +3093,12 @@ def oracle_sql() -> dict[str, str]:
             "    / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)) / 10000) "
             "    / n2), 6) AS t_stat "
             "FROM p WHERE n1 >= 2 AND n2 >= 2"
+        ),
+        "source_dedup_rate": (
+            "SELECT source, count(*) AS n_docs, "
+            "count(*) - count(DISTINCT md5(text)) AS n_dup, "
+            "round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) "
+            "  / greatest(CAST(count(*) AS DOUBLE), 1.0), 6) AS dup_rate "
+            "FROM documents GROUP BY source"
         ),
     }

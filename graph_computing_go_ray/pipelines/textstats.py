@@ -1148,3 +1148,44 @@ def charclass_profile(sf_dir: str) -> Dataset:
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def source_dedup_rate(sf_dir: str) -> Dataset:
+    """Per-source exact-duplicate rate: share of documents whose full
+    text already occurred in the same source (n_docs - distinct md5).
+    (source, n_docs, n_dup, dup_rate) — the first KPI a corpus intake
+    reports. Per-batch (source, md5) rows shuffle as hashes only (never
+    text); the distinct count folds inside source-keyed buckets."""
+    from ..engine.join import bucket_grouped
+
+    docs = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def rows(t: pa.Table) -> pa.Table:
+        fps = T.md5_fingerprint(t["text"].to_pylist())
+        return pa.table({
+            "source": t["source"],
+            "fp": pa.array(fps, pa.string()),
+        })
+
+    hashed = docs.map_batches(rows, batch_format="pyarrow")
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("fp", "size"), n_distinct=("fp", "nunique"))
+        return out
+
+    per = bucket_grouped(hashed, ["source"], per_source, num_buckets=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pa.array(n),
+            "n_dup": pa.array(n - d),
+            "dup_rate": pa.array(round_sql(
+                (n - d).astype(np.float64)
+                / np.maximum(n, 1).astype(np.float64)), pa.float64()),
+        })
+
+    return per.map_batches(fin, batch_format="pyarrow")
