@@ -1519,7 +1519,14 @@ def source_lm_divergence(sf_dir: str) -> Dataset:
     nb = (counts.groupby("source")
           .aggregate(_agg.Sum("n", alias_name="nb")).to_pandas())
     n_of = dict(zip(nb["source"], nb["nb"].astype(np.int64)))
-    srcs = sorted(n_of)
+    # LM sources = ALL distinct document sources (matches the oracle's
+    # `srcs AS (SELECT DISTINCT source FROM documents)`): a source whose
+    # docs all have <2 tokens still contributes lm_source rows, just
+    # with an empty bigram LM (add-one smoothing handles the zero counts)
+    from ..engine.degrees import distinct_pairs
+    srcs = sorted(
+        distinct_pairs(docs.select_columns(["source"]), ["source"])
+        .to_pandas()["source"])
 
     def bucket_sums(g: pd.DataFrame) -> pd.DataFrame:
         pc_ = g.groupby(["source", "a", "b"], as_index=False)["n"].sum()

@@ -1626,6 +1626,14 @@ def local_bridges(sf_dir: str) -> "Dataset | pd.DataFrame":
     def pack(t: pa.Table, a: str, b: str, extra: str | None) -> pa.Table:
         u = t[a].to_numpy(zero_copy_only=False)
         v = t[b].to_numpy(zero_copy_only=False)
+        # fail loudly if an id-width change (e.g. 63-bit hashed ids) ever
+        # reaches this packing — silent collisions would drop real
+        # bridges via the anti-join (same contract as linkpred._pack64)
+        if len(u) and (u.max() >= 2**32 or v.max() >= 2**32
+                       or u.min() < 0 or v.min() < 0):
+            raise ValueError(
+                "local_bridges key packing requires 0 <= u,v < 2**32; "
+                "got ids outside 32-bit range")
         key = ((u.astype(np.uint64) << np.uint64(32))
                | v.astype(np.uint64)).view(np.int64)
         cols = {"u": pa.array(u), "v": pa.array(v), "key": pa.array(key)}

@@ -3338,15 +3338,21 @@ def event_daily_anomaly(sf_dir: str, z_thresh: float = 2.0) -> Dataset:
          .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
     rows = []
     for et, g in d.groupby("event_type"):
-        x = g["cnt"].to_numpy(np.float64)
-        n = len(x)
+        xi = g["cnt"].to_numpy(np.int64)
+        n = len(xi)
         if n < 2:
             continue
-        mu = x.mean()
-        sd = math.sqrt(((x - mu) ** 2).sum() / (n - 1))
-        if sd <= 0:
+        # exact integer moments (Python ints: no overflow, no summation-
+        # order dependence), then ONE float expression mirroring the
+        # oracle's SQL tree term-for-term so z is bit-identical
+        s1 = int(xi.sum())
+        q = int((xi.astype(object) * xi.astype(object)).sum())
+        mu = float(s1) / float(n)
+        var = (float(q) - float(s1) * float(s1) / float(n)) / float(n - 1)
+        if var <= 0:
             continue
-        z = (x - mu) / sd
+        sd = math.sqrt(var)
+        z = (xi.astype(np.float64) - mu) / sd
         keep = np.abs(z) > z_thresh
         gg = g.loc[keep]
         rows.append(pd.DataFrame({

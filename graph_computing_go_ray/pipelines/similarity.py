@@ -1242,7 +1242,19 @@ def knn_edges(sf_dir: str, k: int = 10, num_blocks: int | None = None,
                                read_bucket, write_bucketed)
 
     nb = num_blocks or default_num_buckets()
-    wd = workdir or tempfile.mkdtemp(prefix="gcgr_knn_")
+    if workdir is None:
+        # key under GCGR_WORK_ROOT (like knn_label_spread's own wd) so
+        # reruns reuse the bucketed normalized-embedding copy instead of
+        # leaking one tempdir per driver invocation
+        import hashlib as _h
+
+        root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
+        key = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        workdir = os.path.join(
+            root, f"{os.path.basename(sf_dir)}-{key}-v3",
+            f"knn-edges-b{nb}")
+        os.makedirs(workdir, exist_ok=True)
+    wd = workdir
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
