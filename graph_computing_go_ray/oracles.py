@@ -2479,4 +2479,72 @@ def build_oracles() -> dict[str, str]:
             "  / greatest(CAST(count(*) AS DOUBLE), 1.0), 6) AS dup_rate "
             "FROM documents GROUP BY source"
         ),
+        # --- round-4 recursive-CTE oracles for the reachability-shaped
+        # queries (previously pytest-only). The part-chain graph CTE
+        # mirrors pipelines/graphalgos.chain_edge_ds (order_mod=16);
+        # scc_id = min member id (transitive-closure mutual-reach form,
+        # fine at sf0.01's 1.7k vertices / 3k edges).
+        "scc_chain": _CHAIN_SCC_CTE + "SELECT id, scc_id FROM scc",
+        "bowtie_chain": _CHAIN_SCC_CTE + (
+            ", core AS (SELECT scc_id FROM (SELECT scc_id, count(*) AS c "
+            "  FROM scc GROUP BY 1 ORDER BY c DESC, scc_id LIMIT 1)), "
+            "coreids AS (SELECT id FROM scc "
+            "  WHERE scc_id IN (SELECT scc_id FROM core)), "
+            "outs AS (SELECT DISTINCT r.b AS id FROM reach r "
+            "  JOIN coreids c ON r.a = c.id), "
+            "ins AS (SELECT DISTINCT r.a AS id FROM reach r "
+            "  JOIN coreids c ON r.b = c.id), "
+            "cls AS (SELECT s.id, CASE "
+            "  WHEN s.scc_id IN (SELECT scc_id FROM core) THEN 'CORE' "
+            "  WHEN s.id IN (SELECT id FROM outs) THEN 'OUT' "
+            "  WHEN s.id IN (SELECT id FROM ins) THEN 'IN' "
+            "  ELSE 'OTHER' END AS component FROM scc s) "
+            "SELECT component, count(*) AS n_vertices FROM cls GROUP BY 1"
+        ),
+        # longest backward-citation chain over the deterministic works
+        # fixture the pipeline itself (re)generates under tempdir; the
+        # (id, d) chain-length pairs are bounded by V x max_depth, so the
+        # UNION-dedup fixpoint stays small even at ~290 levels deep
+        "citation_depth": _citation_depth_oracle(),
     }
+
+
+_CHAIN_SCC_CTE = (
+    "WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey "
+    "  FROM lineitem WHERE l_orderkey % 16 = 0), "
+    "e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER ("
+    "  PARTITION BY l_orderkey ORDER BY l_linenumber) AS dst FROM li), "
+    "edges AS (SELECT DISTINCT src, dst FROM e0 "
+    "  WHERE dst IS NOT NULL AND src <> dst), "
+    "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), "
+    "reach AS (SELECT src AS a, dst AS b FROM edges "
+    "  UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b), "
+    "mut AS (SELECT r1.a AS u, r1.b AS v FROM reach r1 "
+    "  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a), "
+    "scc AS (SELECT v.id, CAST(least(v.id, coalesce(min(m.v), v.id)) "
+    "  AS BIGINT) AS scc_id "
+    "  FROM verts v LEFT JOIN mut m ON m.u = v.id GROUP BY v.id) "
+)
+
+
+def _citation_depth_oracle() -> str:
+    """Built at call time so the fixture path matches the pipeline's
+    ``tempfile.gettempdir()`` exactly (citations.citation_depth writes
+    /tmp/graft_works_citedepth and the driver runs the pipeline before
+    the oracle, so the parquet exists by comparison time)."""
+    import os
+    import tempfile
+
+    p = os.path.join(tempfile.gettempdir(), "graft_works_citedepth",
+                     "works.parquet")
+    return (
+        "WITH RECURSIVE w AS (SELECT id, referenced_works "
+        f"  FROM read_parquet('{p}')), "
+        "e AS (SELECT unnest(referenced_works) AS src, id AS dst FROM w), "
+        "eb AS (SELECT DISTINCT src, dst FROM e WHERE src < dst), "
+        "verts AS (SELECT src AS id FROM eb UNION SELECT dst FROM eb), "
+        "ch AS (SELECT id, 0 AS d FROM verts "
+        "  UNION SELECT e2.dst, c.d + 1 FROM ch c "
+        "  JOIN eb e2 ON e2.src = c.id) "
+        "SELECT id, max(d) AS depth FROM ch GROUP BY id"
+    )
