@@ -178,10 +178,103 @@ def modularity(
     }])
 
 
+def _decide_round(g: pd.DataFrame, r: int, fm: float) -> pd.DataFrame:
+    """One synchronous move decision over a tagged candidate frame
+    (src, comm, w, tot, k, moved, is_self) — per-src independent, so the
+    distributed src-bucketed pass and the local whole-graph pass produce
+    byte-identical outputs from the same input rows."""
+    st = g[g["is_self"] == 1][["src", "comm", "k", "tot", "moved"]]
+    st = st.rename(columns={"comm": "comm_a", "tot": "tot_a",
+                            "moved": "moved_last"})
+    if not len(st):
+        return pd.DataFrame({
+            "id": pd.Series([], dtype=np.int64),
+            "comm": pd.Series([], dtype=np.int64),
+            "k": pd.Series([], dtype=np.int64),
+            "moved": pd.Series([], dtype=np.int64),
+        })
+    nb = g[g["is_self"] == 0]
+    agg = (nb.groupby(["src", "comm"], as_index=False)
+           .agg(k_ic=("w", "sum"), tot=("tot", "first")))
+    # every vertex keeps exactly one self row, so this left merge
+    # yields either its candidate rows or one all-NaN candidate
+    df = st.merge(agg, on="src", how="left")
+    k_ic = df["k_ic"].fillna(0).to_numpy(np.float64)
+    k_ia_row = df["k_ic"].where(df["comm"] == df["comm_a"], 0)
+    k_ia = k_ia_row.fillna(0).groupby(df["src"]).transform("max")
+    k_i = df["k"].to_numpy(np.float64)
+    dq = (
+        (k_ic - k_ia.to_numpy(np.float64)) / fm
+        - k_i
+        * (df["tot"].fillna(0).to_numpy(np.float64)
+           - (df["tot_a"].to_numpy(np.float64) - k_i))
+        / (2.0 * fm * fm)
+    )
+    no_cand = df["comm"].isna().to_numpy()
+    stay = (df["comm"] == df["comm_a"]).to_numpy()
+    # direction alternation: even rounds move down-id, odd up-id
+    down = r % 2 == 0
+    cdir = df["comm"].fillna(0).to_numpy() < df["comm_a"].to_numpy()
+    wrong_dir = cdir != down
+    dq = np.where(no_cand | stay | wrong_dir, -np.inf, dq)
+    pick = df.assign(dq=dq).sort_values(
+        ["src", "dq", "comm"], ascending=[True, False, True]
+    ).groupby("src", as_index=False).first()
+    gate = pick["moved_last"].to_numpy() == 0  # refractory
+    move = gate & (pick["dq"].to_numpy() > 1e-12)
+    new_comm = np.where(move, pick["comm"].to_numpy(),
+                        pick["comm_a"].to_numpy())
+    return pd.DataFrame({
+        "id": pick["src"].to_numpy(np.int64),
+        "comm": new_comm.astype(np.int64),
+        "k": pick["k"].to_numpy(np.int64),
+        "moved": move.astype(np.int64),
+    })
+
+
+def _move_phase_local(
+    sym_ns: pd.DataFrame, labels: pd.DataFrame, fm: float, max_rounds: int,
+) -> tuple[pd.DataFrame, list[int], bool]:
+    """Whole-graph move loop in one process — the small-remainder leg of
+    the local-cutoff hybrid (same pattern as scc.local_cutoff). Builds
+    the exact tagged frame the distributed round feeds _decide_round, so
+    results are identical; only the exchange machinery is skipped."""
+    moves_per_round: list[int] = []
+    zero_streak = 0
+    for r in range(max_rounds):
+        tot = labels.groupby("comm")["k"].sum()
+        nbr = sym_ns.merge(
+            labels[["id", "comm"]], left_on="dst", right_on="id",
+            how="inner")[["src", "comm", "w"]]
+        nbr["tot"] = nbr["comm"].map(tot).astype(np.int64)
+        nbr["k"] = 0
+        nbr["moved"] = 0
+        nbr["is_self"] = 0
+        own = pd.DataFrame({
+            "src": labels["id"], "comm": labels["comm"],
+            "w": np.zeros(len(labels), np.int64),
+            "tot": labels["comm"].map(tot).astype(np.int64),
+            "k": labels["k"], "moved": labels["moved"],
+            "is_self": np.ones(len(labels), np.int64),
+        })
+        tagged = pd.concat(
+            [nbr[["src", "comm", "w", "tot", "k", "moved", "is_self"]], own],
+            ignore_index=True)
+        decided = _decide_round(tagged, r, fm)
+        moved = int(decided["moved"].sum())
+        moves_per_round.append(moved)
+        labels = decided
+        zero_streak = zero_streak + 1 if moved == 0 else 0
+        if zero_streak >= 2:
+            break
+    return labels, moves_per_round, zero_streak >= 2
+
+
 def louvain_move_phase(
     edges_uv: Dataset,
     max_rounds: int = 12,
     num_buckets: int | None = None,
+    local_cutoff: int = 200_000,
 ) -> tuple[Dataset, dict]:
     """Synchronous Louvain local-move phase over a distinct undirected
     (src, dst) pair table, starting from singleton communities.
@@ -193,7 +286,13 @@ def louvain_move_phase(
     community ids, and a vertex that moved last round sits this one out
     (the measured-best synchronous oscillation guard, see module doc).
     max_rounds is a cap, not a promised fixpoint — Louvain sweeps are
-    conventionally capped; info["converged"] reports which happened."""
+    conventionally capped; info["converged"] reports which happened.
+
+    local_cutoff: a symmetrized candidate table of at most this many rows
+    runs the whole move loop in ONE Ray task via _move_phase_local (the
+    scc.local_cutoff hybrid); 0 disables. Both paths feed the same
+    _decide_round frame, so outputs are identical (parity pytest in
+    tests/test_louvain.py)."""
     if num_buckets is None:
         num_buckets = default_num_buckets()
     ew = _with_weight(edges_uv).materialize()
@@ -221,107 +320,98 @@ def louvain_move_phase(
 
     labels = deg.map_batches(seed, batch_format="pyarrow").materialize()
     fm = float(m)
+
+    # local-cutoff hybrid (same pattern as scc.strongly_connected_
+    # components): a graph whose symmetrized candidate table fits one
+    # worker runs the whole move loop in-process — the per-round
+    # exchanges only pay off when the frontier doesn't fit. At web scale
+    # the distributed rounds below run; results are identical because
+    # both paths feed the same _decide_round frame.
+    if local_cutoff and sym_ns.count() <= local_cutoff:
+        import ray as _ray
+
+        @_ray.remote
+        def _run_local(sym_df: pd.DataFrame, lab_df: pd.DataFrame,
+                       _fm: float, _mr: int):
+            return _move_phase_local(sym_df, lab_df, _fm, _mr)
+
+        out_df, mpr, conv = _ray.get(_run_local.remote(
+            sym_ns.to_pandas(), labels.to_pandas(), fm, max_rounds))
+        import ray.data as _rd
+
+        lab_ds = _rd.from_arrow(pa.Table.from_pandas(
+            out_df[["id", "comm"]], preserve_index=False).cast(
+                pa.schema([("id", pa.int64()), ("comm", pa.int64())])))
+        return lab_ds, {"m_edges": int(m), "rounds": len(mpr),
+                        "moves_per_round": mpr, "converged": conv,
+                        "local": True}
+
     moves_per_round: list[int] = []
     zero_streak = 0  # each round only allows one move direction, so a
     # fixpoint needs TWO consecutive zero-move rounds (both directions
     # stable; after a zero round the refractory set is empty)
 
     for r in range(max_rounds):
-        tot = bucket_grouped_sum(
-            labels.select_columns(["comm", "k"]), ["comm"], ["k"],
-            num_buckets=num_buckets,
-        )
-        tot = rename_cols(tot, {"k": "tot"})
-        # self state: (id, comm_a, k_i, tot_a, moved_last)
-        selfst = adaptive_map_join(
-            labels, tot, on="comm", key_col="comm", val_cols=["tot"],
-            num_buckets=num_buckets,
-        )
-        selfst = rename_cols(
-            selfst, {"comm": "comm_a", "tot": "tot_a", "moved": "moved_last"}
-        )
-        # neighbor communities: (src=i, comm=c_j, w) per non-self sym edge
-        nbr = adaptive_map_join(
-            sym_ns, labels.select_columns(["id", "comm"]),
-            on="dst", key_col="id", val_cols=["comm"],
-            num_buckets=num_buckets,
-        ).select_columns(["src", "comm", "w"])
-        # zero-weight own-community rows keep vertices whose only edges
-        # are self-loops (fully-contracted communities) in the frontier
-        selfrows = labels.map_batches(
-            lambda t: pa.table({
-                "src": t["id"], "comm": t["comm"],
-                "w": pa.array(np.zeros(t.num_rows, np.int64)),
-            }),
-            batch_format="pyarrow",
-        )
+        # FUSED round (round-3 verdict perf item): 3 exchanges instead of 7.
+        # (1) ONE comm-keyed bucket pass computes community totals AND
+        # attaches them to every member row (the old tot groupby + selfst
+        # join fused); (2) the neighbor attach carries the neighbor's
+        # (comm, tot) together so no separate candidate-tot join is
+        # needed; (3) k_ic aggregation, self-state merge and the move
+        # decision fuse into ONE src-keyed bucket pass over a tagged
+        # union (the old cand groupby + selfst join + decide pass fused).
 
-        # k_ic: total edge weight from i into each neighbor community
-        def kic_fn(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby(["src", "comm"], as_index=False)["w"].sum()
-            return out.rename(columns={"w": "k_ic"})
+        def attach_tot(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[["id", "comm", "k", "moved"]].copy()
+            g["tot"] = g.groupby("comm")["k"].transform("sum")
+            return g
 
-        cand = bucket_grouped(
-            nbr.union(selfrows), ["src"], kic_fn,
-            num_buckets=num_buckets,
+        labt = bucket_grouped(
+            labels, ["comm"], attach_tot, num_buckets=num_buckets,
             out_schema=pa.schema([
-                ("src", pa.int64()), ("comm", pa.int64()),
-                ("k_ic", pa.int64()),
+                ("id", pa.int64()), ("comm", pa.int64()),
+                ("k", pa.int64()), ("moved", pa.int64()),
+                ("tot", pa.int64()),
             ]),
-        )
-        cand = adaptive_map_join(
-            cand, tot, on="comm", key_col="comm", val_cols=["tot"],
-            num_buckets=num_buckets,
-        )
-        cand = adaptive_map_join(
-            cand, selfst, on="src", key_col="id",
-            val_cols=["comm_a", "k", "tot_a", "moved_last"],
-            num_buckets=num_buckets,
-        )
+        ).materialize()  # consumed twice: neighbor attach + self rows
 
-        def decide(g: pd.DataFrame, _r=r) -> pd.DataFrame:
-            if not len(g):
-                return pd.DataFrame({
-                    "id": pd.Series([], dtype=np.int64),
-                    "comm": pd.Series([], dtype=np.int64),
-                    "k": pd.Series([], dtype=np.int64),
-                    "moved": pd.Series([], dtype=np.int64),
-                })
-            df = g[["src", "comm", "k_ic", "tot", "comm_a", "k", "tot_a",
-                    "moved_last"]]
-            k_ia_row = df["k_ic"].where(df["comm"] == df["comm_a"], 0)
-            k_ia = k_ia_row.groupby(df["src"]).transform("max")
-            k_i = df["k"].to_numpy(np.float64)
-            dq = (
-                (df["k_ic"].to_numpy(np.float64) - k_ia.to_numpy(np.float64))
-                / fm
-                - k_i
-                * (df["tot"].to_numpy(np.float64)
-                   - (df["tot_a"].to_numpy(np.float64) - k_i))
-                / (2.0 * fm * fm)
-            )
-            stay = (df["comm"] == df["comm_a"]).to_numpy()
-            # direction alternation: even rounds move down-id, odd up-id
-            down = _r % 2 == 0
-            cdir = (df["comm"].to_numpy() < df["comm_a"].to_numpy())
-            wrong_dir = cdir != down
-            dq = np.where(stay | wrong_dir, -np.inf, dq)
-            pick = df.assign(dq=dq).sort_values(
-                ["src", "dq", "comm"], ascending=[True, False, True]
-            ).groupby("src", as_index=False).first()
-            gate = pick["moved_last"].to_numpy() == 0  # refractory
-            move = gate & (pick["dq"].to_numpy() > 1e-12)
-            new_comm = np.where(move, pick["comm"].to_numpy(),
-                                pick["comm_a"].to_numpy())
-            return pd.DataFrame({
-                "id": pick["src"].to_numpy(np.int64),
-                "comm": new_comm.astype(np.int64),
-                "k": pick["k"].to_numpy(np.int64),
-                "moved": move.astype(np.int64),
+        # neighbor candidates: (src=i, comm=c_j, tot=tot_{c_j}, w) per
+        # non-self sym edge — the neighbor's community total rides the
+        # same join instead of a second comm-keyed attach
+        nbr = adaptive_map_join(
+            sym_ns, labt.select_columns(["id", "comm", "tot"]),
+            on="dst", key_col="id", val_cols=["comm", "tot"],
+            num_buckets=num_buckets,
+        ).select_columns(["src", "comm", "w", "tot"])
+
+        def tag_nbr(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, np.int64)
+            return pa.table({
+                "src": t["src"], "comm": t["comm"], "w": t["w"],
+                "tot": t["tot"], "k": pa.array(z), "moved": pa.array(z),
+                "is_self": pa.array(z),
             })
 
+        # one self-state row per vertex (comm_a, k_i, tot_a, moved_last);
+        # doubles as the frontier keeper for vertices whose only edges
+        # are self-loops (fully-contracted communities)
+        def tag_self(t: pa.Table) -> pa.Table:
+            z = np.zeros(t.num_rows, np.int64)
+            return pa.table({
+                "src": t["id"], "comm": t["comm"],
+                "w": pa.array(z), "tot": t["tot"], "k": t["k"],
+                "moved": t["moved"],
+                "is_self": pa.array(np.ones(t.num_rows, np.int64)),
+            })
+
+        tagged = nbr.map_batches(tag_nbr, batch_format="pyarrow").union(
+            labt.map_batches(tag_self, batch_format="pyarrow"))
+
+        def decide(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+            return _decide_round(g, _r, fm)
+
         decided = bucket_grouped(
-            cand, ["src"], decide, num_buckets=num_buckets,
+            tagged, ["src"], decide, num_buckets=num_buckets,
             out_schema=pa.schema([
                 ("id", pa.int64()), ("comm", pa.int64()),
                 ("k", pa.int64()), ("moved", pa.int64()),

@@ -276,3 +276,21 @@ def test_louvain_multilevel_parity_chain_sf0001():
     got = labels.to_pandas().set_index("id")["comm"].to_dict()
     want = louvain_multilevel_replica(src, dst, levels=2, max_rounds=12)
     assert got == want
+
+
+def test_louvain_local_vs_distributed_parity_sf0001():
+    """The local-cutoff leg and the distributed per-round exchanges must
+    produce byte-identical labels (both feed the same _decide_round
+    frame) — guards the hybrid cutover against drift."""
+    from graph_computing_go_ray.pipelines.graphalgos import chain_edge_ds
+
+    edges = chain_edge_ds(SF, order_mod=16)
+    lab_local, info_local = louvain_move_phase(edges, max_rounds=8)
+    lab_dist, info_dist = louvain_move_phase(
+        edges, max_rounds=8, local_cutoff=0)
+    assert info_local.get("local") is True
+    assert "local" not in info_dist
+    a = lab_local.to_pandas().sort_values("id", ignore_index=True)
+    b = lab_dist.to_pandas().sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert info_local["moves_per_round"] == info_dist["moves_per_round"]
