@@ -201,8 +201,12 @@ def hyperball(
                                       symmetrize=symmetrize)
     prog = HyperBallProgram(b)
     edges_ds = load_edge_blocks(workdir, info["num_parts"])
+    # object_state off: the closeness/series consumers re-read EVERY
+    # iteration's state shards from parquet after the run, so each
+    # superstep must persist (not just every k-th)
     run = run_supersteps(edges_ds, workdir, prog, info,
-                         max_iters=max_iters, resume=resume)
+                         max_iters=max_iters, resume=resume,
+                         object_state=False)
 
     neigh = []
     for it in range(run["final_iter"] + 1):

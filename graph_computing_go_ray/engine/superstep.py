@@ -126,6 +126,77 @@ _STATE_CACHE: dict[tuple, pd.DataFrame] = {}
 _STATE_CACHE_MAX = 64
 
 
+class _StateKeeper:
+    """In-memory manifest part -> ObjectRef for the current iterations
+    (round-3 verdict #5: vertex shards stay IN THE OBJECT STORE across
+    supersteps; parquet is written only every persist_every-th iteration
+    for resume). Shards are ray.put with _owner=keeper, so their lifetime
+    is the keeper's dict, not the transient reduce worker; the keeper
+    itself only serves tiny ref lookups — shard bytes move peer-to-peer
+    through plasma. Scale path: keepers shard by part hash (a pool is
+    created per run, sized with num_parts), so lookup traffic per keeper
+    stays ~(workers x parts/len(pool)) per superstep."""
+
+    def __init__(self):
+        self._refs: dict[tuple[int, int], object] = {}
+
+    def register(self, iteration: int, part: int, wrapped: list) -> bool:
+        self._refs[(iteration, part)] = wrapped[0]
+        return True
+
+    def lookup(self, iteration: int, part: int) -> list:
+        return [self._refs.get((iteration, part))]
+
+    def drop_before(self, iteration: int) -> int:
+        old = [k for k in self._refs if k[0] < iteration]
+        for k in old:
+            del self._refs[k]
+        return len(old)
+
+
+def _make_keepers(num_parts: int) -> list:
+    import ray as _ray
+
+    n = min(4, max(1, num_parts))
+    actor = _ray.remote(num_cpus=0)(_StateKeeper)
+    keepers = [actor.remote() for _ in range(n)]
+    # block until every keeper is ALIVE: ray.put(_owner=keeper) raises
+    # "actor not alive, worker_id is empty" if a reduce task races the
+    # actor's startup (seen under a saturated test session)
+    _ray.get([kp.lookup.remote(-1, -1) for kp in keepers])
+    return keepers
+
+
+def _keeper_for(keepers: list, part: int):
+    return keepers[part % len(keepers)]
+
+
+def _read_state_any(workdir: str, iteration: int, part: int,
+                    run_id: str, keepers: list | None) -> pd.DataFrame:
+    """Shard read with the worker cache in front: object-store ref (via
+    keeper lookup) first, parquet fallback (iter-0 seeds, resumed or
+    persisted-only iterations)."""
+    import ray as _ray
+
+    key = (run_id, workdir, iteration, part)
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        return hit.copy()
+    df = None
+    if keepers is not None:
+        ref = _ray.get(_keeper_for(keepers, part).lookup.remote(
+            iteration, part))[0]
+        if ref is not None:
+            obj = _ray.get(ref)
+            df = obj.to_pandas() if isinstance(obj, pa.Table) else obj
+    if df is None:
+        df = ckpt.read_part(workdir, iteration, part).to_pandas()
+    if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+        _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+    _STATE_CACHE[key] = df
+    return df.copy()
+
+
 def _read_state(workdir: str, iteration: int, part: int,
                 run_id: str = "legacy") -> pd.DataFrame:
     """Worker-local shard cache: Ray worker processes persist across tasks,
@@ -314,10 +385,22 @@ def run_supersteps(
     info: dict,
     max_iters: int = 50,
     resume: bool = True,
+    object_state: bool = True,
+    persist_every: int = 8,
 ) -> dict:
     """Run the program to convergence (or max_iters). Returns run info with
     per-superstep wall-times and edges/sec. Resumes from the latest complete
-    checkpoint when `resume`."""
+    checkpoint when `resume`.
+
+    object_state: vertex shards ride the Ray object store between
+    supersteps (a _StateKeeper pool maps (iteration, part) -> ObjectRef,
+    shards are put with _owner=keeper); parquet state is written only
+    every ``persist_every`` iterations plus the final one, and every
+    iteration still writes its lineage MANIFEST (with state_persisted
+    marking which iterations resume can start from). Loss of the keeper
+    (driver restart) falls back to the latest persisted iteration — the
+    object layer is a cache, parquet stays the durable medium.
+    object_state=False restores the write-every-superstep behavior."""
     num_parts = info["num_parts"]
     parts = info["parts"]
     n_total = info["n_vertices"]
@@ -331,6 +414,7 @@ def run_supersteps(
     # shards ARE valid cache entries); fresh runs over a reused workdir get
     # a new one, so workers can never serve the previous run's shards
     run_id = ckpt.read_manifest(workdir, 0).get("run_id", "legacy")
+    keepers = _make_keepers(num_parts) if object_state else None
 
     def _seed_val(name: str, typ: pa.DataType, p: int):
         if name == "part_dst":
@@ -362,7 +446,8 @@ def run_supersteps(
             if arrow_gather is not None:
                 part_arr = t["part"].to_numpy(zero_copy_only=False)
                 state_of = {
-                    int(p): _read_state(workdir, _k, int(p), run_id)
+                    int(p): _read_state_any(workdir, _k, int(p), run_id,
+                                            keepers)
                     for p in np.unique(part_arr)
                 }
                 cols = arrow_gather(t, state_of, _gv)
@@ -375,7 +460,7 @@ def run_supersteps(
                 )
             df = t.to_pandas()
             state_of = {
-                int(p): _read_state(workdir, _k, int(p), run_id)
+                int(p): _read_state_any(workdir, _k, int(p), run_id, keepers)
                 for p in df["part"].unique()
             }
             out = program.gather(df, state_of, _gv)
@@ -384,16 +469,38 @@ def run_supersteps(
                 out[msg_schema.names], preserve_index=False
             ).cast(msg_schema)
 
-        msgs = edges_ds.map_batches(gather_fn, batch_format="pyarrow")
-        msgs = msgs.union(rd.from_arrow(seed))
+        def gather_with_seeds(t: pa.Table, _g=gather_fn) -> pa.Table:
+            # every block appends the per-part seed rows (dst=-1), so each
+            # part_dst group exists even when a part receives no messages;
+            # duplicates are harmless (reduce filters dst != -1) and this
+            # saves the per-superstep union stage — one fewer operator in
+            # the scheduling floor
+            return pa.concat_tables([_g(t), seed])
 
-        def reduce_fn(g: pd.DataFrame, _k=k, _gv=global_vals) -> pd.DataFrame:
+        msgs = edges_ds.map_batches(gather_with_seeds, batch_format="pyarrow")
+        if n_edges == 0:
+            # empty edge table -> no gather calls; keep the explicit seed
+            msgs = msgs.union(rd.from_arrow(seed))
+
+        persist = (keepers is None) or ((k + 1) % persist_every == 0)
+
+        def reduce_fn(g: pd.DataFrame, _k=k, _gv=global_vals,
+                      _persist=persist) -> pd.DataFrame:
+            import ray as _ray
+
             p = int(g["part_dst"].iloc[0])
             real = g[g["dst"] != -1]
-            state = _read_state(workdir, _k, p, run_id)
+            state = _read_state_any(workdir, _k, p, run_id, keepers)
             new_state, m = program.reduce_apply(state, real, _gv)
-            ckpt.write_part(workdir, _k + 1, p,
-                            pa.Table.from_pandas(new_state, preserve_index=False))
+            tbl = pa.Table.from_pandas(new_state, preserve_index=False)
+            if _persist:
+                ckpt.write_part(workdir, _k + 1, p, tbl)
+            if keepers is not None:
+                keeper = _keeper_for(keepers, p)
+                ref = _ray.put(tbl, _owner=keeper)
+                # block until the keeper holds the ref: the creating
+                # worker's reference must outlive the handoff
+                _ray.get(keeper.register.remote(_k + 1, p, [ref]))
             m["part"] = p
             return pd.DataFrame([m])
 
@@ -414,8 +521,38 @@ def run_supersteps(
              "params": getattr(program, "params", {}),
              "metrics": metrics.to_dict("records"),
              "sec": dt, "edges_per_sec": n_edges / max(dt, 1e-9),
+             "state_persisted": bool(persist),
              "converged": bool(converged)},
         )
+        if keepers is not None:
+            # evict shard refs two iterations back (gather of iter k+1
+            # reads k; nothing reads k-1 anymore) — frees plasma objects
+            for kp in keepers:
+                kp.drop_before.remote(k - 1)
+
+    if keepers is not None and k > start_iter:
+        last_manifest = ckpt.read_manifest(workdir, k)
+        if not last_manifest.get("state_persisted", True):
+            # flush the final in-memory iteration to parquet so
+            # final_state() and resume see it (distributed: one task/part)
+            def flush_part(batch: pd.DataFrame, _k=k) -> pd.DataFrame:
+                import ray as _ray
+
+                rows = []
+                for p in batch["part"]:
+                    p = int(p)
+                    ref = _ray.get(_keeper_for(keepers, p).lookup.remote(
+                        _k, p))[0]
+                    ckpt.write_part(workdir, _k, p, _ray.get(ref))
+                    rows.append({"part": p})
+                return pd.DataFrame(rows)
+
+            (rd.from_items([{"part": int(p)} for p in parts])
+             .map_batches(flush_part, batch_format="pandas", batch_size=1)
+             .materialize())
+            last_manifest["state_persisted"] = True
+            ckpt.write_manifest(workdir, k, last_manifest)
+
     return {
         "iterations": k, "converged": bool(converged), "timings": timings,
         "final_iter": k, "n_edges": n_edges, "n_vertices": n_total,

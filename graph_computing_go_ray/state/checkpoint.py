@@ -84,6 +84,9 @@ def manifest_path(workdir: str, iteration: int) -> str:
 
 
 def write_manifest(workdir: str, iteration: int, payload: dict) -> None:
+    # object-state iterations write no part files first, so the iter dir
+    # may not exist yet
+    ensure_dir(state_dir(workdir, iteration))
     path = manifest_path(workdir, iteration)
     f, p = get_fs(path)
     data = json.dumps(payload, indent=1, default=str).encode()
@@ -114,6 +117,11 @@ def exists(path: str) -> bool:
 
 
 def latest_complete_iteration(workdir: str) -> int | None:
+    """Highest iteration that can seed a resume: manifest present AND its
+    state parquet persisted. Object-state runs (superstep object_state)
+    write manifests every iteration but parquet only every k-th — their
+    manifests carry state_persisted=False for the in-memory-only
+    iterations; legacy manifests (no flag) always persisted."""
     f, root = get_fs(join(workdir, "state"))
     if f.get_file_info(root).type != pafs.FileType.Directory:
         return None
@@ -122,5 +130,10 @@ def latest_complete_iteration(workdir: str) -> int | None:
         m = re.fullmatch(r"iter_(\d{5})", posixpath.basename(info.path))
         if m and _exists(f, posixpath.join(info.path, "MANIFEST.json")):
             k = int(m.group(1))
+            try:
+                if not read_manifest(workdir, k).get("state_persisted", True):
+                    continue
+            except (OSError, ValueError):
+                continue
             best = k if best is None or k > best else best
     return best

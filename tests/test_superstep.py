@@ -271,3 +271,41 @@ def test_delta_pagerank_matches_replica_and_power_iteration(graph):
     np.testing.assert_allclose(df1["rank"].to_numpy(),
                                [pr[i] for i in df1["id"]],
                                rtol=0, atol=1e-5)
+
+
+def test_object_state_crash_resume(graph):
+    """Object-store-resident shards (superstep object_state): iterations
+    between persist points write no parquet; a crash that loses the
+    keeper's in-memory refs before the final flush must resume from the
+    latest PERSISTED iteration and still converge to the exact
+    uninterrupted result."""
+    import glob
+    import json
+
+    edges_pd, edges_ds, root = graph
+    wd_full = os.path.join(root, "pr_obj_full")
+    wd = os.path.join(root, "pr_obj_res")
+    ranks_full, _ = pagerank(edges_ds, wd_full, tol=1e-10, max_iters=200,
+                             num_parts=4)
+    pagerank(edges_ds, wd, tol=1e-10, max_iters=5, num_parts=4)
+    # default persist_every=8 -> iters 1-4 in-memory only, 5 flushed;
+    # only 0 and 5 carry parquet
+    for it in (1, 2, 3, 4):
+        assert not glob.glob(
+            os.path.join(ckpt.state_dir(wd, it), "*.parquet")), it
+        assert not ckpt.read_manifest(wd, it)["state_persisted"]
+    assert ckpt.latest_complete_iteration(wd) == 5
+    # simulate the crash-before-flush: drop iter-5 parquet, mark its
+    # manifest unpersisted (the keeper's refs died with the driver)
+    for f in glob.glob(os.path.join(ckpt.state_dir(wd, 5), "*.parquet")):
+        os.remove(f)
+    m5 = ckpt.read_manifest(wd, 5)
+    m5["state_persisted"] = False
+    ckpt.write_manifest(wd, 5, m5)
+    assert ckpt.latest_complete_iteration(wd) == 0
+    ranks_res, info = pagerank(edges_ds, wd, tol=1e-10, max_iters=200,
+                               num_parts=4)
+    assert info["converged"]
+    a = ranks_full.to_pandas().sort_values("id")["rank"].to_numpy()
+    b = ranks_res.to_pandas().sort_values("id")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
