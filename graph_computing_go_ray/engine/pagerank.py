@@ -67,8 +67,15 @@ class PageRankProgram(VertexProgram):
         if not out_u:
             return {"dst": np.array([], np.int64),
                     "contrib": np.array([], np.float64)}
-        return {"dst": np.concatenate(out_u),
-                "contrib": np.concatenate(out_s)}
+        # cross-part combine: merge the per-src-part partials so each
+        # batch emits EXACTLY one row per dst (bound = #edge blocks, the
+        # skew-probe contract) — the partials are far smaller than the
+        # edge rows, so this second unique is cheap relative to the
+        # shuffle rows it removes
+        dstc = np.concatenate(out_u)
+        cc = np.concatenate(out_s)
+        u2, inv2 = np.unique(dstc, return_inverse=True)
+        return {"dst": u2, "contrib": np.bincount(inv2, weights=cc)}
 
     def reduce_apply(self, state, msgs, global_vals):
         sid = state["id"].to_numpy()

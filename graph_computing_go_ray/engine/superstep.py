@@ -477,6 +477,11 @@ def run_supersteps(
             # the scheduling floor
             return pa.concat_tables([_g(t), seed])
 
+        # batch_size=None = one batch per BLOCK: the combiner then emits at
+        # most (#edge blocks) partial rows per hot dst instead of
+        # (#1024-row batches) — maximal pre-shuffle combining (the skew
+        # bound tests/test_superstep.py asserts), and edge blocks are
+        # already sized by load_edge_blocks to fit worker heaps
         msgs = edges_ds.map_batches(gather_with_seeds, batch_format="pyarrow")
         if n_edges == 0:
             # empty edge table -> no gather calls; keep the explicit seed
@@ -492,6 +497,14 @@ def run_supersteps(
             real = g[g["dst"] != -1]
             state = _read_state_any(workdir, _k, p, run_id, keepers)
             new_state, m = program.reduce_apply(state, real, _gv)
+            # skew observability: the block-level combiner bounds a hot
+            # dst's fan-in to (#edge blocks) partial rows; this metric
+            # makes that bound assertable (tests/test_superstep.py skew
+            # probe) and visible in every lineage manifest
+            m["n_msg_rows"] = int(len(real))
+            m["max_dst_rows"] = (
+                int(real["dst"].value_counts().max()) if len(real) else 0
+            )
             tbl = pa.Table.from_pandas(new_state, preserve_index=False)
             if _persist:
                 ckpt.write_part(workdir, _k + 1, p, tbl)

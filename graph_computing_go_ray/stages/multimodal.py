@@ -46,15 +46,30 @@ class DecodeActor:
 
     def __init__(self):
         try:  # real decoder if ever available in the image
-            import PIL.Image  # noqa: F401
+            from PIL import Image
 
-            self._real = True
+            self._pil_image = Image
         except ImportError:
-            self._real = False
+            self._pil_image = None
 
     def decode_one(self, payload: bytes, kind: str, meta: dict) -> np.ndarray:
-        if self._real and kind == "image":  # pragma: no cover (no PIL here)
-            raise NotImplementedError("real image decode path not wired")
+        if self._pil_image is not None and kind == "image":
+            # real path: decode -> grayscale -> resize 8x4 -> normalized
+            # pixels (= FEAT_DIM floats). Payloads that are not a real
+            # encoded image (e.g. the sandbox's deterministic text-byte
+            # fixture) fall back to the stub, so outputs stay stable
+            # wherever PIL happens to exist. pytest.importorskip-gated
+            # test: tests/test_multimodal.py::test_real_codec_path_pil
+            try:
+                from io import BytesIO
+
+                img = self._pil_image.open(BytesIO(payload))
+                img = img.convert("L").resize((8, FEAT_DIM // 8))
+                px = np.asarray(img, np.float32).ravel() / 255.0
+                if px.shape[0] == FEAT_DIM:
+                    return px.astype(np.float32)
+            except Exception:
+                pass
         return _fake_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

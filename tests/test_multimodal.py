@@ -98,3 +98,54 @@ def test_frame_sampling(media):
     # only video rows produce frames (16 of 48)
     assert out["media_id"].nunique() == 16
     assert out["payload"].map(len).max() <= 256
+
+
+def test_real_codec_path_pil():
+    """Real-decoder pluggability (round-3 verdict #6): wherever PIL exists
+    this drives the actual image decode path (PNG bytes -> grayscale 8x4
+    -> FEAT_DIM pixel features); in the PIL-less sandbox it skips. The
+    deterministic stub stays the fallback for non-image payloads and for
+    bytes that are not a decodable image (the driver fixture)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    from PIL import Image
+
+    from graph_computing_go_ray.stages.multimodal import (
+        FEAT_DIM,
+        DecodeActor,
+        _fake_decode,
+    )
+
+    def png_bytes(seed: int) -> bytes:
+        rng = np.random.RandomState(seed)
+        img = Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    p1, p2 = png_bytes(1), png_bytes(2)
+    actor = DecodeActor()
+    batch = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image", "image", "audio"]),
+        "meta": pa.array(["{}", "{}", "{}"]),
+        "payload": pa.array([p1, p2, b"not-an-image"], pa.large_binary()),
+    })
+    out = actor(batch)
+    feats = np.asarray(out["feat"].to_pylist(), np.float32)
+    assert feats.shape == (3, FEAT_DIM)
+    # real path: deterministic, distinct images -> distinct features,
+    # NOT the stub's output
+    out2 = DecodeActor()(batch)
+    np.testing.assert_array_equal(
+        feats, np.asarray(out2["feat"].to_pylist(), np.float32))
+    assert not np.array_equal(feats[0], feats[1])
+    assert not np.array_equal(feats[0], _fake_decode(p1))
+    assert np.all(feats[0] >= 0.0) and np.all(feats[0] <= 1.0)
+    # non-image kind always takes the stub
+    np.testing.assert_array_equal(feats[2], _fake_decode(b"not-an-image"))
