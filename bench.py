@@ -48,6 +48,9 @@ QUERY_SUBSET = [
     "market_share", "cohort_retention", "pq_topk", "name_edit_pairs",
     # round-3 session 2: Q9 profit, session attribution, WL fingerprint
     "profit_by_nation_year", "attribution_revenue", "wl_colors_cooccur",
+    # round-4: fused+hybrid Louvain (the r3 perf-weak item), SCC peeling,
+    # Newman assortativity
+    "louvain_chain_two_level", "scc_chain", "chain_degree_assortativity",
 ]
 
 

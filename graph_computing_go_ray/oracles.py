@@ -2501,6 +2501,29 @@ def build_oracles() -> dict[str, str]:
             "  ELSE 'OTHER' END AS component FROM scc s) "
             "SELECT component, count(*) AS n_vertices FROM cls GROUP BY 1"
         ),
+        # Newman (out,in)-assortativity from exact integer moments; the
+        # float expression tree mirrors the pipeline term-for-term
+        # (reuses the chain CTE; DuckDB does not execute the unreferenced
+        # reach/mut/scc CTEs)
+        "chain_degree_assortativity": _CHAIN_SCC_CTE + (
+            ", outd AS (SELECT src AS id, count(*) AS od FROM edges "
+            "  GROUP BY 1), "
+            "ind AS (SELECT dst AS id, count(*) AS idg FROM edges "
+            "  GROUP BY 1), "
+            "j AS (SELECT o.od AS x, i.idg AS y FROM edges e "
+            "  JOIN outd o ON o.id = e.src JOIN ind i ON i.id = e.dst), "
+            "mm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy "
+            "  FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n_edges, "
+            "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
+            "  AS r_out_in FROM mm"
+        ),
         # longest backward-citation chain over the deterministic works
         # fixture the pipeline itself (re)generates under tempdir; the
         # (id, d) chain-length pairs are bounded by V x max_depth, so the

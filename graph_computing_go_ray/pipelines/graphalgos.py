@@ -1883,3 +1883,65 @@ def bowtie_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
                                                    pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+def chain_degree_assortativity(sf_dir: str, order_mod: int = 16
+                               ) -> "Dataset | pd.DataFrame":
+    """Directed (out, in)-degree assortativity of the part-chain graph —
+    Newman's (2002) edge-level Pearson correlation between outdeg(src)
+    and indeg(dst), the classic "do hubs link to hubs?" diagnostic of a
+    web link graph. (n_edges, r_out_in), one row.
+
+    Exact integer moments (n, Σx, Σy, Σxy, Σx², Σy² over edges) fold as
+    per-batch partials and are combined as Python ints (no overflow, no
+    float summation-order dependence); ONE float expression mirrors the
+    oracle's SQL tree term-for-term. Degrees attach through two
+    adaptive_map_joins (degree tables are vertex-dimension-sized), so
+    the edge table crosses the wire twice and nothing is quadratic."""
+    import ray as _ray
+
+    from ..engine.degrees import grouped_count
+    from ..engine.join import adaptive_map_join, rename_cols
+    from .textstats import round_sql
+
+    edges = chain_edge_ds(sf_dir, order_mod).materialize()
+    outd = rename_cols(grouped_count(edges, "src", "od"), {"src": "id"})
+    ind = rename_cols(grouped_count(edges, "dst", "idg"), {"dst": "id"})
+    e1 = adaptive_map_join(edges, outd, on="src", key_col="id",
+                           val_cols=["od"])
+    e2 = adaptive_map_join(e1, ind, on="dst", key_col="id",
+                           val_cols=["idg"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["od"].to_numpy(zero_copy_only=False).astype(object)
+        y = t["idg"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sx": pa.array([int((x).sum())], pa.int64()),
+            "sy": pa.array([int((y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    parts = e2.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        return pd.DataFrame({"n_edges": pd.Series([n], dtype="int64"),
+                             "r_out_in": pd.Series([0.0])})
+    sx = int(parts["sx"].sum())
+    sy = int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx = int(parts["sxx"].sum())
+    syy = int(parts["syy"].sum())
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = ((float(n) * float(sxx) - float(sx) * float(sx))
+           * (float(n) * float(syy) - float(sy) * float(sy)))
+    import math as _math
+
+    r = num / _math.sqrt(den) if den > 0 else 0.0
+    return _ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "r_out_in": pa.array([float(round_sql(np.array([r]))[0])],
+                             pa.float64()),
+    }))

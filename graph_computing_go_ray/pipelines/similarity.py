@@ -49,6 +49,19 @@ def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def _cached_workdir(sf_dir: str, tag: str) -> str:
+    """GCGR_WORK_ROOT-keyed bucket workdir (reruns reuse it; the bucketed
+    writes are mode=overwrite so reuse is safe) — replaces per-invocation
+    tempfile.mkdtemp leaks (ADVICE r3)."""
+    import hashlib as _h
+
+    root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
+    key = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    wd = os.path.join(root, f"{os.path.basename(sf_dir)}-{key}-v3", tag)
+    os.makedirs(wd, exist_ok=True)
+    return wd
+
+
 def _emb_to_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, dim) float64 from a list<float> column without per-row pylist."""
     import pyarrow.compute as pc
@@ -122,7 +135,7 @@ def cosine_pairs(
     from ..engine.join import default_num_buckets, read_bucket, write_bucketed
 
     nb = num_blocks or default_num_buckets()
-    wd = workdir or tempfile.mkdtemp(prefix="gcgr_cospairs_")
+    wd = workdir or _cached_workdir(sf_dir, f"cospairs-b{nb}")
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -210,7 +223,7 @@ def knn_label_accuracy(
     )
 
     nb = num_blocks or default_num_buckets()
-    wd = workdir or tempfile.mkdtemp(prefix="gcgr_knnacc_")
+    wd = workdir or _cached_workdir(sf_dir, f"knnacc-b{nb}")
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -1242,19 +1255,7 @@ def knn_edges(sf_dir: str, k: int = 10, num_blocks: int | None = None,
                                read_bucket, write_bucketed)
 
     nb = num_blocks or default_num_buckets()
-    if workdir is None:
-        # key under GCGR_WORK_ROOT (like knn_label_spread's own wd) so
-        # reruns reuse the bucketed normalized-embedding copy instead of
-        # leaking one tempdir per driver invocation
-        import hashlib as _h
-
-        root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
-        key = _h.md5(sf_dir.encode()).hexdigest()[:8]
-        workdir = os.path.join(
-            root, f"{os.path.basename(sf_dir)}-{key}-v3",
-            f"knn-edges-b{nb}")
-        os.makedirs(workdir, exist_ok=True)
-    wd = workdir
+    wd = workdir or _cached_workdir(sf_dir, f"knn-edges-b{nb}")
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 

@@ -169,6 +169,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": R.small_qty_revenue,
         # exact 4-cycle census via the co-degree wedge kernel
         "square_count_chain": G.square_count_chain,
+        # Newman directed (out,in)-degree assortativity of the chain
+        # graph, exact integer moments (SQL-oracled; round 4)
+        "chain_degree_assortativity": G.chain_degree_assortativity,
         # per-brand conductance of the co-occurrence partition
         "brand_conductance": G.brand_conductance,
         # CCNet-style perplexity tertile bucketing per source
