@@ -53,7 +53,14 @@ class HashMinProgram(VertexProgram):
         if not out_d:
             return {"dst": np.array([], np.int64),
                     "label": np.array([], np.int64)}
-        return {"dst": np.concatenate(out_d), "label": np.concatenate(out_l)}
+        # cross-part combine: one min per dst per batch (bound = #batches,
+        # the skew-probe contract; partials are tiny vs the edge rows)
+        dc = np.concatenate(out_d)
+        lc = np.concatenate(out_l)
+        order = np.argsort(dc, kind="stable")
+        ds_, lb = dc[order], lc[order]
+        starts = np.flatnonzero(np.concatenate([[True], ds_[1:] != ds_[:-1]]))
+        return {"dst": ds_[starts], "label": np.minimum.reduceat(lb, starts)}
 
     def reduce_apply(self, state, msgs, global_vals):
         sid = state["id"].to_numpy()

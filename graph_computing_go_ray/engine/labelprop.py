@@ -68,9 +68,19 @@ class LabelPropProgram(VertexProgram):
             return {"dst": np.array([], np.int64),
                     "label": np.array([], np.int64),
                     "cnt": np.array([], np.int64)}
-        return {"dst": np.concatenate(out_d),
-                "label": np.concatenate(out_l),
-                "cnt": np.concatenate(out_c)}
+        # cross-part combine: sum cnt per (dst, label) so each batch emits
+        # one row per (dst, label) — same bound the skew probe asserts
+        dc = np.concatenate(out_d)
+        lc = np.concatenate(out_l)
+        cc = np.concatenate(out_c)
+        order = np.lexsort((lc, dc))
+        ds_, lb, ct = dc[order], lc[order], cc[order]
+        new = np.concatenate(
+            [[True], (ds_[1:] != ds_[:-1]) | (lb[1:] != lb[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        return {"dst": ds_[starts], "label": lb[starts],
+                "cnt": np.add.reduceat(ct, starts)}
 
     def gather(self, edges, state_of, global_vals):
         outs = []

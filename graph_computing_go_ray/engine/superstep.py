@@ -138,24 +138,48 @@ class _StateKeeper:
     stays ~(workers x parts/len(pool)) per superstep."""
 
     def __init__(self):
-        self._refs: dict[tuple[int, int], object] = {}
+        self._refs: dict[tuple[str, int, int], object] = {}
 
-    def register(self, iteration: int, part: int, wrapped: list) -> bool:
-        self._refs[(iteration, part)] = wrapped[0]
+    def register(self, run_id: str, iteration: int, part: int,
+                 wrapped: list) -> bool:
+        self._refs[(run_id, iteration, part)] = wrapped[0]
         return True
 
-    def lookup(self, iteration: int, part: int) -> list:
-        return [self._refs.get((iteration, part))]
+    def lookup(self, run_id: str, iteration: int, part: int) -> list:
+        return [self._refs.get((run_id, iteration, part))]
 
-    def drop_before(self, iteration: int) -> int:
-        old = [k for k in self._refs if k[0] < iteration]
+    def drop_before(self, run_id: str, iteration: int) -> int:
+        old = [k for k in self._refs
+               if k[0] == run_id and k[1] < iteration]
+        for k in old:
+            del self._refs[k]
+        return len(old)
+
+    def drop_run(self, run_id: str) -> int:
+        old = [k for k in self._refs if k[0] == run_id]
         for k in old:
             del self._refs[k]
         return len(old)
 
 
+_KEEPER_POOL: list = []
+
+
 def _make_keepers(num_parts: int) -> list:
+    """Session-cached keeper pool: actor startup (~0.5 s for the pool) is
+    paid ONCE per Ray session, not per run_supersteps call — short
+    superstep runs (katz/WL on small graphs) measured 2x slower with a
+    fresh pool per run. Safe to share because every ref key carries the
+    run_id nonce and runs drop_run() their keys at exit."""
     import ray as _ray
+
+    global _KEEPER_POOL
+    if _KEEPER_POOL:
+        try:
+            _ray.get([kp.lookup.remote("", -1, -1) for kp in _KEEPER_POOL])
+            return _KEEPER_POOL
+        except Exception:
+            _KEEPER_POOL = []  # stale handles from a previous Ray session
 
     n = min(4, max(1, num_parts))
     actor = _ray.remote(num_cpus=0)(_StateKeeper)
@@ -163,7 +187,8 @@ def _make_keepers(num_parts: int) -> list:
     # block until every keeper is ALIVE: ray.put(_owner=keeper) raises
     # "actor not alive, worker_id is empty" if a reduce task races the
     # actor's startup (seen under a saturated test session)
-    _ray.get([kp.lookup.remote(-1, -1) for kp in keepers])
+    _ray.get([kp.lookup.remote("", -1, -1) for kp in keepers])
+    _KEEPER_POOL = keepers
     return keepers
 
 
@@ -185,7 +210,7 @@ def _read_state_any(workdir: str, iteration: int, part: int,
     df = None
     if keepers is not None:
         ref = _ray.get(_keeper_for(keepers, part).lookup.remote(
-            iteration, part))[0]
+            run_id, iteration, part))[0]
         if ref is not None:
             obj = _ray.get(ref)
             df = obj.to_pandas() if isinstance(obj, pa.Table) else obj
@@ -513,7 +538,7 @@ def run_supersteps(
                 ref = _ray.put(tbl, _owner=keeper)
                 # block until the keeper holds the ref: the creating
                 # worker's reference must outlive the handoff
-                _ray.get(keeper.register.remote(_k + 1, p, [ref]))
+                _ray.get(keeper.register.remote(run_id, _k + 1, p, [ref]))
             m["part"] = p
             return pd.DataFrame([m])
 
@@ -541,7 +566,7 @@ def run_supersteps(
             # evict shard refs two iterations back (gather of iter k+1
             # reads k; nothing reads k-1 anymore) — frees plasma objects
             for kp in keepers:
-                kp.drop_before.remote(k - 1)
+                kp.drop_before.remote(run_id, k - 1)
 
     if keepers is not None and k > start_iter:
         last_manifest = ckpt.read_manifest(workdir, k)
@@ -555,7 +580,7 @@ def run_supersteps(
                 for p in batch["part"]:
                     p = int(p)
                     ref = _ray.get(_keeper_for(keepers, p).lookup.remote(
-                        _k, p))[0]
+                        run_id, _k, p))[0]
                     ckpt.write_part(workdir, _k, p, _ray.get(ref))
                     rows.append({"part": p})
                 return pd.DataFrame(rows)
@@ -565,6 +590,12 @@ def run_supersteps(
              .materialize())
             last_manifest["state_persisted"] = True
             ckpt.write_manifest(workdir, k, last_manifest)
+
+    if keepers is not None:
+        # release this run's shard refs from the shared session pool
+        # (fire-and-forget; objects free once the keeper drops them)
+        for kp in keepers:
+            kp.drop_run.remote(run_id)
 
     return {
         "iterations": k, "converged": bool(converged), "timings": timings,
