@@ -85,12 +85,68 @@ class MinHopProgram(VertexProgram):
         return "changed" in metrics.columns and int(metrics["changed"].sum()) == 0
 
 
+def _local_bfs(df: pd.DataFrame, seeds, symmetrize: bool,
+               max_iters: int) -> pd.DataFrame:
+    """Whole-graph multi-seed BFS in one process — the local-cutoff leg
+    (same hybrid as scc/louvain). Level-synchronous edge scans replicate
+    the superstep semantics exactly: seeds at 0, min-hop labels, stop at
+    max_iters levels, only reached vertices output."""
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    if symmetrize:
+        src, dst = (np.concatenate([src, dst]),
+                    np.concatenate([dst, src]))
+    ids = np.unique(np.concatenate([src, dst])) if len(src) else \
+        np.array([], np.int64)
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    dist = np.full(len(ids), -1, np.int64)
+    sd = np.asarray(sorted(set(int(s) for s in seeds)), np.int64)
+    pos = np.searchsorted(ids, sd)
+    ok = (pos < len(ids))
+    ok[ok] = ids[pos[ok]] == sd[ok]
+    dist[pos[ok]] = 0
+    for hop in range(1, max_iters + 1):
+        reach = dist[si] == hop - 1
+        cand = di[reach]
+        cand = cand[dist[cand] < 0]
+        if not len(cand):
+            break
+        dist[np.unique(cand)] = hop
+    keep = dist >= 0
+    return pd.DataFrame({"id": ids[keep], "dist": dist[keep]})
+
+
 def bfs_depths(
     edges: Dataset, seeds, workdir: str, max_iters: int = 64,
     num_parts: int = 8, symmetrize: bool = True, resume: bool = True,
+    local_cutoff: int = 200_000,
 ) -> tuple[Dataset, dict]:
-    """(id, dist) for every vertex reachable from the seed set."""
+    """(id, dist) for every vertex reachable from the seed set.
+
+    local_cutoff: an edge table of at most this many rows runs the whole
+    BFS in one Ray task (_local_bfs) — identical output (parity pytest
+    in tests/test_triangles_bfs.py); 0 disables."""
     from .superstep import _load_graph_meta, load_edge_blocks
+
+    if local_cutoff:
+        import ray as _ray
+        import ray.data as rd
+
+        ed = edges.materialize()
+        n_e = ed.count()
+        if n_e <= local_cutoff:
+            run_local = _ray.remote(num_cpus=1)(_local_bfs)
+            out_df = _ray.get(run_local.remote(
+                ed.to_pandas(), list(seeds), symmetrize, max_iters))
+            out = rd.from_arrow(pa.Table.from_pandas(
+                out_df, preserve_index=False).cast(
+                    pa.schema([("id", pa.int64()), ("dist", pa.int64())])))
+            return out, {"local": True, "n_edges": int(n_e),
+                         "converged": True,
+                         "iterations": int(out_df["dist"].max())
+                         if len(out_df) else 0}
+        edges = ed
 
     info = _load_graph_meta(workdir)
     if info is None:

@@ -248,11 +248,14 @@ def strongly_connected_components(
     most of them acyclic tendrils) trim shrinks the fixpoint input by
     orders of magnitude and should be enabled.
 
-    local_cutoff: from round 2 on, an active remainder with at most this
-    many edges is finished by ONE exact in-task Tarjan (_local_scc) instead
-    of further fixpoint rounds — the first round always runs distributed
-    (it does the web-scale work: giant SCC + coloring classes), and the
-    cutoff is sized to a single block's worth of edges. 0 disables."""
+    local_cutoff: an active edge set of at most this many rows is finished
+    by ONE exact in-task Tarjan (_local_scc) instead of (more) fixpoint
+    rounds — including round 0, the same hybrid cutover as
+    louvain_move_phase: at web scale the input never fits a block and the
+    distributed peeling (giant SCC + coloring classes) runs; at block
+    scale the per-round fixed costs measure nothing. The all-distributed
+    path stays pinned by the local_cutoff=0 parity test
+    (tests/test_graph_extras.py). 0 disables."""
     import ray.data as rd
 
     from .join import default_num_buckets, typed_seed
@@ -278,7 +281,7 @@ def strongly_connected_components(
         n_act = active.count()
         if n_act == 0:
             break
-        if r >= 1 and local_cutoff and n_act <= local_cutoff:
+        if local_cutoff and n_act <= local_cutoff:
             # hybrid finish: the remainder fits one block — solve exactly
             # in-memory rather than paying more per-round fixed costs
             loc = _local_scc(active.to_pandas())

@@ -69,3 +69,20 @@ def test_bfs_depths_matches_python_bfs(tmp_path):
     want = _exact_bfs(df, seed)
     assert got == want
     assert info["iterations"] >= max(want.values())
+
+
+def test_bfs_local_vs_distributed_parity(tmp_path):
+    """The local-cutoff BFS leg must equal the distributed superstep run
+    exactly (multi-seed, directed — the bow-tie configuration)."""
+    df = _random_edges(n=400, m=800, seed=13)
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    seeds = sorted(set(df["src"].to_numpy()[:5].tolist()))
+    a, ia = bfs_depths(ds, seeds, str(tmp_path / "bl"), num_parts=4,
+                       symmetrize=False)
+    b, ib = bfs_depths(ds, seeds, str(tmp_path / "bd"), num_parts=4,
+                       symmetrize=False, local_cutoff=0)
+    assert ia.get("local") is True and "local" not in ib
+    pa_ = a.to_pandas().sort_values("id", ignore_index=True)
+    pb = b.to_pandas().sort_values("id", ignore_index=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(pa_, pb)
