@@ -1189,3 +1189,90 @@ def source_dedup_rate(sf_dir: str) -> Dataset:
         })
 
     return per.map_batches(fin, batch_format="pyarrow")
+
+
+def dedup_cut_spans(sf_dir: str, window: int = 10) -> Dataset:
+    """Substring-level dedup REMOVAL (the transform behind the
+    dup_span_fraction diagnostic — Lee et al. 2022 remove duplicated
+    substrings rather than whole documents): every ``window``-token span
+    whose text occurs 2+ times across the corpus keeps only its FIRST
+    occurrence (global (doc_id, start) order); the token coverage of all
+    later occurrences is cut from their documents. Returns one row per
+    document: (doc_id, n_tokens, n_removed, text_clean) with text_clean
+    the surviving tokens joined by single spaces.
+
+    Scale shape: span rows carry (md5 hex, doc_id, start) only; the
+    keep-first decision is one bucketed groupby on the hash; removal
+    intervals co-locate with their documents through one doc_id-bucketed
+    left join, and each document is rebuilt exactly once inside its
+    bucket (interval union as a boolean mask). No broadcast, no
+    all-pairs, text crosses the wire twice (in, out). No SQL oracle (the
+    rebuilt string is not reasonably SQL-expressible) — exact python
+    replica pytest in tests/test_textops.py."""
+    import hashlib
+
+    from ..engine.join import bucket_grouped, bucket_join, default_num_buckets
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        md5 = hashlib.md5
+        hh, dd, ss = [], [], []
+        for did, txt in zip(ids.tolist(), texts):
+            toks = T.word_tokens(txt)
+            for i in range(len(toks) - window + 1):
+                hh.append(md5(" ".join(toks[i:i + window]).encode())
+                          .hexdigest())
+                dd.append(did)
+                ss.append(i)
+        return pa.table({"h": pa.array(hh, pa.string()),
+                         "doc_id": pa.array(dd, pa.int64()),
+                         "start": pa.array(ss, pa.int64())})
+
+    spans_ds = docs.map_batches(spans, batch_format="pyarrow").materialize()
+
+    def pick_removals(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["h", "doc_id", "start"])
+        rem = d[d.duplicated("h", keep="first")]
+        return rem[["doc_id", "start"]]
+
+    removals = bucket_grouped(
+        spans_ds, ["h"], pick_removals,
+        out_schema=pa.schema([("doc_id", pa.int64()), ("start", pa.int64())]),
+        num_buckets=default_num_buckets(),
+    )
+    joined = bucket_join(docs, removals, on="doc_id", right_on="doc_id",
+                         how="left", num_buckets=default_num_buckets())
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, d in g.groupby("doc_id", sort=False):
+            txt = d["text"].iloc[0]
+            toks = T.word_tokens(txt)
+            n = len(toks)
+            cut = np.zeros(n, bool)
+            starts = d["start"].dropna().to_numpy(np.int64) \
+                if "start" in d.columns else np.array([], np.int64)
+            for s in starts.tolist():
+                cut[s:s + window] = True
+            keep = ~cut
+            rows.append({
+                "doc_id": int(did),
+                "n_tokens": n,
+                "n_removed": int(cut.sum()),
+                "text_clean": " ".join(np.array(toks, object)[keep].tolist())
+                if n else "",
+            })
+        return pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                           "n_removed", "text_clean"])
+
+    return bucket_grouped(
+        joined, ["doc_id"], rebuild,
+        out_schema=pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()), ("text_clean", pa.string()),
+        ]),
+        num_buckets=default_num_buckets(),
+    )

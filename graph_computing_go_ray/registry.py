@@ -118,6 +118,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # repeated-substring coverage (Lee et al. 2022 substring dedup
         # diagnostic): bucketed span-hash count + per-doc interval union
         "dup_span_fraction": TX.dup_span_fraction,
+        # the matching REMOVAL transform (keep-first, cut later
+        # occurrences); exact-replica pytest, no SQL oracle (r4)
+        "dedup_cut_spans": TX.dedup_cut_spans,
         # language-ID confusion matrix vs the labeled lang column
         "lang_confusion": TX.lang_confusion,
         # --- end of the 50-slot driver window ---

@@ -591,3 +591,58 @@ def test_knn_label_spread_matches_replica():
     # metric reports ~chance (1/10) — the parity above is the contract;
     # sanity: accuracies are valid fractions
     assert ((got["accuracy"] >= 0) & (got["accuracy"] <= 1)).all()
+
+
+def test_dedup_cut_spans_exact_replica(tmp_path):
+    """Span-removal dedup vs a brute-force python replica: keep-first
+    global order, later occurrences cut (cross-doc AND within-doc),
+    overlapping intervals unioned, short/untouched docs pass through."""
+    import hashlib
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 1, "text": f"intro one {para} tail one"},
+        {"doc_id": 2, "text": f"{para} something else entirely here now ok"},
+        {"doc_id": 3, "text": "totally unrelated words that repeat nothing "
+                              "at all in this tiny corpus today"},
+        # within-doc repeat of the same 10-token run
+        {"doc_id": 4, "text": f"{para} mid filler {para}"},
+        {"doc_id": 5, "text": "short doc"},
+    ]
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{tmp_path}/documents.parquet")
+
+    W = 10
+    got = TX.dedup_cut_spans(str(tmp_path), window=W).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+
+    # replica
+    toks = {r["doc_id"]: T.word_tokens(r["text"]) for r in rows}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for did in sorted(toks):
+        tk = toks[did]
+        for i in range(len(tk) - W + 1):
+            h = hashlib.md5(" ".join(tk[i:i + W]).encode()).hexdigest()
+            occ.setdefault(h, []).append((did, i))
+    cut = {did: np.zeros(len(tk), bool) for did, tk in toks.items()}
+    for h, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        for did, s in sorted(lst)[1:]:
+            cut[did][s:s + W] = True
+    want = pd.DataFrame([{
+        "doc_id": did,
+        "n_tokens": len(toks[did]),
+        "n_removed": int(cut[did].sum()),
+        "text_clean": " ".join(
+            t for t, c in zip(toks[did], cut[did]) if not c),
+    } for did in sorted(toks)])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity on the plant: doc 1 keeps the first occurrence, docs 2 and 4
+    # lose at least the 10-token run (doc 4 twice over its repeat region)
+    by = got.set_index("doc_id")
+    assert by.loc[1, "n_removed"] == 0
+    assert by.loc[2, "n_removed"] >= W
+    assert by.loc[4, "n_removed"] >= W
+    assert by.loc[3, "n_removed"] == 0 and by.loc[5, "n_removed"] == 0
