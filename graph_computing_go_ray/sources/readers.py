@@ -113,10 +113,12 @@ def export_table(ds: Dataset, out_dir: str, fmt: str = "parquet") -> str:
     if the directory's _SUCCESS marker exists, else write one file per
     block and mark. Never one giant file — a failed run re-runs only
     unmarked directories."""
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
+    from ..state import checkpoint as ckpt
+
+    marker = ckpt.join(out_dir, "_SUCCESS")
+    if ckpt.exists(marker):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    ckpt.ensure_dir(out_dir)
     if fmt == "parquet":
         ds.write_parquet(out_dir)
     elif fmt == "csv":
@@ -131,14 +133,19 @@ def export_table(ds: Dataset, out_dir: str, fmt: str = "parquet") -> str:
 
             from pyarrow import orc
 
-            fp = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
-            orc.write_table(t, fp)
+            from ..state import checkpoint as _ckpt
+
+            fp = _ckpt.join(out_dir, f"part-{uuid.uuid4().hex}.orc")
+            f, p = _ckpt.get_fs(fp)
+            with f.open_output_stream(p) as out:
+                orc.write_table(t, out)
             return pa.table({"path": pa.array([fp], pa.string()),
                              "rows": pa.array([t.num_rows], pa.int64())})
 
         ds.map_batches(write_block, batch_format="pyarrow").materialize()
     else:
         raise ValueError(f"unsupported sink format: {fmt}")
-    with open(marker, "w") as f:
-        f.write("")
+    mf, mp = ckpt.get_fs(marker)
+    with mf.open_output_stream(mp) as out:
+        out.write(b"")
     return out_dir
