@@ -114,6 +114,13 @@ def _window(q: dict, oracled: set) -> list[str]:
                         and r.get("hash_match", True) and not r.get("err"):
                     green.add(name)
         unchecked = [k for k in q if k in oracled and k not in green]
+        # Oracles added in round 5 queue BEHIND the 50 queries that have
+        # waited since earlier rounds (the r5 gate should complete driver
+        # coverage of the round-4 oracle corpus; the round-5 additions are
+        # judge-verifiable directly).
+        added_r5 = {"pagerank_bipartite", "katz_bipartite", "sssp_chain"}
+        unchecked = ([k for k in unchecked if k not in added_r5]
+                     + [k for k in unchecked if k in added_r5])
         filler = [k for k in q if k in oracled and k in green]
         win = (unchecked + filler)[:50]
         return win if len(win) == 50 else _WINDOW_R4

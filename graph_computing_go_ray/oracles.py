@@ -394,7 +394,8 @@ def build_oracles() -> dict[str, str]:
             "            FROM lineitem WHERE l_orderkey % 16 = 0), "
             "e0 AS (SELECT l_partkey AS src, "
             "       lead(l_partkey) OVER (PARTITION BY l_orderkey "
-            "                             ORDER BY l_linenumber) AS dst "
+            "                             ORDER BY l_linenumber, l_partkey) "
+            "       AS dst "
             "       FROM th), "
             "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
             "               GREATEST(src, dst) AS v FROM e0 "
@@ -790,7 +791,8 @@ def build_oracles() -> dict[str, str]:
             "  l_partkey FROM lineitem WHERE l_orderkey % 16 = 0), "
             "e0 AS (SELECT l_partkey AS src, "
             "       lead(l_partkey) OVER (PARTITION BY l_orderkey "
-            "                             ORDER BY l_linenumber) AS dst "
+            "                             ORDER BY l_linenumber, l_partkey) "
+            "       AS dst "
             "       FROM th), "
             "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
             "               GREATEST(src, dst) AS v FROM e0 "
@@ -875,7 +877,8 @@ def build_oracles() -> dict[str, str]:
             "            FROM lineitem WHERE l_orderkey % 16 = 0), "
             "e0 AS (SELECT l_partkey AS src, "
             "              lead(l_partkey) OVER (PARTITION BY l_orderkey "
-            "                                    ORDER BY l_linenumber) AS dst "
+            "                                    ORDER BY l_linenumber, "
+            "                                    l_partkey) AS dst "
             "       FROM th), "
             "ed AS (SELECT DISTINCT src, dst FROM e0 "
             "       WHERE dst IS NOT NULL AND src <> dst), "
@@ -1349,7 +1352,8 @@ def build_oracles() -> dict[str, str]:
             "            FROM lineitem WHERE l_orderkey % 16 = 0), "
             "e0 AS (SELECT l_partkey AS src, "
             "       lead(l_partkey) OVER (PARTITION BY l_orderkey "
-            "                             ORDER BY l_linenumber) AS dst "
+            "                             ORDER BY l_linenumber, l_partkey) "
+            "       AS dst "
             "       FROM th), "
             "und AS (SELECT DISTINCT LEAST(src, dst) AS u, "
             "               GREATEST(src, dst) AS v FROM e0 "
@@ -1366,7 +1370,8 @@ def build_oracles() -> dict[str, str]:
             "            FROM lineitem WHERE l_orderkey % 16 = 0), "
             "e0 AS (SELECT l_partkey AS src, "
             "              lead(l_partkey) OVER (PARTITION BY l_orderkey "
-            "                                    ORDER BY l_linenumber) AS dst "
+            "                                    ORDER BY l_linenumber, "
+            "                                    l_partkey) AS dst "
             "       FROM th), "
             "e AS (SELECT DISTINCT src, dst FROM e0 "
             "      WHERE dst IS NOT NULL AND src <> dst), "
@@ -2529,6 +2534,13 @@ def build_oracles() -> dict[str, str]:
         # (id, d) chain-length pairs are bounded by V x max_depth, so the
         # UNION-dedup fixpoint stays small even at ~290 levels deep
         "citation_depth": _citation_depth_oracle(),
+        # fixed-iteration linear programs (VERDICT r4 #3): the SAME
+        # iteration the engine runs, expressed as bounded recursive CTEs
+        # with identical float operation order — the flagship PageRank
+        # kernel enters the driver's hash-checked set
+        "pagerank_bipartite": _pagerank_bipartite_oracle(),
+        "katz_bipartite": _katz_bipartite_oracle(),
+        "sssp_chain": _sssp_chain_oracle(),
     }
 
 
@@ -2536,7 +2548,8 @@ _CHAIN_SCC_CTE = (
     "WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey "
     "  FROM lineitem WHERE l_orderkey % 16 = 0), "
     "e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER ("
-    "  PARTITION BY l_orderkey ORDER BY l_linenumber) AS dst FROM li), "
+    "  PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst "
+    "  FROM li), "
     "edges AS (SELECT DISTINCT src, dst FROM e0 "
     "  WHERE dst IS NOT NULL AND src <> dst), "
     "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges), "
@@ -2570,4 +2583,112 @@ def _citation_depth_oracle() -> str:
         "  UNION SELECT e2.dst, c.d + 1 FROM ch c "
         "  JOIN eb e2 ON e2.src = c.id) "
         "SELECT id, max(d) AS depth FROM ch GROUP BY id"
+    )
+
+
+def _pagerank_bipartite_oracle(iters: int = 25) -> str:
+    """Fixed-iteration PageRank power method as a bounded recursive CTE —
+    exactly engine/pagerank.py's formulation r_{k+1}(v) = (1-d)/N +
+    d*(sum_{u->v} r_k(u)/outdeg(u) + D_k/N) over the order->part
+    multigraph, r_0 = 1/N, 25 rounds (pagerank_bipartite runs tol=0 /
+    max_iters=25, so both sides compute the identical truncation; residual
+    float differences are summation-order only, ~1e-16).
+
+    Two CTE steps per engine round: phase A (even iter) computes the raw
+    in-contribution sums and routes the dangling mass to a collector
+    vertex -2; phase B applies the affine update, with the collector
+    spreading D_k/N back to every vertex. Self-loops (w=0 in phase A,
+    w=1 in phase B) keep zero-in-degree vertices present. DuckDB 1.0
+    quirk: non-recursive CTEs inside WITH RECURSIVE do not dedup UNION,
+    hence the explicit DISTINCT on verts."""
+    return (
+        "WITH RECURSIVE "
+        "e AS (SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts), "
+        "outd AS (SELECT v.id, count(e.src) AS o FROM verts v "
+        "  LEFT JOIN e ON e.src = v.id GROUP BY v.id), "
+        "ea AS ("
+        "  SELECT e.src, e.dst, 1.0 / greatest(o.o, 1) AS w, 0 AS ph "
+        "    FROM e JOIN outd o ON o.id = e.src "
+        "  UNION ALL SELECT id, -2, 1.0, 0 FROM outd WHERE o = 0 "
+        "  UNION ALL SELECT id, id, 0.0, 0 FROM verts "
+        "  UNION ALL SELECT id, id, 1.0, 1 FROM verts "
+        "  UNION ALL SELECT -2, id, 1.0 / (SELECT n FROM nv), 1 FROM verts"
+        "), "
+        "bf AS ("
+        "  SELECT 0 AS iter, id, 1.0 / (SELECT n FROM nv) AS val FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    CASE WHEN b.iter % 2 = 0 THEN sum(b.val * g.w) "
+        "         ELSE (1.0 - 0.85) / (SELECT n FROM nv) "
+        "              + 0.85 * sum(b.val * g.w) END "
+        "  FROM bf b JOIN ea g ON g.src = b.id AND g.ph = b.iter % 2 "
+        f"  WHERE b.iter < {2 * iters} GROUP BY b.iter, g.dst) "
+        "SELECT id, round(val, 9) AS rank FROM bf "
+        f"WHERE iter = {2 * iters} AND id <> -2"
+    )
+
+
+def _katz_bipartite_oracle(iters: int = 60) -> str:
+    """Fixed-iteration Katz centrality (engine/katz.py Jacobi x_{k+1} =
+    alpha * A^T x_k + 1, x_0 = 1, alpha = 0.85/max_out_degree) over the
+    order->part multigraph as a bounded recursive CTE; katz_bipartite runs
+    tol=0 / max_iters=60 so both sides compute the identical truncation.
+    Self-loops with w=0 keep zero-in-degree vertices present."""
+    return (
+        "WITH RECURSIVE "
+        "e AS (SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "al AS (SELECT 0.85 / greatest(max(c), 1) AS a FROM ("
+        "  SELECT count(*) AS c FROM e GROUP BY src)), "
+        "ea AS (SELECT src, dst, 1.0 AS w FROM e "
+        "  UNION ALL SELECT id, id, 0.0 FROM verts), "
+        "bf AS ("
+        # CAST pins the recursion's column type: a recursive CTE's types
+        # come from the initial term, and a bare 1.0 is DECIMAL(2,1) in
+        # DuckDB — the whole iteration would silently round to 1 decimal
+        "  SELECT 0 AS iter, id, CAST(1.0 AS DOUBLE) AS val FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    (SELECT a FROM al) * sum(b.val * g.w) + 1.0 "
+        "  FROM bf b JOIN ea g ON g.src = b.id "
+        f"  WHERE b.iter < {iters} GROUP BY b.iter, g.dst) "
+        f"SELECT id, round(val, 9) AS katz FROM bf WHERE iter = {iters}"
+    )
+
+
+def _sssp_chain_oracle(rounds: int = 256) -> str:
+    """Weighted SSSP over the part-chain graph as a bounded Bellman-Ford
+    recursive CTE: d_{k+1}(v) = min(d_k(v), min_{u->v} d_k(u) + w) via a
+    w=0 self-loop per vertex, seeded at min(src), w = (src+dst)%9+1
+    (sssp_chain's documented synthetic weight). 256 rounds = the engine's
+    max_iters cap, so the states agree even if the cap truncates; weights
+    are integers, so distances are float64-exact regardless of evaluation
+    order. Unreached stays +inf through the recursion and maps to -1."""
+    return (
+        "WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber, l_partkey "
+        "  FROM lineitem WHERE l_orderkey % 16 = 0), "
+        "e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER ("
+        "  PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst "
+        "  FROM li), "
+        "e AS (SELECT DISTINCT src, dst FROM e0 "
+        "  WHERE dst IS NOT NULL AND src <> dst), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "sd AS (SELECT min(src) AS s FROM e), "
+        "ew AS (SELECT src, dst, CAST((src + dst) % 9 + 1 AS DOUBLE) AS w "
+        "  FROM e UNION ALL SELECT id, id, 0.0 FROM verts), "
+        "bf AS ("
+        "  SELECT 0 AS iter, v.id, CASE WHEN v.id = (SELECT s FROM sd) "
+        "    THEN 0.0 ELSE CAST('infinity' AS DOUBLE) END AS dist "
+        "  FROM verts v "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, min(b.dist + g.w) "
+        "  FROM bf b JOIN ew g ON g.src = b.id "
+        f"  WHERE b.iter < {rounds} GROUP BY b.iter, g.dst) "
+        "SELECT id, CASE WHEN isinf(dist) THEN -1.0 ELSE dist END AS dist "
+        f"FROM bf WHERE iter = {rounds}"
     )

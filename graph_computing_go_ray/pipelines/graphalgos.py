@@ -25,9 +25,10 @@ from ..sources.readers import lineitem_edges, read_table
 ROUND = 6
 
 
-ALGO_VERSION = "v3"  # bump when superstep/program semantics change so
+ALGO_VERSION = "v4"  # bump when superstep/program semantics change so
 # checkpoint reuse can never serve results from an older engine
-# (v3: SCC hybrid local finish changes the per-round workdir lineage)
+# (v4: chain_edge_ds gained the l_partkey tie-break, changing every
+# chain-graph edge set — cached partitions/state must rebuild)
 
 
 def _workdir(sf_dir: str, algo: str) -> str:
@@ -89,10 +90,17 @@ def cooccur_edge_ds(sf_dir: str) -> Dataset:
 
 
 def pagerank_bipartite(sf_dir: str) -> Dataset:
-    """PageRank over order→part edges; (id, rank) rounded for stability."""
+    """PageRank over order→part edges; (id, rank) rounded for stability.
+
+    Fixed 25-iteration power method (tol=0 disables the delta stop) so the
+    DuckDB oracle — the same iteration as a recursive CTE with identical
+    float operation order, oracles.py _pagerank_bipartite_oracle — is
+    exact, moving the flagship kernel into the driver's hash gate
+    (VERDICT r4 #3). Own workdir tag: the lineage must never resume a
+    convergence-stopped run of the shared "pagerank" state."""
     ranks, _info = pagerank(
-        lineitem_edges(sf_dir), _workdir(sf_dir, "pagerank"),
-        tol=1e-10, max_iters=100, num_parts=8,
+        lineitem_edges(sf_dir), _workdir(sf_dir, "pagerank25"),
+        tol=0.0, max_iters=25, num_parts=8,
     )
     return ranks.map_batches(
         lambda t: pa.table(
@@ -453,13 +461,17 @@ def ktruss_cooccur(sf_dir: str, k: int = 12) -> Dataset:
 def katz_bipartite(sf_dir: str) -> Dataset:
     """Katz centrality over order→part edges (engine/katz.py; alpha
     auto-derived as 0.85/max_out_degree so the Jacobi iteration is an L1
-    contraction); (id, katz) rounded for stability. Numpy-replica oracle
-    in tests/test_graph_extras.py."""
+    contraction); (id, katz) rounded for stability.
+
+    Fixed 60-iteration truncation (tol=0) so the DuckDB oracle — the same
+    Jacobi recursion as a recursive CTE — is exact (VERDICT r4 #3); the
+    engine-level convergence path keeps its numpy-replica oracle in
+    tests/test_graph_extras.py."""
     from ..engine.katz import katz_centrality
 
     ranks, _info = katz_centrality(
-        lineitem_edges(sf_dir), _workdir(sf_dir, "katz"),
-        tol=1e-12, max_iters=200, num_parts=8,
+        lineitem_edges(sf_dir), _workdir(sf_dir, "katz60"),
+        tol=0.0, max_iters=60, num_parts=8,
     )
     return ranks.map_batches(
         lambda t: pa.table(
@@ -629,11 +641,15 @@ def betweenness_chain(sf_dir: str, n_seeds: int = 4,
 
 def chain_edge_ds(sf_dir: str, order_mod: int = 16) -> Dataset:
     """Directed part-chain edges: within each order (sorted by
-    l_linenumber), consecutive parts link part_i -> part_{i+1}. Distinct,
-    self-loops dropped. Overlapping chains across orders create directed
-    cycles — the SCC test graph. Orders are deterministically thinned to
-    l_orderkey % order_mod == 0 so the graph keeps real SCC structure
-    (hundreds of components + a giant) instead of collapsing into one."""
+    l_linenumber, ties by l_partkey), consecutive parts link
+    part_i -> part_{i+1}. Distinct, self-loops dropped. Overlapping chains
+    across orders create directed cycles — the SCC test graph. Orders are
+    deterministically thinned to l_orderkey % order_mod == 0 so the graph
+    keeps real SCC structure (hundreds of components + a giant) instead of
+    collapsing into one. The l_partkey tie-break matters: the synthetic
+    lineitem repeats (l_orderkey, l_linenumber) pairs, so without it the
+    edge set would depend on incoming row order (the SQL oracles break the
+    tie the same way)."""
     from ..engine.degrees import distinct_pairs
     from ..engine.join import add_bucket, default_num_buckets
 
@@ -647,7 +663,7 @@ def chain_edge_ds(sf_dir: str, order_mod: int = 16) -> Dataset:
     b = add_bucket(li, "l_orderkey", default_num_buckets())
 
     def gen(g: pd.DataFrame) -> pd.DataFrame:
-        df = g.sort_values(["l_orderkey", "l_linenumber"])
+        df = g.sort_values(["l_orderkey", "l_linenumber", "l_partkey"])
         ok = df["l_orderkey"].to_numpy()
         pk = df["l_partkey"].to_numpy()
         same = ok[1:] == ok[:-1]
