@@ -209,11 +209,19 @@ def _read_state_any(workdir: str, iteration: int, part: int,
         return hit.copy()
     df = None
     if keepers is not None:
-        ref = _ray.get(_keeper_for(keepers, part).lookup.remote(
-            run_id, iteration, part))[0]
-        if ref is not None:
-            obj = _ray.get(ref)
-            df = obj.to_pandas() if isinstance(obj, pa.Table) else obj
+        try:
+            ref = _ray.get(_keeper_for(keepers, part).lookup.remote(
+                run_id, iteration, part))[0]
+            if ref is not None:
+                obj = _ray.get(ref)
+                df = obj.to_pandas() if isinstance(obj, pa.Table) else obj
+        except Exception:
+            # dead/killed keeper (or a ref it owned): fall back to the
+            # last persisted parquet for this iteration — the documented
+            # recovery path (tests/test_superstep.py keeper-loss test);
+            # non-persisted iterations surface the read_part error below,
+            # and a resumed run restarts from the latest manifest
+            df = None
     if df is None:
         df = ckpt.read_part(workdir, iteration, part).to_pandas()
     if len(_STATE_CACHE) >= _STATE_CACHE_MAX:

@@ -314,6 +314,50 @@ def lang_confusion(sf_dir: str) -> Dataset:
     )
 
 
+def _span_hash_rows(t: pa.Table, window: int) -> pa.Table:
+    """(h=md5 hex, doc_id, start) for every ``window``-token span of every
+    document in the batch — the shared span builder of dup_span_fraction
+    and dedup_cut_spans. Vectorized (VERDICT r4 #7): one regex pass per
+    batch, char offsets by cumsum, span strings as single slices of the
+    per-doc joined text; Python loops only over the hashlib.md5 calls
+    (span text = tokens joined by single spaces, so slicing the joined
+    string is byte-identical to joining each window)."""
+    import hashlib
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_pylist()
+    tokens, doc_idx = T.batch_word_tokens(texts)
+    empty = pa.table({"h": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "start": pa.array([], pa.int64())})
+    if not len(tokens):
+        return empty
+    tlen = np.fromiter((len(x) for x in tokens), np.int64, count=len(tokens))
+    lens = np.bincount(doc_idx, minlength=len(texts))
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    cum = np.concatenate([[0], np.cumsum(tlen + 1)[:-1]])
+    start = cum - cum[bounds[doc_idx]]
+    md5 = hashlib.md5
+    nw = len(tokens) - window + 1
+    valid = (np.flatnonzero(doc_idx[window - 1:] == doc_idx[:nw])
+             if nw > 0 else np.array([], np.int64))
+    if not len(valid):
+        return empty
+    joined = [" ".join(tokens[bounds[d]:bounds[d + 1]]) if lens[d] else ""
+              for d in range(len(texts))]
+    d_arr = doc_idx[valid]
+    hh = [md5(joined[d][s:e].encode()).hexdigest()
+          for d, s, e in zip(
+              d_arr.tolist(), start[valid].tolist(),
+              (start[valid + window - 1]
+               + tlen[valid + window - 1]).tolist())]
+    return pa.table({
+        "h": pa.array(hh, pa.string()),
+        "doc_id": pa.array(ids[d_arr].astype(np.int64)),
+        "start": pa.array((valid - bounds[d_arr]).astype(np.int64)),
+    })
+
+
 def dup_span_fraction(sf_dir: str, window: int = 10) -> Dataset:
     """(doc_id, n_tokens, dup_frac): fraction of a document's word tokens
     covered by at least one ``window``-token span whose text occurs two or
@@ -330,46 +374,13 @@ def dup_span_fraction(sf_dir: str, window: int = 10) -> Dataset:
     no broadcast, no all-pairs. Docs shorter than the window emit no spans
     and report dup_frac 0; empty docs are excluded (matches the oracle's
     n_tokens > 0 filter)."""
-    import hashlib
-
     from ..engine.join import bucket_grouped, bucket_join, default_num_buckets
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def span_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        tokens, doc_idx = T.batch_word_tokens(texts)
-        if not len(tokens):
-            return pa.table({"h": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "start": pa.array([], pa.int64())})
-        tlen = np.fromiter((len(x) for x in tokens), np.int64,
-                           count=len(tokens))
-        lens = np.bincount(doc_idx, minlength=len(texts))
-        bounds = np.concatenate([[0], np.cumsum(lens)])
-        cum = np.concatenate([[0], np.cumsum(tlen + 1)[:-1]])
-        start = cum - cum[bounds[doc_idx]]
-        end = start + tlen
-        md5 = hashlib.md5
-        nw = len(tokens) - window + 1
-        valid = (np.flatnonzero(doc_idx[window - 1:] == doc_idx[:nw])
-                 if nw > 0 else np.array([], np.int64))
-        joined = [" ".join(tokens[bounds[d]:bounds[d + 1]]) if lens[d] else ""
-                  for d in range(len(texts))]
-        d_arr = doc_idx[valid]
-        hh = [md5(joined[d][s:e].encode()).hexdigest()
-              for d, s, e in zip(
-                  d_arr.tolist(), start[valid].tolist(),
-                  (start[valid + window - 1]
-                   + tlen[valid + window - 1]).tolist())]
-        return pa.table({
-            "h": pa.array(hh, pa.string()),
-            "doc_id": pa.array(ids[d_arr].astype(np.int64)),
-            "start": pa.array((valid - bounds[d_arr]).astype(np.int64)),
-        })
-
-    spans = docs.map_batches(span_rows, batch_format="pyarrow").materialize()
+    spans = docs.map_batches(
+        lambda t: _span_hash_rows(t, window), batch_format="pyarrow"
+    ).materialize()
 
     def dups(g: pd.DataFrame) -> pd.DataFrame:
         c = g.groupby("h", as_index=False).size()
@@ -1209,29 +1220,13 @@ def dedup_cut_spans(sf_dir: str, window: int = 10) -> Dataset:
     all-pairs, text crosses the wire twice (in, out). No SQL oracle (the
     rebuilt string is not reasonably SQL-expressible) — exact python
     replica pytest in tests/test_textops.py."""
-    import hashlib
-
     from ..engine.join import bucket_grouped, bucket_join, default_num_buckets
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def spans(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        md5 = hashlib.md5
-        hh, dd, ss = [], [], []
-        for did, txt in zip(ids.tolist(), texts):
-            toks = T.word_tokens(txt)
-            for i in range(len(toks) - window + 1):
-                hh.append(md5(" ".join(toks[i:i + window]).encode())
-                          .hexdigest())
-                dd.append(did)
-                ss.append(i)
-        return pa.table({"h": pa.array(hh, pa.string()),
-                         "doc_id": pa.array(dd, pa.int64()),
-                         "start": pa.array(ss, pa.int64())})
-
-    spans_ds = docs.map_batches(spans, batch_format="pyarrow").materialize()
+    spans_ds = docs.map_batches(
+        lambda t: _span_hash_rows(t, window), batch_format="pyarrow"
+    ).materialize()
 
     def pick_removals(g: pd.DataFrame) -> pd.DataFrame:
         d = g.sort_values(["h", "doc_id", "start"])

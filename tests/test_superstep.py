@@ -352,3 +352,47 @@ def test_superstep_skew_combiner_bound(tmp_path):
         worst = max(worst, int(mdf["max_dst_rows"].max()))
     assert worst <= n_batches_bound, (worst, n_batches_bound)
     assert worst < hot_in / 4  # far below the raw fan-in
+
+
+def test_keeper_pool_session_reuse_and_keeper_loss(graph, tmp_path):
+    """Protects the round-4 keeper-pool perf win (VERDICT r4 #8): (1) two
+    sequential superstep runs in one session REUSE the session keeper pool
+    (per-run actor creation measurably doubled short queries once);
+    (2) a killed keeper does not poison state reads — _read_state_any
+    falls back to the persisted parquet shard — and the next run detects
+    the dead handles and rebuilds the pool."""
+    import pyarrow as pa
+
+    import ray
+
+    from graph_computing_go_ray.engine import superstep as ss
+
+    edges_pd, edges_ds, root = graph
+    wd1 = os.path.join(str(tmp_path), "kp1")
+    wd2 = os.path.join(str(tmp_path), "kp2")
+    pagerank(edges_ds, wd1, tol=0.0, max_iters=3, num_parts=4)
+    pool1 = [a._actor_id.hex() for a in ss._KEEPER_POOL]
+    assert pool1
+    pagerank(edges_ds, wd2, tol=0.0, max_iters=3, num_parts=4)
+    pool2 = [a._actor_id.hex() for a in ss._KEEPER_POOL]
+    assert pool2 == pool1
+
+    # dead-keeper fallback: a persisted parquet shard must still be
+    # readable when the keeper holding (no) refs for it has been killed
+    ckpt.write_part(wd1, 99, 0, pa.table(
+        {"id": pa.array([1], pa.int64()),
+         "rank": pa.array([0.5], pa.float64())}))
+    lone = ray.remote(num_cpus=0)(ss._StateKeeper).remote()
+    ray.get(lone.lookup.remote("", -1, -1))
+    ray.kill(lone)
+    df = ss._read_state_any(wd1, 99, 0, "keeper-loss-test", [lone])
+    assert float(df["rank"].iloc[0]) == 0.5
+
+    # pool rebuild: kill the session pool; the next run must detect the
+    # dead handles and mint fresh actors instead of failing
+    for a in ss._KEEPER_POOL:
+        ray.kill(a)
+    pagerank(edges_ds, os.path.join(str(tmp_path), "kp3"),
+             tol=0.0, max_iters=2, num_parts=4)
+    pool3 = [a._actor_id.hex() for a in ss._KEEPER_POOL]
+    assert pool3 and set(pool3).isdisjoint(set(pool1))
