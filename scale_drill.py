@@ -34,7 +34,12 @@ LI_STRIDE = 10_000_000
 REPLICAS = 10
 
 QUERIES = ["jaccard_topk", "near_dup_clusters", "dup_span_fraction",
-           "triangle_count", "tfidf_top_terms"]
+           "triangle_count", "tfidf_top_terms",
+           # round-4 hybrid additions (VERDICT r4 #5): the 10x input pushes
+           # the chain graph past the local cutoffs, so these exercise the
+           # local->distributed handover the hybrids rely on
+           "louvain_chain_two_level", "scc_chain", "bowtie_chain",
+           "dedup_cut_spans"]
 
 
 def synthesize_sf1() -> str:

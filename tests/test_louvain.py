@@ -284,13 +284,22 @@ def test_louvain_local_vs_distributed_parity_sf0001():
     frame) — guards the hybrid cutover against drift."""
     from graph_computing_go_ray.pipelines.graphalgos import chain_edge_ds
 
+    import os
+
     edges = chain_edge_ds(SF, order_mod=16)
     lab_local, info_local = louvain_move_phase(edges, max_rounds=8)
-    lab_dist, info_dist = louvain_move_phase(
-        edges, max_rounds=8, local_cutoff=0)
     assert info_local.get("local") is True
-    assert "local" not in info_dist
     a = lab_local.to_pandas().sort_values("id", ignore_index=True)
-    b = lab_dist.to_pandas().sort_values("id", ignore_index=True)
-    pd.testing.assert_frame_equal(a, b)
-    assert info_local["moves_per_round"] == info_dist["moves_per_round"]
+    # both distributed neighbor-attach modes (shard-published default and
+    # the bucket-join fallback) must match the local leg byte-identically
+    for mode in ("shards", "join"):
+        os.environ["GCGR_LOUVAIN_NBR"] = mode
+        try:
+            lab_dist, info_dist = louvain_move_phase(
+                edges, max_rounds=8, local_cutoff=0)
+        finally:
+            os.environ.pop("GCGR_LOUVAIN_NBR", None)
+        assert "local" not in info_dist
+        b = lab_dist.to_pandas().sort_values("id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert info_local["moves_per_round"] == info_dist["moves_per_round"]
