@@ -118,7 +118,8 @@ def _window(q: dict, oracled: set) -> list[str]:
         # waited since earlier rounds (the r5 gate should complete driver
         # coverage of the round-4 oracle corpus; the round-5 additions are
         # judge-verifiable directly).
-        added_r5 = {"pagerank_bipartite", "katz_bipartite", "sssp_chain"}
+        added_r5 = {"pagerank_bipartite", "katz_bipartite", "sssp_chain",
+                    "weighted_pagerank", "ppr_bipartite", "hits_bipartite"}
         unchecked = ([k for k in unchecked if k not in added_r5]
                      + [k for k in unchecked if k in added_r5])
         filler = [k for k in q if k in oracled and k in green]

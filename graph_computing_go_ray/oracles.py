@@ -2541,6 +2541,9 @@ def build_oracles() -> dict[str, str]:
         "pagerank_bipartite": _pagerank_bipartite_oracle(),
         "katz_bipartite": _katz_bipartite_oracle(),
         "sssp_chain": _sssp_chain_oracle(),
+        "weighted_pagerank": _weighted_pagerank_oracle(),
+        "ppr_bipartite": _ppr_bipartite_oracle(),
+        "hits_bipartite": _hits_bipartite_oracle(),
     }
 
 
@@ -2691,4 +2694,139 @@ def _sssp_chain_oracle(rounds: int = 256) -> str:
         f"  WHERE b.iter < {rounds} GROUP BY b.iter, g.dst) "
         "SELECT id, CASE WHEN isinf(dist) THEN -1.0 ELSE dist END AS dist "
         f"FROM bf WHERE iter = {rounds}"
+    )
+
+
+def _weighted_pagerank_oracle(iters: int = 25) -> str:
+    """Fixed-iteration weighted PageRank (engine/wpagerank.py: r_{k+1}(v)
+    = (1-d)/N + d*(sum_{u->v} (w/W(u))*r_k(u) + D_k/N), w = l_quantity,
+    W(u) = u's out-weight sum, dangling = no out-edges) as a bounded
+    recursive CTE — the same two-phase collector scheme as
+    _pagerank_bipartite_oracle; weighted_pagerank_bipartite runs tol=0 /
+    max_iters=25 so both sides compute the identical truncation."""
+    return (
+        "WITH RECURSIVE "
+        "e AS (SELECT l_orderkey AS src, l_partkey AS dst, "
+        "  CAST(l_quantity AS DOUBLE) AS w FROM lineitem), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts), "
+        "ws AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src), "
+        "ea AS ("
+        "  SELECT e.src, e.dst, e.w / ws.wsum AS w, 0 AS ph "
+        "    FROM e JOIN ws ON ws.src = e.src "
+        "  UNION ALL SELECT v.id, -2, 1.0, 0 FROM verts v "
+        "    WHERE v.id NOT IN (SELECT src FROM ws) "
+        "  UNION ALL SELECT id, id, 0.0, 0 FROM verts "
+        "  UNION ALL SELECT id, id, 1.0, 1 FROM verts "
+        "  UNION ALL SELECT -2, id, 1.0 / (SELECT n FROM nv), 1 FROM verts"
+        "), "
+        "bf AS ("
+        "  SELECT 0 AS iter, id, 1.0 / (SELECT n FROM nv) AS val FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    CASE WHEN b.iter % 2 = 0 THEN sum(b.val * g.w) "
+        "         ELSE (1.0 - 0.85) / (SELECT n FROM nv) "
+        "              + 0.85 * sum(b.val * g.w) END "
+        "  FROM bf b JOIN ea g ON g.src = b.id AND g.ph = b.iter % 2 "
+        f"  WHERE b.iter < {2 * iters} GROUP BY b.iter, g.dst) "
+        "SELECT id, round(val, 9) AS rank FROM bf "
+        f"WHERE iter = {2 * iters} AND id <> -2"
+    )
+
+
+def _ppr_bipartite_oracle(iters: int = 25) -> str:
+    """Fixed-iteration personalized PageRank (engine/ppr.py: r_{k+1}(v) =
+    (1-d)*p(v) + d*(sum_{u->v} r_k(u)/outdeg(u) + D_k*p(v)), p = 1/|S| on
+    the 5 smallest part vertices, r_0 = p) as a bounded recursive CTE.
+    Teleport and dangling mass restart at the SEEDS only, so the phase-B
+    collector spread edges target just the seed set; ppr_bipartite runs
+    tol=0 / max_iters=25 so both sides compute the identical truncation."""
+    return (
+        "WITH RECURSIVE "
+        "e AS (SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "outd AS (SELECT v.id, count(e.src) AS o FROM verts v "
+        "  LEFT JOIN e ON e.src = v.id GROUP BY v.id), "
+        "sd AS (SELECT DISTINCT dst AS s FROM e ORDER BY dst LIMIT 5), "
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM sd), "
+        "ea AS ("
+        "  SELECT e.src, e.dst, 1.0 / greatest(o.o, 1) AS w, 0 AS ph "
+        "    FROM e JOIN outd o ON o.id = e.src "
+        "  UNION ALL SELECT id, -2, 1.0, 0 FROM outd WHERE o = 0 "
+        "  UNION ALL SELECT id, id, 0.0, 0 FROM verts "
+        "  UNION ALL SELECT id, id, 1.0, 1 FROM verts "
+        "  UNION ALL SELECT -2, s, 1.0 / (SELECT k FROM ns), 1 FROM sd"
+        "), "
+        "bf AS ("
+        "  SELECT 0 AS iter, id, "
+        "    CASE WHEN id IN (SELECT s FROM sd) "
+        "      THEN 1.0 / (SELECT k FROM ns) "
+        "      ELSE CAST(0.0 AS DOUBLE) END AS val FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    CASE WHEN b.iter % 2 = 0 THEN sum(b.val * g.w) "
+        "         WHEN g.dst IN (SELECT s FROM sd) "
+        "           THEN (1.0 - 0.85) * (1.0 / (SELECT k FROM ns)) "
+        "                + 0.85 * sum(b.val * g.w) "
+        "         ELSE 0.85 * sum(b.val * g.w) END "
+        "  FROM bf b JOIN ea g ON g.src = b.id AND g.ph = b.iter % 2 "
+        f"  WHERE b.iter < {2 * iters} GROUP BY b.iter, g.dst) "
+        "SELECT id, round(val, 9) AS rank FROM bf "
+        f"WHERE iter = {2 * iters} AND id <> -2"
+    )
+
+
+def _hits_bipartite_oracle(iters: int = 40) -> str:
+    """Fixed-iteration HITS (engine/hits.py simultaneous update:
+    a_{k+1}(v) = sum_{u->v} h_k(u)/||h_k||, h_{k+1}(u) = sum_{u->v}
+    a_k(v)/||a_k||, h_0 = a_0 = 1/sqrt(N), final vectors L2-normalized)
+    over the order->part multigraph as a bounded recursive CTE.
+    hits_bipartite runs tol=-1 / max_iters=40 so both sides compute the
+    identical truncation.
+
+    Two CTE steps per engine round: phase A passes the raw state through
+    identity edges and routes the squared sums to collector -2; phase B
+    applies both half-updates at once, reading the norms from the
+    collector-spread rows (kind 3). The final window normalizes like the
+    engine's manifest-recorded-norm pass."""
+    return (
+        "WITH RECURSIVE "
+        "e AS (SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts), "
+        "ea AS ("
+        "  SELECT id AS src, id AS dst, 0 AS kind, 0 AS ph FROM verts "
+        "  UNION ALL SELECT id, -2, 1, 0 FROM verts "
+        "  UNION ALL SELECT src, dst, 1, 1 FROM e "
+        "  UNION ALL SELECT dst, src, 2, 1 FROM e "
+        "  UNION ALL SELECT -2, id, 3, 1 FROM verts"
+        "), "
+        "bf AS ("
+        "  SELECT 0 AS iter, id, 1.0 / sqrt((SELECT n FROM nv)) AS hub, "
+        "         1.0 / sqrt((SELECT n FROM nv)) AS auth FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    CASE WHEN b.iter % 2 = 0 THEN "
+        "           CASE WHEN g.dst = -2 THEN sum(b.hub * b.hub) "
+        "                ELSE sum(b.hub) END "
+        "         ELSE coalesce(sum(b.auth) FILTER (g.kind = 2), 0.0) "
+        "              / sqrt(greatest(max(CASE WHEN g.kind = 3 "
+        "                THEN b.auth END), 1e-300)) END, "
+        "    CASE WHEN b.iter % 2 = 0 THEN "
+        "           CASE WHEN g.dst = -2 THEN sum(b.auth * b.auth) "
+        "                ELSE sum(b.auth) END "
+        "         ELSE coalesce(sum(b.hub) FILTER (g.kind = 1), 0.0) "
+        "              / sqrt(greatest(max(CASE WHEN g.kind = 3 "
+        "                THEN b.hub END), 1e-300)) END "
+        "  FROM bf b JOIN ea g ON g.src = b.id AND g.ph = b.iter % 2 "
+        f"  WHERE b.iter < {2 * iters} GROUP BY b.iter, g.dst) "
+        "SELECT id, "
+        "  round(hub / sqrt(greatest(sum(hub * hub) OVER (), 1e-300)), 9) "
+        "    AS hub, "
+        "  round(auth / sqrt(greatest(sum(auth * auth) OVER (), 1e-300)), 9) "
+        "    AS auth "
+        f"FROM bf WHERE iter = {2 * iters} AND id <> -2"
     )

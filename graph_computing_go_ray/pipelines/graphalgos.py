@@ -113,12 +113,17 @@ def pagerank_bipartite(sf_dir: str) -> Dataset:
 
 def hits_bipartite(sf_dir: str) -> Dataset:
     """HITS hubs/authorities over order→part edges (engine/hits.py);
-    (id, hub, auth) with L2-normalized scores rounded for stability."""
+    (id, hub, auth) with L2-normalized scores rounded for stability.
+
+    Fixed 40-iteration truncation so the recursive-CTE oracle replays the
+    identical iteration (oracles._hits_bipartite_oracle). tol=-1 (not 0):
+    the convergence check is a cosine DISTANCE, which float rounding can
+    drive below zero at the fixpoint — tol=0 could still stop early."""
     from ..engine.hits import hits
 
     ranks, _info = hits(
-        lineitem_edges(sf_dir), _workdir(sf_dir, "hits"),
-        tol=1e-12, max_iters=100, num_parts=8,
+        lineitem_edges(sf_dir), _workdir(sf_dir, "hits40"),
+        tol=-1.0, max_iters=40, num_parts=8,
     )
     return ranks.map_batches(
         lambda t: pa.table(
@@ -153,9 +158,11 @@ def ppr_bipartite(sf_dir: str) -> Dataset:
 
     edges = lineitem_edges(sf_dir)
     seeds = _min_k_distinct(edges, "dst", 5)
+    # fixed 25-iteration truncation (tol=0) so the recursive-CTE oracle
+    # replays the identical iteration (oracles._ppr_bipartite_oracle)
     ranks, _info = personalized_pagerank(
-        edges, _workdir(sf_dir, "ppr"), seeds,
-        tol=1e-12, max_iters=100, num_parts=8,
+        edges, _workdir(sf_dir, "ppr25"), seeds,
+        tol=0.0, max_iters=25, num_parts=8,
     )
     return ranks.map_batches(
         lambda t: pa.table(
@@ -510,8 +517,12 @@ def sssp_chain(sf_dir: str, order_mod: int = 16) -> Dataset:
 def weighted_pagerank_bipartite(sf_dir: str) -> Dataset:
     """Weighted PageRank over order→part edges with w = l_quantity
     (engine/wpagerank.py — per-edge normalized weights precomputed into
-    the CSR blocks); (id, rank) rounded for stability. Numpy-replica
-    oracle in tests/test_graph_extras.py."""
+    the CSR blocks); (id, rank) rounded for stability.
+
+    Fixed 25-iteration truncation (tol=0) so the recursive-CTE oracle
+    replays the identical iteration (oracles._weighted_pagerank_oracle);
+    the engine-level convergence path keeps its numpy-replica oracle in
+    tests/test_graph_extras.py."""
     from ..engine.wpagerank import weighted_pagerank
 
     li = read_table(sf_dir, "lineitem",
@@ -519,8 +530,8 @@ def weighted_pagerank_bipartite(sf_dir: str) -> Dataset:
     edges = li.rename_columns({"l_orderkey": "src", "l_partkey": "dst",
                                "l_quantity": "w"})
     ranks, _info = weighted_pagerank(
-        edges, _workdir(sf_dir, "wpagerank"),
-        tol=1e-10, max_iters=100, num_parts=8,
+        edges, _workdir(sf_dir, "wpagerank25"),
+        tol=0.0, max_iters=25, num_parts=8,
     )
     return ranks.map_batches(
         lambda t: pa.table(
