@@ -2544,6 +2544,8 @@ def build_oracles() -> dict[str, str]:
         "weighted_pagerank": _weighted_pagerank_oracle(),
         "ppr_bipartite": _ppr_bipartite_oracle(),
         "hits_bipartite": _hits_bipartite_oracle(),
+        "walk_entropy_rate": _walk_entropy_rate_oracle(),
+        "eigenvector_cooccur": _eigenvector_cooccur_oracle(),
     }
 
 
@@ -2604,6 +2606,16 @@ def _pagerank_bipartite_oracle(iters: int = 25) -> str:
     w=1 in phase B) keep zero-in-degree vertices present. DuckDB 1.0
     quirk: non-recursive CTEs inside WITH RECURSIVE do not dedup UNION,
     hence the explicit DISTINCT on verts."""
+    return _pagerank_core_cte(iters) + (
+        "SELECT id, round(val, 9) AS rank FROM bf "
+        f"WHERE iter = {2 * iters} AND id <> -2"
+    )
+
+
+def _pagerank_core_cte(iters: int) -> str:
+    """The shared WITH body of the fixed-iteration PageRank recursion
+    (consumed by _pagerank_bipartite_oracle and
+    _walk_entropy_rate_oracle, which append different final selects)."""
     return (
         "WITH RECURSIVE "
         "e AS (SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem), "
@@ -2629,16 +2641,36 @@ def _pagerank_bipartite_oracle(iters: int = 25) -> str:
         "              + 0.85 * sum(b.val * g.w) END "
         "  FROM bf b JOIN ea g ON g.src = b.id AND g.ph = b.iter % 2 "
         f"  WHERE b.iter < {2 * iters} GROUP BY b.iter, g.dst) "
-        "SELECT id, round(val, 9) AS rank FROM bf "
-        f"WHERE iter = {2 * iters} AND id <> -2"
     )
 
 
-def _katz_bipartite_oracle(iters: int = 60) -> str:
+def _walk_entropy_rate_oracle(iters: int = 25) -> str:
+    """Entropy rate of the PageRank-stationary walk
+    (graphalgos.walk_entropy_rate: H = sum_v pi_v*log2(outdeg_v) for
+    walk vertices + (dangling share)*log2(max(N,2)) bits/step) — the
+    fixed-25-iteration PageRank core plus one fold; walk_entropy_rate
+    runs the same pagerank25 state as pagerank_bipartite."""
+    return _pagerank_core_cte(iters) + (
+        f", pr AS (SELECT id, val FROM bf "
+        f"    WHERE iter = {2 * iters} AND id <> -2) "
+        "SELECT round(sum(CASE WHEN o.o > 0 "
+        "    THEN p.val * log2(CAST(o.o AS DOUBLE)) ELSE 0.0 END) "
+        "  + sum(CASE WHEN o.o = 0 THEN p.val ELSE 0.0 END) "
+        "    * log2(greatest((SELECT n FROM nv), 2.0)), 6) "
+        "  AS entropy_rate_bits, "
+        "round(sum(CASE WHEN o.o = 0 THEN p.val ELSE 0.0 END), 6) "
+        "  AS dangling_share "
+        "FROM pr p JOIN outd o ON o.id = p.id"
+    )
+
+
+def _katz_bipartite_oracle(iters: int = 5) -> str:
     """Fixed-iteration Katz centrality (engine/katz.py Jacobi x_{k+1} =
     alpha * A^T x_k + 1, x_0 = 1, alpha = 0.85/max_out_degree) over the
     order->part multigraph as a bounded recursive CTE; katz_bipartite runs
-    tol=0 / max_iters=60 so both sides compute the identical truncation.
+    tol=0 / max_iters=5 (the exact fixpoint: A^T is nilpotent on the
+    one-directional order->part edge set) so both sides compute the
+    identical truncation.
     Self-loops with w=0 keep zero-in-degree vertices present."""
     return (
         "WITH RECURSIVE "
@@ -2828,5 +2860,50 @@ def _hits_bipartite_oracle(iters: int = 40) -> str:
         "    AS hub, "
         "  round(auth / sqrt(greatest(sum(auth * auth) OVER (), 1e-300)), 9) "
         "    AS auth "
+        f"FROM bf WHERE iter = {2 * iters} AND id <> -2"
+    )
+
+
+def _eigenvector_cooccur_oracle(iters: int = 40) -> str:
+    """Fixed-iteration eigenvector centrality of the undirected part
+    co-occurrence graph (graphalgos.eigenvector_cooccur: HITS over a
+    symmetric edge set, where hub == auth == the principal eigenvector,
+    so a SINGLE-vector power iteration x' = A x / ||x|| suffices) as a
+    bounded recursive CTE with the HITS collector scheme.
+    eigenvector_cooccur runs tol=-1 / max_iters=40 so both sides compute
+    the identical truncation; output (id, score) L2-normalized."""
+    return (
+        "WITH RECURSIVE "
+        "po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+        "  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey "
+        "  AND a.l_partkey < b.l_partkey), "
+        "e AS (SELECT u AS src, v AS dst FROM und "
+        "  UNION ALL SELECT v, u FROM und), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts), "
+        "ea AS ("
+        "  SELECT id AS src, id AS dst, 0 AS kind, 0 AS ph FROM verts "
+        "  UNION ALL SELECT id, -2, 1, 0 FROM verts "
+        "  UNION ALL SELECT src, dst, 1, 1 FROM e "
+        "  UNION ALL SELECT -2, id, 3, 1 FROM verts"
+        "), "
+        "bf AS ("
+        "  SELECT 0 AS iter, id, 1.0 / sqrt((SELECT n FROM nv)) AS x "
+        "  FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    CASE WHEN b.iter % 2 = 0 THEN "
+        "           CASE WHEN g.dst = -2 THEN sum(b.x * b.x) "
+        "                ELSE sum(b.x) END "
+        "         ELSE coalesce(sum(b.x) FILTER (g.kind = 1), 0.0) "
+        "              / sqrt(greatest(max(CASE WHEN g.kind = 3 "
+        "                THEN b.x END), 1e-300)) END "
+        "  FROM bf b JOIN ea g ON g.src = b.id AND g.ph = b.iter % 2 "
+        f"  WHERE b.iter < {2 * iters} GROUP BY b.iter, g.dst) "
+        "SELECT id, "
+        "  round(x / sqrt(greatest(sum(x * x) OVER (), 1e-300)), 9) "
+        "    AS score "
         f"FROM bf WHERE iter = {2 * iters} AND id <> -2"
     )
