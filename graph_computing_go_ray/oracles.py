@@ -2546,6 +2546,8 @@ def build_oracles() -> dict[str, str]:
         "hits_bipartite": _hits_bipartite_oracle(),
         "walk_entropy_rate": _walk_entropy_rate_oracle(),
         "eigenvector_cooccur": _eigenvector_cooccur_oracle(),
+        "hitting_time_cooccur": _hitting_time_cooccur_oracle(),
+        "diameter_2sweep": _diameter_2sweep_oracle(),
     }
 
 
@@ -2906,4 +2908,74 @@ def _eigenvector_cooccur_oracle(iters: int = 40) -> str:
         "  round(x / sqrt(greatest(sum(x * x) OVER (), 1e-300)), 9) "
         "    AS score "
         f"FROM bf WHERE iter = {2 * iters} AND id <> -2"
+    )
+
+
+_COOCCUR_SYM_CTE = (
+    "po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+    "  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey < b.l_partkey), "
+    "e AS (SELECT u AS src, v AS dst FROM und "
+    "  UNION ALL SELECT v, u FROM und), "
+    "verts AS (SELECT DISTINCT id FROM ("
+    "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+)
+
+
+def _hitting_time_cooccur_oracle(rounds: int = 80) -> str:
+    """Fixed-round Jacobi hitting times to {id % 8 == 0} on the
+    symmetrized part co-occurrence graph (engine/hitting.py: h(v) = 0 on
+    targets, else 1 + mean over neighbors; 80 rounds; -1.0 sentinel when
+    the final Jacobi delta exceeds 1e-3) as a bounded recursive CTE.
+    Already fixed-round in the engine, so no query change was needed; the
+    final delta is |h_80 - h_79|, read by self-joining the recursion's
+    last two iterations. Empirical threshold margin at the 1e-3 cut is
+    ~1e-3 (vs float drift ~1e-13), so the sentinel set is stable."""
+    return (
+        "WITH RECURSIVE " + _COOCCUR_SYM_CTE +
+        "dg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS deg "
+        "  FROM e GROUP BY src), "
+        "ea AS (SELECT e.src, e.dst, 1.0 AS w, d.deg AS dst_deg FROM e "
+        "  JOIN dg d ON d.id = e.dst "
+        "  UNION ALL SELECT v.id, v.id, 0.0, coalesce(d.deg, 0.0) "
+        "  FROM verts v LEFT JOIN dg d ON d.id = v.id), "
+        "bf AS ("
+        # CAST pins the recursion's value type (bare 0.0 is DECIMAL(2,1)
+        # in DuckDB and would silently round every iteration)
+        "  SELECT 0 AS iter, id, CAST(0.0 AS DOUBLE) AS h FROM verts "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        "    CASE WHEN g.dst % 8 = 0 OR max(g.dst_deg) = 0 THEN 0.0 "
+        "         ELSE 1.0 + sum(b.h * g.w) "
+        "              / greatest(max(g.dst_deg), 1.0) END "
+        f"  FROM bf b JOIN ea g ON g.src = b.id WHERE b.iter < {rounds} "
+        "  GROUP BY b.iter, g.dst) "
+        "SELECT a.id, CASE WHEN a.id % 8 = 0 OR abs(a.h - p.h) <= 1e-3 "
+        "  THEN a.h ELSE -1.0 END AS hitting_time "
+        f"FROM bf a JOIN bf p ON p.id = a.id AND p.iter = {rounds - 1} "
+        f"WHERE a.iter = {rounds}"
+    )
+
+
+def _diameter_2sweep_oracle(cap: int = 64) -> str:
+    """Double-sweep diameter lower bound of the undirected co-occurrence
+    graph (graphalgos.diameter_2sweep: BFS from min vertex id, farthest
+    vertex with ties to min id, BFS again, report the second
+    eccentricity) — two UNION-dedup min-hop recursions capped at the
+    engine's 64-hop BFS budget; all-integer output, exact."""
+    return (
+        "WITH RECURSIVE " + _COOCCUR_SYM_CTE +
+        "s1 AS (SELECT min(src) AS s FROM e), "
+        "r1 AS (SELECT (SELECT s FROM s1) AS id, 0 AS d "
+        "  UNION SELECT e2.dst, r.d + 1 FROM r1 r "
+        f"  JOIN e e2 ON e2.src = r.id WHERE r.d < {cap}), "
+        "d1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id), "
+        "s2 AS (SELECT id FROM d1 ORDER BY d DESC, id LIMIT 1), "
+        "r2 AS (SELECT (SELECT id FROM s2) AS id, 0 AS d "
+        "  UNION SELECT e2.dst, r.d + 1 FROM r2 r "
+        f"  JOIN e e2 ON e2.src = r.id WHERE r.d < {cap}), "
+        "d2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id) "
+        "SELECT (SELECT s FROM s1) AS seed1, (SELECT id FROM s2) AS seed2, "
+        "  (SELECT max(d) FROM d2) AS lb_diameter"
     )
