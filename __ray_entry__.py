@@ -121,7 +121,8 @@ def _window(q: dict, oracled: set) -> list[str]:
         added_r5 = {"pagerank_bipartite", "katz_bipartite", "sssp_chain",
                     "weighted_pagerank", "ppr_bipartite", "hits_bipartite",
                     "walk_entropy_rate", "eigenvector_cooccur",
-                    "hitting_time_cooccur", "diameter_2sweep"}
+                    "hitting_time_cooccur", "diameter_2sweep",
+                    "betweenness_chain"}
         unchecked = ([k for k in unchecked if k not in added_r5]
                      + [k for k in unchecked if k in added_r5])
         filler = [k for k in q if k in oracled and k in green]

@@ -2548,6 +2548,7 @@ def build_oracles() -> dict[str, str]:
         "eigenvector_cooccur": _eigenvector_cooccur_oracle(),
         "hitting_time_cooccur": _hitting_time_cooccur_oracle(),
         "diameter_2sweep": _diameter_2sweep_oracle(),
+        "betweenness_chain": _betweenness_chain_oracle(),
     }
 
 
@@ -2978,4 +2979,79 @@ def _diameter_2sweep_oracle(cap: int = 64) -> str:
         "d2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id) "
         "SELECT (SELECT s FROM s1) AS seed1, (SELECT id FROM s2) AS seed2, "
         "  (SELECT max(d) FROM d2) AS lb_diameter"
+    )
+
+
+def _betweenness_chain_oracle(cap: int = 200) -> str:
+    """Sampled-source Brandes betweenness over the directed part-chain
+    graph (graphalgos.betweenness_chain / engine/betweenness.py: forward
+    level-synchronous BFS with path counting, backward dependency
+    accumulation by descending layer, raw pair-dependency sum over the 4
+    smallest source ids, sources' own rows excluded) as three chained
+    recursions:
+
+    - ``r``/``dist``: UNION-dedup min-hop distances per source;
+    - ``sg``: sigma by level — every row sits at its vertex's true BFS
+      level, so one grouped step per level sums exactly the shortest-path
+      predecessors (Brandes' forward invariant);
+    - ``bw``: the engine's global descending layer walk — all (source,
+      vertex) rows ride every round (kind-0 self rows carry dlt), and a
+      vertex at layer t-1 absorbs sigma_v * sum((1+dlt_w)/sigma_w) from
+      kind-1 reversed-edge rows whose sender sits at layer t.
+
+    MATERIALIZED on dist/sg/dmax is required: DuckDB 1.0 inlines plain
+    CTEs into every recursion round, re-running the upstream recursive
+    scans per round (measured: >400 s vs ~1 s at sf0.001)."""
+    return (
+        "WITH RECURSIVE "
+        "li AS (SELECT l_orderkey, l_linenumber, l_partkey "
+        "  FROM lineitem WHERE l_orderkey % 16 = 0), "
+        "e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER ("
+        "  PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst "
+        "  FROM li), "
+        "e AS (SELECT DISTINCT src, dst FROM e0 "
+        "  WHERE dst IS NOT NULL AND src <> dst), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "sd AS (SELECT src AS s FROM ("
+        "  SELECT DISTINCT src FROM e ORDER BY src LIMIT 4)), "
+        "r AS (SELECT s, s AS id, 0 AS d FROM sd "
+        "  UNION SELECT r.s, e2.dst, r.d + 1 FROM r "
+        f"  JOIN e e2 ON e2.src = r.id WHERE r.d < {cap}), "
+        "dist AS MATERIALIZED ("
+        "  SELECT s, id, min(d) AS d FROM r GROUP BY s, id), "
+        "sg AS (SELECT s, s AS id, 0 AS d, CAST(1.0 AS DOUBLE) AS sig "
+        "  FROM sd "
+        "  UNION ALL "
+        "  SELECT g.s, e2.dst, g.d + 1, sum(g.sig) "
+        "  FROM sg g JOIN e e2 ON e2.src = g.id "
+        "  JOIN dist dd ON dd.s = g.s AND dd.id = e2.dst "
+        "    AND dd.d = g.d + 1 "
+        f"  WHERE g.d < {cap} GROUP BY g.s, e2.dst, g.d + 1), "
+        "sgm AS MATERIALIZED (SELECT s, id, sig FROM sg), "
+        "dmax AS MATERIALIZED (SELECT max(d) AS m FROM dist), "
+        "ea2 AS (SELECT id AS src, id AS dst, 0 AS kind FROM verts "
+        "  UNION ALL SELECT dst, src, 1 FROM e), "
+        "bw AS ("
+        "  SELECT (SELECT m FROM dmax) + 1 AS t, s, id, "
+        "    CAST(0.0 AS DOUBLE) AS dlt FROM dist "
+        "  UNION ALL "
+        "  SELECT b.t - 1, b.s, g.dst, "
+        "    sum(CASE WHEN g.kind = 0 THEN b.dlt ELSE 0.0 END) "
+        "    + CASE WHEN dv.d = b.t - 2 THEN sv.sig * sum("
+        "        CASE WHEN g.kind = 1 AND dw.d = b.t - 1 "
+        "          THEN (1.0 + b.dlt) / sw.sig ELSE 0.0 END) "
+        "      ELSE 0.0 END "
+        "  FROM bw b "
+        "  JOIN ea2 g ON g.src = b.id "
+        "  JOIN dist dv ON dv.s = b.s AND dv.id = g.dst "
+        "  JOIN sgm sv ON sv.s = b.s AND sv.id = g.dst "
+        "  JOIN dist dw ON dw.s = b.s AND dw.id = b.id "
+        "  JOIN sgm sw ON sw.s = b.s AND sw.id = b.id "
+        "  WHERE b.t > 1 "
+        "  GROUP BY b.t, b.s, g.dst, dv.d, sv.sig) "
+        "SELECT v.id, round(coalesce(sum(CASE WHEN b.id <> b.s "
+        "  THEN b.dlt ELSE 0.0 END), 0.0), 9) AS bc "
+        "FROM verts v LEFT JOIN bw b ON b.id = v.id AND b.t = 1 "
+        "GROUP BY v.id"
     )
