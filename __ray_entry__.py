@@ -122,7 +122,7 @@ def _window(q: dict, oracled: set) -> list[str]:
                     "weighted_pagerank", "ppr_bipartite", "hits_bipartite",
                     "walk_entropy_rate", "eigenvector_cooccur",
                     "hitting_time_cooccur", "diameter_2sweep",
-                    "betweenness_chain"}
+                    "betweenness_chain", "sssp_path_chain"}
         unchecked = ([k for k in unchecked if k not in added_r5]
                      + [k for k in unchecked if k in added_r5])
         filler = [k for k in q if k in oracled and k in green]

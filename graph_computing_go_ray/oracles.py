@@ -2549,6 +2549,7 @@ def build_oracles() -> dict[str, str]:
         "hitting_time_cooccur": _hitting_time_cooccur_oracle(),
         "diameter_2sweep": _diameter_2sweep_oracle(),
         "betweenness_chain": _betweenness_chain_oracle(),
+        "sssp_path_chain": _sssp_path_chain_oracle(),
     }
 
 
@@ -3054,4 +3055,72 @@ def _betweenness_chain_oracle(cap: int = 200) -> str:
         "  THEN b.dlt ELSE 0.0 END), 0.0), 9) AS bc "
         "FROM verts v LEFT JOIN bw b ON b.id = v.id AND b.t = 1 "
         "GROUP BY v.id"
+    )
+
+
+def _sssp_path_chain_oracle(rounds: int = 256) -> str:
+    """Shortest-path EXTRACTION (graphalgos.sssp_path_chain /
+    engine/sssp.SsspPathProgram): frontier Bellman-Ford carrying parent
+    pointers with the engine's deterministic rule — per round, offers
+    come only from vertices that IMPROVED last round, the round's winner
+    per vertex is the (dist, parent)-lexicographic minimum, and only
+    strictly-better distances update (ties keep the incumbent, so the
+    recorded parent depends on arrival round exactly as in the engine) —
+    then the farthest-vertex (max dist, min id) path walked seed→target.
+
+    The lexicographic min rides one BIGINT pack dist*2^32 + parent
+    (distances are integer-valued — weights are (src+dst)%9+1 — and
+    parent ids < 2^32, so the pack is exact); kind-0 self rows carry the
+    incumbent. 256 rounds = the engine cap. Output (step, id, dist)."""
+    big = 4294967296
+    cand = ("min(CASE WHEN g.kind = 1 AND b.imp = 1 "
+            f"THEN CAST(b.dist + g.w AS BIGINT) * {big} + b.id END)")
+    old_d = "max(CASE WHEN g.kind = 0 THEN b.dist END)"
+    old_p = "max(CASE WHEN g.kind = 0 THEN b.parent END)"
+    upd = (f"{cand} IS NOT NULL AND "
+           f"CAST({cand} // {big} AS DOUBLE) < {old_d}")
+    return (
+        "WITH RECURSIVE "
+        "li AS (SELECT l_orderkey, l_linenumber, l_partkey "
+        "  FROM lineitem WHERE l_orderkey % 16 = 0), "
+        "e0 AS (SELECT l_partkey AS src, lead(l_partkey) OVER ("
+        "  PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS dst "
+        "  FROM li), "
+        "e AS (SELECT DISTINCT src, dst FROM e0 "
+        "  WHERE dst IS NOT NULL AND src <> dst), "
+        "verts AS (SELECT DISTINCT id FROM ("
+        "  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+        "sd0 AS (SELECT min(src) AS s FROM e), "
+        "ew AS (SELECT src, dst, CAST((src + dst) % 9 + 1 AS DOUBLE) AS w "
+        "  FROM e), "
+        "ea AS (SELECT v.id AS src, v.id AS dst, CAST(0.0 AS DOUBLE) AS w, "
+        "  0 AS kind FROM verts v "
+        "  UNION ALL SELECT src, dst, w, 1 FROM ew), "
+        "bf AS ("
+        "  SELECT 0 AS iter, v.id, "
+        "    CASE WHEN v.id = (SELECT s FROM sd0) THEN CAST(0.0 AS DOUBLE) "
+        "      ELSE CAST('infinity' AS DOUBLE) END AS dist, "
+        "    CASE WHEN v.id = (SELECT s FROM sd0) THEN v.id ELSE -1 END "
+        "      AS parent, "
+        "    CASE WHEN v.id = (SELECT s FROM sd0) THEN 1 ELSE 0 END AS imp "
+        "  FROM verts v "
+        "  UNION ALL "
+        "  SELECT b.iter + 1, g.dst, "
+        f"    CASE WHEN {upd} THEN CAST({cand} // {big} AS DOUBLE) "
+        f"      ELSE {old_d} END, "
+        f"    CASE WHEN {upd} THEN {cand} % {big} ELSE {old_p} END, "
+        f"    CASE WHEN {upd} THEN 1 ELSE 0 END "
+        f"  FROM bf b JOIN ea g ON g.src = b.id WHERE b.iter < {rounds} "
+        "  GROUP BY b.iter, g.dst), "
+        "fs AS MATERIALIZED ("
+        f"  SELECT id, dist, parent FROM bf WHERE iter = {rounds}), "
+        "tgt AS (SELECT id FROM fs WHERE NOT isinf(dist) "
+        "  ORDER BY dist DESC, id LIMIT 1), "
+        "walk AS (SELECT 0 AS k, (SELECT id FROM tgt) AS id "
+        "  UNION ALL SELECT w.k + 1, f.parent FROM walk w "
+        "  JOIN fs f ON f.id = w.id "
+        "  WHERE f.parent <> w.id AND f.parent <> -1), "
+        "plen AS (SELECT max(k) AS L FROM walk) "
+        "SELECT (SELECT L FROM plen) - w.k AS step, w.id, f.dist "
+        "FROM walk w JOIN fs f ON f.id = w.id"
     )
